@@ -1,0 +1,116 @@
+"""Join operators (SURVEY.md §2.4 — engine extensions; the reference
+implements zero joins, its latent FK reviews.listing_id → listings.id is
+never exercised).
+
+Strategy notes for 100 TB (SURVEY.md §4.3): dimension tables broadcast
+explicitly; fact-fact joins shuffle on the key and rely on AQE for skew
+splitting; the as-of join deliberately avoids the naive range-join
+(which explodes to broadcast-nested-loop) in favor of union + ordered
+window — one shuffle on (key, time), linear in input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fk_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join on a foreign key. Planner picks sort-merge or
+    shuffled-hash; AQE demotes to broadcast when the build side turns out
+    small at runtime."""
+    return fact.join(dim, fact[fact_key] == dim[dim_key], how)
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit broadcast for known-small dimensions (region/nation):
+    no shuffle of the fact side at all."""
+    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str) -> DataFrame:
+    """left rows with ≥1 match (EXISTS). Only the key column of the right
+    side ships — Catalyst prunes the rest."""
+    return left.join(right, left[left_key] == right[right_key], "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str) -> DataFrame:
+    """left rows with no match (NOT EXISTS)."""
+    return left.join(right, left[left_key] == right[right_key], "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the nearest-earlier right row per
+    key (direction='backward'; 'forward' = nearest-later).
+
+    Scalable implementation (SURVEY.md §2.4): union both sides tagged,
+    sort within key by time, and carry the latest right values forward
+    with last(ignoreNulls) over an ordered window — ONE shuffle on
+    (key, ts), no range-join blow-up. Right rows are then dropped.
+    Ties (equal timestamps) resolve right-row-first, i.e. a right row at
+    exactly left_ts matches.
+    """
+    lcols = left.columns
+    # Left rows are tagged __side=1. Right rows sort BEFORE left at equal
+    # ts for backward (0) and AFTER for forward (2), so an exactly-equal
+    # timestamp is always a match in either direction.
+    sentinel_side = 0 if direction == "backward" else 2
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(sentinel_side).alias("__side"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    carried = unioned.select(
+        "__side",
+        "__l",
+        *[
+            (F.last(f"__r_{c}", ignorenulls=True).over(w)
+             if direction == "backward"
+             else F.first(f"__r_{c}", ignorenulls=True).over(w)
+             ).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )

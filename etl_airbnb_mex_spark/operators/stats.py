@@ -1,0 +1,149 @@
+"""Statistics operators (SURVEY.md §2.5 A5–A7, A9–A10, A13–A16).
+
+Every statistic is a single hash-aggregate pass (partial + final for
+free); *exact* percentiles/median are used so the DuckDB oracle
+(``quantile_cont``) and pandas (linear interpolation) match — the
+``approx`` flag switches to sketch-based variants for 100 TB runs where
+an exact percentile would force a global sort (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 6
+
+
+def _r(c: Column, dp: int = ROUND_DP) -> Column:
+    """Round a float aggregate — both engine and oracle round to the same
+    dp before hashing (SURVEY.md §7.4.12)."""
+    return F.round(c, dp)
+
+
+def _pct(col: str, p: float, approx: bool) -> Column:
+    if approx:
+        return F.percentile_approx(col, p)
+    return F.percentile(col, F.lit(p))
+
+
+def describe_stats(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A5 — df.describe(): count/mean/std/min/p25/p50/p75/max, one row.
+
+    Reference: nb:cell7:30-35. std is sample stddev (pandas ddof=1).
+    """
+    return df.agg(
+        F.count(col).alias("cnt"),
+        _r(F.avg(col)).alias("mean"),
+        _r(F.stddev_samp(col)).alias("std"),
+        _r(F.min(col)).alias("min"),
+        _r(_pct(col, 0.25, approx)).alias("p25"),
+        _r(_pct(col, 0.50, approx)).alias("p50"),
+        _r(_pct(col, 0.75, approx)).alias("p75"),
+        _r(F.max(col)).alias("max"),
+    )
+
+
+def percentiles(
+    df: DataFrame, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """A7 — exact percentiles at the reference's cut points (nb:cell9:37-41)."""
+    return df.agg(
+        *[
+            _r(_pct(col, p, approx)).alias(f"p{int(p * 100)}")
+            for p in ps
+        ]
+    )
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A9+A10 — per-column null count and completeness %, one aggregation
+    pass over all columns, unpivoted to (column_name, null_count,
+    completeness_pct) rows sorted by null_count desc then name.
+
+    Reference: generar_reporte_calidad (src/transformacion.py:424-436),
+    nb:cell6:13-21.
+    """
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', n_{c}" for c in cols)
+    return (
+        wide.select(
+            F.expr(f"stack({len(cols)}, {pairs}) as (column_name, null_count)"),
+            F.col("__total"),
+        )
+        .select(
+            "column_name",
+            "null_count",
+            F.round((F.col("__total") - F.col("null_count"))
+                    / F.col("__total") * 100, 2).alias("completeness_pct"),
+        )
+        .orderBy(F.desc("null_count"), "column_name")
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A13 — pairwise Pearson correlation, all pairs in ONE aggregate pass
+    (n²/2 corr expressions → single shuffle), unpivoted to
+    (col_a, col_b, corr) rows.
+
+    Reference: df[cols].corr() (nb:cell13:23-29).
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    wide = df.agg(
+        *[_r(F.corr(a, b)).alias(f"{a}__{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)")
+    ).orderBy("col_a", "col_b")
+
+
+def iqr_outliers(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
+    """A15 — IQR outlier summary: Q1/Q3 → bounds ±1.5·IQR → count, %,
+    outlier min/max. One row.
+
+    Reference: nb:cell11-12. Two aggregation passes (quantiles, then a
+    scalar-broadcast filter+agg) — no per-row Python.
+    """
+    q = df.agg(
+        _pct(col, 0.25, approx).alias("q1"),
+        _pct(col, 0.75, approx).alias("q3"),
+        F.count(col).alias("total"),
+    ).select(
+        "q1", "q3", "total",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    # q is a 1-row frame: the crossJoin is a broadcast of scalars.
+    c = F.col(col)
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter((c < F.col("lo")) | (c > F.col("hi")))
+        .agg(
+            F.count(F.lit(1)).alias("outlier_count"),
+            _r(F.first("q1")).alias("q1"),
+            _r(F.first("q3")).alias("q3"),
+            _r(F.first("lo")).alias("lower_bound"),
+            _r(F.first("hi")).alias("upper_bound"),
+            _r(F.count(F.lit(1)) / F.first("total") * 100, 4).alias("outlier_pct"),
+            _r(F.min(c)).alias("outlier_min"),
+            _r(F.max(c)).alias("outlier_max"),
+        )
+    )
+
+
+def histogram(df: DataFrame, col: str, lo: float, width: float) -> DataFrame:
+    """A16 — fixed-width histogram: bin = floor((x-lo)/width), count per
+    bin (nb:cell7:49). DataFrame-native (single hash agg), no RDD."""
+    bin_col = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )

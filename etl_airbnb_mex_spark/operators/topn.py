@@ -1,0 +1,46 @@
+"""Frequency / top-N / percent-of-total operators (SURVEY.md §2.5 A2–A3,
+§2.7 O1).
+
+``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject — a true
+distributed top-k (per-partition heap + driver merge), never a global
+sort. Every top-N carries a deterministic tie-break on the key
+(SURVEY.md §7.4.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topn_by_count(df: DataFrame, key: str, k: int) -> DataFrame:
+    """A2/O1 — value_counts().head(k) with deterministic ties: order by
+    count desc, then key asc (nb:cell8:9,27,49)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )
+
+
+def pct_of_total(df: DataFrame, key: str, dp: int = 4) -> DataFrame:
+    """A3 — per-category count + percent of total. The total comes from an
+    empty-frame window (single exchange of the tiny aggregate, not a
+    second scan of the input).
+
+    Reference: count/len(df)*100 (nb:cell8:12,30,52).
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.select(
+        key,
+        "cnt",
+        F.round(F.col("cnt") / total * 100, dp).alias("pct"),
+    ).orderBy(F.desc("cnt"), F.asc(key))
+
+
+def mode(df: DataFrame, key: str) -> DataFrame:
+    """A2 variant — most frequent value (nb:cell14:40-45), deterministic
+    tie-break by key."""
+    return topn_by_count(df, key, 1)

@@ -1,0 +1,144 @@
+"""Local oracle differential harness — a faithful replica of the driver's
+correctness gate (SURVEY.md §5.3.1).
+
+Runs a registered query through Spark AND its DuckDB oracle SQL on the
+same parquet tables, then compares row count, column names, and an
+order-insensitive multiset of canonicalized row values. Used by
+tests/test_oracle.py so every operator is gate-checked *before* the
+driver runs it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from .tables import TABLE_NAMES, table_path
+from .queries import REGISTRY, _load
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Pre-register the test tables as views, as the driver does."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == 0.0:  # normalize -0.0
+            return 0.0
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
+    return v
+
+
+def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(canon, key=repr)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    reasons: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}"
+        for r in self.reasons:
+            msg += f"\n    {r}"
+        return msg
+
+
+def compare_query(
+    spark: SparkSession, sf_dir: str, name: str,
+    con: duckdb.DuckDBPyConnection | None = None,
+) -> CompareResult:
+    _load()
+    spec = REGISTRY[name]
+    sdf = spec.spark(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if spec.oracle is None:
+        # rows-only check, like the driver's weaker path
+        return CompareResult(name, True, len(s_rows), -1,
+                             ["rows-only (no oracle SQL declared)"])
+
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        if own_con:
+            con.close()
+
+    reasons: list[str] = []
+    if sorted(s_cols) != sorted(o_cols):
+        reasons.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    if len(s_rows) != len(o_rows):
+        reasons.append("row count mismatch")
+    if not reasons:
+        a = _rowset(s_cols, s_rows)
+        b = _rowset(o_cols, o_rows)
+        if a != b:
+            diff_i = next(
+                (i for i, (x, y) in enumerate(zip(a, b)) if x != y), None
+            )
+            detail = (
+                f"first diff at sorted row {diff_i}: spark={a[diff_i]!r} "
+                f"oracle={b[diff_i]!r}" if diff_i is not None else "tail rows differ"
+            )
+            reasons.append("value mismatch: " + detail)
+    return CompareResult(name, not reasons, len(s_rows), len(o_rows), reasons)
+
+
+def compare_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareResult]:
+    _load()
+    con = duckdb_connection(sf_dir)
+    results = []
+    try:
+        for name in names or sorted(REGISTRY):
+            try:
+                results.append(compare_query(spark, sf_dir, name, con))
+            except Exception as exc:  # noqa: BLE001 — harness reports, not raises
+                results.append(
+                    CompareResult(name, False, -1, -1, [f"error: {exc!r}"])
+                )
+    finally:
+        con.close()
+    return results

@@ -1,0 +1,712 @@
+"""Extension queries (SURVEY.md §2.4 joins, §2.6 windows, §2.8 set ops,
+§2.10 event windows, §2.11 LLM-pipeline text/vector operators).
+
+The reference implements none of these (§2.4/2.6/2.8 are empty in its
+code); they are first-class engine capabilities mandated by the north
+star. Oracle SQL is provided wherever DuckDB can express the semantics;
+MinHash/SimHash/LSH (xxhash64-based) are rows-only checks by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    quality_score_cols,
+    sentiment_score,
+    tokenize,
+)
+from ..operators.dedup import (
+    dedup_text_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash,
+)
+from ..operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_dim_join,
+    semi_join,
+)
+from ..operators.similarity import (
+    cosine_near_dup_pairs,
+    knn_cosine,
+    knn_cosine_lsh,
+)
+from ..operators.timeseries import session_window_agg, tumbling_window_agg
+from ..operators.windows import lag_delta, moving_avg, rank_topn_per_group
+from ..tables import load_table
+from . import register
+
+TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# --------------------------------------------------------------------------
+# §2.4 joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_inner_fk",
+    """
+    SELECT c_mktsegment, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "Equi inner join on the latent FK (reviews.listing_id→listings.id "
+    "analogue; the reference never joins — SURVEY.md §2.4).",
+)
+def join_inner_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT r_name, count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    "Broadcast dimension join chain (customer→nation→region): the fact "
+    "side never shuffles (SURVEY.md §4.3).",
+)
+def join_broadcast_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_dim_join(
+        broadcast_dim_join(c, n, "c_nationkey", "n_nationkey"),
+        r, "n_regionkey", "r_regionkey",
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "Left-semi join: 'listings with ≥1 review' shape (SURVEY.md §2.4).",
+)
+def join_left_semi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return semi_join(c, o, "c_custkey", "o_custkey").select("c_custkey").orderBy(
+        "c_custkey"
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    "Left-anti join: 'customers with no orders'.",
+)
+def join_left_anti_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, "c_custkey", "o_custkey").select("c_custkey").orderBy(
+        "c_custkey"
+    )
+
+
+@register(
+    "join_range_theta",
+    """
+    SELECT s_suppkey, count(*) AS n_richer_customers
+    FROM supplier JOIN customer
+      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "Theta join (equi + non-equi residual): same-nation customers with "
+    "higher balance than the supplier.",
+)
+def join_range_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (c["c_nationkey"] == s["s_nationkey"])
+            & (c["c_acctbal"] > s["s_acctbal"]),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_asof",
+    f"""
+    SELECT p.event_id,
+           strftime(p.ts, '{TS_FMT}') AS ts,
+           strftime(c.ts, '{TS_FMT}') AS asof_ts,
+           c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    "As-of join (nearest-earlier click per purchase, per user) via the "
+    "scalable union+ordered-window plan — ONE shuffle on (key, ts), no "
+    "range-join blow-up (SURVEY.md §2.4).",
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["ts", "value"],
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        F.col("asof_value"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# §2.6 window functions
+# --------------------------------------------------------------------------
+
+@register(
+    "window_rank_topn",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3 ORDER BY o_orderpriority, rn
+    """,
+    "row_number top-k per group with deterministic tie-break "
+    "(SURVEY.md §2.6).",
+)
+def window_rank_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        rank_topn_per_group(
+            o, "o_orderpriority", "o_totalprice", 3, tiebreak="o_orderkey"
+        )
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "Moving average over event order per customer (SURVEY.md §2.6).",
+)
+def window_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        moving_avg(
+            o, "o_custkey", "o_orderdate", "o_totalprice",
+            preceding=2, tiebreak="o_orderkey",
+        )
+        .select("o_custkey", "o_orderkey", "moving_avg")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             count(*) AS cnt
+      FROM orders GROUP BY 1)
+    SELECT month, cnt, cnt - lag(cnt) OVER (ORDER BY month) AS delta
+    FROM m ORDER BY month
+    """,
+    "lag/lead period-over-period delta on the A11 monthly series "
+    "(SURVEY.md §2.6).",
+)
+def window_lag_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import monthly_counts
+
+    m = monthly_counts(load_table(spark, sf_dir, "orders"), "o_orderdate")
+    return lag_delta(m, "month", "cnt").orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# §2.8 set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT c_custkey, 'building' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 5000
+    ORDER BY src, c_custkey
+    """,
+    "unionByName — schema-aligned append, the Spark idiom for the "
+    "reference's per-collection extract loop (S2, SURVEY.md §2.8).",
+)
+def set_union_by_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import union_by_name
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("building").alias("src")
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.lit("rich").alias("src")
+    )
+    return union_by_name(a, b).orderBy("src", "c_custkey")
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_custkey
+    """,
+    "EXCEPT (distinct) set difference (SURVEY.md §2.8).",
+)
+def set_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import except_distinct
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return except_distinct(a, b).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# §2.10 event-time windows (batch face of the streaming operators)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_tumbling_agg",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT}') AS window_start,
+           event_type, count(*) AS cnt, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Tumbling event-time window aggregation (batch mode; streaming twin "
+    "adds withWatermark — SURVEY.md §2.10).",
+)
+def window_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(
+        load_table(spark, sf_dir, "events"), "ts", "1 hour",
+        group_cols=["event_type"], value_col="value",
+    )
+
+
+@register(
+    "window_session_agg",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, strftime(min(ts), '{TS_FMT}') AS session_start,
+           count(*) AS cnt
+    FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+    "Session windows (30 min gap) per user — session_window() in Spark, "
+    "gaps-and-islands SQL as the oracle (SURVEY.md §2.10). New session "
+    "when the gap is >= the timeout (Spark session end is exclusive).",
+)
+def window_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(
+        load_table(spark, sf_dir, "events"), "ts", "user_id", "30 minutes"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 text analysis over `documents`
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+@register(
+    "token_topn",
+    f"""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+    "§2.11 — token frequency top-N: explode + groupBy + "
+    "TakeOrderedAndProject.",
+)
+def token_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens FROM documents
+    """,
+    "§2.11 — per-document token count (whitespace tokenizer).",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(tokenize("text")).alias("n_tokens"))
+
+
+def _sentiment_sql(col: str) -> str:
+    pos = " + ".join(
+        f"CAST(contains(lower({col}), '{w}') AS INT)" for w in POSITIVE_WORDS
+    )
+    neg = " + ".join(
+        f"CAST(contains(lower({col}), '{w}') AS INT)" for w in NEGATIVE_WORDS
+    )
+    return f"(({pos}) - ({neg}))"
+
+
+@register(
+    "sentiment_score",
+    f"""
+    SELECT doc_id, CAST({_sentiment_sql('text')} AS INT) AS sentiment_score
+    FROM documents WHERE text IS NOT NULL
+    """,
+    "F13 — lexicon sentiment with the duplicate-entry double-count rule "
+    "(src/transformacion.py:355-364, SURVEY.md §7.4.7).",
+)
+def sentiment_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("text").isNotNull()).select(
+        "doc_id", sentiment_score("text").alias("sentiment_score")
+    )
+
+
+@register(
+    "sentiment_dist",
+    f"""
+    WITH s AS (
+      SELECT {_sentiment_sql('text')} AS sc FROM documents WHERE text IS NOT NULL)
+    SELECT CAST(sum(CASE WHEN sc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN sc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN sc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neutral,
+           round(avg(sc), 6) AS avg_sentiment
+    FROM s
+    """,
+    "A8 over F13 — sentiment distribution (pos/neg/neutral/mean, "
+    "nb:cell10:43-55).",
+)
+def sentiment_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sc = sentiment_score("text")
+    base = d.filter(F.col("text").isNotNull()).select(sc.alias("sc"))
+    return base.agg(
+        F.sum(F.when(F.col("sc") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("sc") < 0, 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(F.col("sc") == 0, 1).otherwise(0)).alias("n_neutral"),
+        F.round(F.avg("sc"), 6).alias("avg_sentiment"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = _TOKS_SQL
+    return " + ".join(
+        f"CAST(list_contains({toks}, '{w}') AS INT)" for w in LANG_MARKERS[lang]
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             ({_lang_score_sql('de')}) AS s_de,
+             ({_lang_score_sql('en')}) AS s_en,
+             ({_lang_score_sql('es')}) AS s_es,
+             ({_lang_score_sql('fr')}) AS s_fr
+      FROM documents)
+    SELECT CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+           count(*) AS cnt
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    "§2.11 — marker-word language ID, argmax with lexicographic "
+    "tie-break, aggregated to a distribution.",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import lang_id_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        *[lang_id_score("text", L).alias(f"s_{L}") for L in ("de", "en", "es", "fr")],
+    )
+    s = {L: F.col(f"s_{L}") for L in ("de", "en", "es", "fr")}
+    pred = (
+        F.when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]),
+            "de",
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        scored.groupBy(pred.alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pred_lang")
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 AS DOUBLE) / len(toks), 6) AS mean_token_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> x IN ('the','a','and','of','is')))
+                 * 1.0 / len(toks), 6) AS stopword_ratio
+    FROM t WHERE len(toks) > 0 AND length(text) > 0
+    """,
+    "§2.11 — text quality scoring: length / punctuation / stopword "
+    "ratios, all native expressions.",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return (
+        d.select(
+            "doc_id",
+            cols["n_chars"].alias("n_chars"),
+            cols["n_tokens"].alias("n_tokens"),
+            F.round(cols["mean_token_len"], 6).alias("mean_token_len"),
+            F.round(cols["punct_ratio"], 6).alias("punct_ratio"),
+            F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+        )
+        .filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    "§2.11 — document fingerprint: md5 of whitespace-normalized text "
+    "(the oracle-checkable fingerprint; simhash is the LSH-ready variant).",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 dedup family over `documents`
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_text_exact",
+    """
+    SELECT doc_id, text_hash FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    "§2.11 — exact-hash dedup: md5(normalized text), keep lowest doc_id; "
+    "shuffle ships the 32-byte hash, not the document.",
+)
+def dedup_text_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_text_exact(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash",
+    None,  # xxhash64-based — not expressible in DuckDB; rows-only check
+    "§2.11 — MinHash+LSH near-dup candidate pairs (shingle → 32-hash "
+    "signature → 8-band bucket equi-join). O(n·bands) shuffle, the 100 TB "
+    "near-dup strategy.",
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 bit votes — rows-only check
+    "§2.11 — 64-bit SimHash per document (token bit votes, native bit "
+    "ops); hamming-distance bucketing is the near-dup variant.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "ngram_jaccard",
+    None,  # DuckDB list-slicing construction differs; verified by unit test
+    "§2.11 — exact token-3-gram Jaccard pairs (gated to doc_id < 100; at "
+    "scale fed by minhash candidates, not the cross product).",
+)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3, threshold=0.2, max_ids=100,
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.11 similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+@register(
+    "knn_cosine",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv, vec_id AS qid
+      FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+             AS cosine_sim
+    FROM embeddings, q WHERE vec_id <> qid
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "§2.11 — brute-force cosine top-k vs the vec_id=0 query vector: "
+    "broadcast 1-row query, TakeOrderedAndProject ranking.",
+)
+def knn_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine(e, e.filter(F.col("vec_id") == 0), k=10)
+
+
+def _fixed_planes(dim: int = 64, n: int = 4) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG dependency: a fixed
+    LCG) shared by tests; at scale planes ship as literals with the job."""
+    planes, state = [], 1234567891
+    for _ in range(n):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2 ** 31)
+            row.append((state / (2 ** 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "knn_cosine_lsh",
+    None,  # approximate variant — recall checked in unit tests vs exact
+    "§2.11 — LSH-bucketed ANN: random-hyperplane bucket join, then exact "
+    "cosine inside the bucket (the 100 TB probe path).",
+)
+def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_lsh(
+        e, e.filter(F.col("vec_id") == 0), planes=_fixed_planes(), k=10
+    )
+
+
+@register(
+    "cosine_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND round(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    "§2.11 — embedding-cosine near-dup pairs (gated to vec_id < 300; at "
+    "scale runs inside LSH buckets).",
+)
+def cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3, max_ids=300,
+    )

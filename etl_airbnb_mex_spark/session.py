@@ -1,0 +1,95 @@
+"""SparkSession factory and parity configuration.
+
+The reference runs a single-threaded pandas process (see SURVEY.md §4.2);
+this engine runs on Spark and must behave identically whether the session
+is built here (tests, bench) or handed to us by the driver. Two kinds of
+config are therefore split:
+
+* build-time conf (master, AQE, memory) — applied in :func:`get_spark`;
+* runtime parity conf (timezone, ANSI) — applied in
+  :func:`ensure_parity_conf` which is safe to call on *any* live session
+  and is invoked by the table loader so every oracle-checked query runs
+  under identical semantics.
+
+Scale posture: AQE on (partition coalescing + skew-join for the 45.9 %
+hot-key case recorded in the reference, SURVEY.md §4.3), broadcast joins
+for dimension tables, shuffle partitions sized to the local core count
+here and expected to be overridden (or AQE-coalesced) on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime SQL confs required for oracle parity (DuckDB / pandas semantics).
+PARITY_CONF: dict[str, str] = {
+    # Format/collect timestamps in UTC so date_format output matches the
+    # naive timestamps DuckDB reads from the same parquet files.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: cast('junk' as double) -> NULL, matching pandas
+    # to_numeric(errors='coerce') (SURVEY.md §7.4.11). Spark 4 defaults on.
+    "spark.sql.ansi.enabled": "false",
+    # en-US locale month names ('MMMM' -> 'January'), matching DuckDB
+    # monthname() and pandas dt.month_name() defaults (SURVEY.md §7.4.9).
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as raw nanos-long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_parity_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime parity confs to an existing session (idempotent)."""
+    for key, value in PARITY_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be non-runtime-settable on some builds; parity
+            # queries that depend on it use try_cast / explicit formats
+            # as a second line of defense.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-airbnb-mex-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Local dev/test runs ``local[$SPARK_GRAFT_CPUS]`` (default 32); on a
+    real cluster the master comes from spark-submit and this factory only
+    contributes conf.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep partition files at a size that parallelizes well at 100 TB
+        # (default 128 MiB is fine; stated here so it is a deliberate choice).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in PARITY_CONF.items():
+        builder = builder.config(key, value)
+    if extra_conf:
+        for key, value in extra_conf.items():
+            builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_parity_conf(spark)

@@ -1,0 +1,72 @@
+"""Loaders for the driver test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Parquet is read lazily; Catalyst handles column pruning and predicate
+pushdown into the scan, so callers should *not* pre-select columns here —
+express the query and let the optimizer prune (verify with
+``.explain('formatted')``: ReadSchema / PushedFilters).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_parity_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Applies parity conf (UTC, ANSI off) so every
+    query entered through here runs under oracle-identical semantics.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    reader rejects; with ``nanosAsLong`` it arrives as a nanos-since-epoch
+    long and is converted to a microsecond timestamp here (truncation,
+    matching DuckDB's ns→µs read of the same file)."""
+    ensure_parity_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every available test table as a dict (the engine's 'named
+    table set' — the Spark analogue of the reference's dict[str,
+    pd.DataFrame] pipeline state, src/main.py:22-24)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql(...) queries."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
