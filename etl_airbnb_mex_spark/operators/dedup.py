@@ -86,24 +86,43 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as array<bigint>: for hash function i, min over
-    shingles of xxhash64(shingle, seed=i). xxhash64 is a native JVM
-    expression — the whole signature computes inside codegen, no UDF.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, sig array<bigint>) via
+    explode → hash-once → multi-min aggregation.
 
-    NB: the per-i lambda is built by a closure factory — a ``lambda s,
-    i=i:`` default arg would make PySpark treat it as a binary (element,
-    index) lambda and silently bind the array index instead of the seed.
+    Why not ``array_min(transform(shingles, xxhash64(seed=i)))`` per i?
+    Catalyst's project collapse inlines the full shingling expression
+    (regex tokenize + slice + concat) into *every* one of the 32 hash
+    expressions — measured 118 s for 5 000 docs at sf0.1. Here shingles
+    are computed and string-hashed exactly ONCE; the 32 seeded hashes are
+    cheap long→long xxhash64 mixes inside a hash aggregate with map-side
+    partial min, so the shuffle ships 32 longs per doc regardless of
+    document size — the property that matters at 100 TB.
+
+    Docs with no shingles (fewer than ``shingle_n`` tokens) drop out, the
+    same as the previous ``size(sig) > 0`` filter.
     """
-
-    def hash_with_seed(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    return F.array(
+    base_hash = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, shingle_n)).alias("sh"),
+        )
+        .select("id", F.xxhash64("sh").alias("h"))
+    )
+    agg = base_hash.groupBy("id").agg(
         *[
-            F.array_min(F.transform(shingle_col, hash_with_seed(i)))
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
+    )
+    return agg.select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -114,24 +133,22 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """§2.11 — MinHash + LSH banding near-dup candidate pairs.
 
-    Pipeline: shingle → 32-way minhash signature → split into ``bands``
-    bands of rows → hash each band → *equi-join on (band_id, band_hash)*.
-    The band join is the LSH trick: only documents agreeing on an entire
-    band meet, so the shuffle is O(n·bands), not O(n²). Returns distinct
-    candidate pairs (id_a < id_b) with their estimated Jaccard
-    (signature agreement rate).
+    Pipeline: signature (see :func:`minhash_signatures`) → split into
+    ``bands`` bands → hash each band → *equi-join on (band_id,
+    band_hash)*. The band join is the LSH trick: only documents agreeing
+    on an entire band meet, so the shuffle is O(n·bands), not O(n²).
+    Buckets larger than ``max_bucket`` are dropped (a k-doc bucket emits
+    k²/2 pairs; a degenerate hot bucket — e.g. boilerplate — would
+    otherwise quadratically dominate the job, the LSH equivalent of join
+    skew). Returns distinct candidate pairs (id_a < id_b) with estimated
+    Jaccard (signature agreement rate).
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
-        )
-        .filter(F.size("sig") > 0)
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         "sig",
@@ -141,13 +158,10 @@ def minhash_near_dup_pairs(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -155,10 +169,23 @@ def minhash_near_dup_pairs(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bc") <= max_bucket)
+            .drop("__bc")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -171,47 +198,60 @@ def minhash_near_dup_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
+        )
+        # dedup AFTER projecting down to 3 narrow cols so the distinct
+        # shuffle ships (long, long, double), not two 32-long signatures.
         .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """§2.11 — 64-bit SimHash per document as (doc_id, simhash bigint).
+
+    Explode tokens → xxhash64 once per token → per-bit ±1 vote sums as
+    ``bits`` aggregate expressions (map-side partial sums; shuffle ships
+    64 longs per doc) → sign-fold into one long. Same
+    inline-once rationale as :func:`minhash_signatures`: an
+    ``aggregate(transform(tokens, …))`` column expression would recompute
+    tokenize+hash per bit. Docs with zero tokens drop out.
+    """
+    hashed = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.explode(tokenize(text_col)).alias("tok"),
         )
+        .select(id_col, F.xxhash64("tok").alias("h"))
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(num_hashes), 4).alias("est_jaccard"),
-    ).orderBy("id_a", "id_b")
-
-
-def simhash(col: Column | str, bits: int = 64) -> Column:
-    """§2.11 — 64-bit SimHash over tokens, built from xxhash64 bit votes.
-
-    For each bit position, sum +1/-1 votes across token hashes and take
-    the sign. Native expressions only (bit ops + aggregate over the token
-    array)."""
-    toks = tokenize(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote_for_bit(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_exprs = []
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fold = None
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), vote_for_bit(b))
-        bit_exprs.append(
-            F.shiftleft(
-                F.when(votes > 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                ),
-                b,
-            )
+        bit = F.shiftleft(
+            F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            b,
         )
-    return sum(bit_exprs[1:], bit_exprs[0])
+        fold = bit if fold is None else fold + bit
+    return votes.select(id_col, fold.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

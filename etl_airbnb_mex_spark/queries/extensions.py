@@ -25,7 +25,7 @@ from ..operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     normalize_text,
-    simhash,
+    simhash_signatures,
 )
 from ..operators.joins import (
     anti_join,
@@ -623,7 +623,7 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
+    return simhash_signatures(d).orderBy("doc_id")
 
 
 @register(
