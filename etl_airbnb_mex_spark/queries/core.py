@@ -779,6 +779,168 @@ def date_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clean_price_null",
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 5
+               WHEN 0 THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               WHEN 1 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+               WHEN 2 THEN 'N/A'
+               WHEN 3 THEN ''
+               ELSE NULL END AS price_raw
+      FROM orders)
+    SELECT o_orderkey,
+           round(TRY_CAST(regexp_replace(price_raw, '[$,]', '', 'g') AS DOUBLE), 4)
+             AS price_clean
+    FROM raw
+    """,
+    "F2 — price cleaning, unparseable → NULL (the notebook re-impl, "
+    "nb:cell7:18-28) — vs F1's → 0.0.",
+)
+def clean_price_null_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import clean_price_null
+
+    o = load_table(spark, sf_dir, "orders")
+    price_str = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.concat(F.lit("$"), price_str))
+        .when(F.col("o_orderkey") % 5 == 1, price_str)
+        .when(F.col("o_orderkey") % 5 == 2, F.lit("N/A"))
+        .when(F.col("o_orderkey") % 5 == 3, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(clean_price_null(raw), 4).alias("price_clean"),
+    )
+
+
+@register(
+    "bool_encode_narrow",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE CASE (l_orderkey + l_linenumber) % 4
+                  WHEN 0 THEN 't' WHEN 1 THEN 'f' WHEN 2 THEN 'maybe'
+                  ELSE NULL END
+             WHEN 't' THEN 1 WHEN 'f' THEN 0 ELSE 0 END AS available_flag
+    FROM lineitem
+    """,
+    "F12 — narrow availability map {'t':1,'f':0} else/NULL → 0 "
+    "(src/transformacion.py:396-397).",
+)
+def bool_encode_narrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import bool_encode_narrow
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = (F.col("l_orderkey") + F.col("l_linenumber")) % 4
+    raw = (
+        F.when(k == 0, "t").when(k == 1, "f").when(k == 2, "maybe")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        bool_encode_narrow(raw).alias("available_flag"),
+    )
+
+
+@register(
+    "parse_array",
+    """
+    SELECT p_partkey,
+           CASE p_partkey % 6
+             WHEN 0 THEN string_split(p_name, ' ')
+             WHEN 1 THEN [p_name]
+             ELSE CAST([] AS VARCHAR[]) END AS items
+    FROM part
+    """,
+    "F19 — string→array parse with every fallback: JSON-array string "
+    "(parsed), bare string (1-elem), ''/'nan'/NULL/malformed (empty) "
+    "(src/transformacion.py:126-137). The oracle derives the expected "
+    "array from the deterministic construction; Spark genuinely parses.",
+)
+def parse_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import parse_string_array
+
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    json_arr = F.concat(
+        F.lit('["'), words[0], F.lit('", "'), words[1], F.lit('"]')
+    )
+    k = F.col("p_partkey") % 6
+    raw = (
+        F.when(k == 0, json_arr)
+        .when(k == 1, F.col("p_name"))
+        .when(k == 2, F.lit(""))
+        .when(k == 3, F.lit("nan"))
+        .when(k == 4, F.lit(None).cast("string"))
+        .otherwise(F.lit("[unclosed"))
+    )
+    return p.select(
+        "p_partkey", parse_string_array(raw).alias("items")
+    )
+
+
+def _amenities_flags_oracle() -> str:
+    from ..functions.arrays import AMENITY_NAMES, amenity_flag_name
+
+    # Hand-derived truth per construction arm (see the Spark side):
+    # arm 0 → WiFi, Kitchen; arm 1 → wifi (substring), air conditioning,
+    # parking; arm 2 → bare 'TV'; arm 3 → NULL → all zero.
+    by_arm = {
+        "WiFi": (1, 1, 0), "Kitchen": (1, 0, 0), "Air conditioning": (0, 1, 0),
+        "Heating": (0, 0, 0), "TV": (0, 0, 1), "Washer": (0, 0, 0),
+        "Dryer": (0, 0, 0), "Pool": (0, 0, 0), "Gym": (0, 0, 0),
+        "Parking": (0, 1, 0),
+    }
+    cols = ", ".join(
+        f"CASE p_partkey % 4 WHEN 0 THEN {by_arm[n][0]} WHEN 1 THEN "
+        f"{by_arm[n][1]} WHEN 2 THEN {by_arm[n][2]} ELSE 0 END AS "
+        f"{amenity_flag_name(n)}"
+        for n in AMENITY_NAMES
+    )
+    return f"SELECT p_partkey, {cols} FROM part"
+
+
+@register(
+    "amenities_flags",
+    _amenities_flags_oracle(),
+    "F19+F20+F21 — parse amenity string → clean elements → 10 binary "
+    "containment flags (src/transformacion.py:106-183; the 16.2 s hot "
+    "spot, log:56-57 — here pure codegen). Oracle is the hand-derived "
+    "truth table of the deterministic construction.",
+)
+def amenities_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import (
+        AMENITY_NAMES,
+        amenity_flag,
+        amenity_flag_name,
+        clean_string_array,
+        parse_string_array,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    raw = (
+        F.when(k == 0, F.lit('["WiFi", "Kitchen"]'))
+        .when(
+            k == 1,
+            F.lit('["Fast wifi – 400 Mbps", "Air conditioning unit", "Free parking"]'),
+        )
+        .when(k == 2, F.lit("TV"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    arr = clean_string_array(parse_string_array(raw))
+    return p.select(
+        "p_partkey",
+        *[
+            amenity_flag(arr, n).alias(amenity_flag_name(n))
+            for n in AMENITY_NAMES
+        ],
+    )
+
+
+@register(
     "date_normalize",
     """
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_clean

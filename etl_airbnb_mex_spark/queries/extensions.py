@@ -380,6 +380,117 @@ def window_session_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.5 extensions: rollup / approx-distinct / semi-structured JSON
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(CAST(c_nationkey AS BIGINT), -1) AS nation,
+           count(*) AS cnt,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+    ORDER BY segment, nation
+    """,
+    "Engine extension (SURVEY.md §2.5 notes): ROLLUP subtotal hierarchy — "
+    "segment × nation, per-segment subtotal, grand total. NULL group keys "
+    "coalesced to sentinels for hash stability.",
+)
+def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("c_nationkey").cast("bigint"), F.lit(-1)).alias(
+                "nation"
+            ),
+            "cnt",
+            "sum_acctbal",
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+@register(
+    "approx_distinct",
+    None,  # HLL sketch values differ across engines; bounded-error unit test
+    "Engine extension (SURVEY.md §2.5 notes): approx_count_distinct — the "
+    "documented 100 TB swap for countDistinct (single pass, no distinct "
+    "shuffle). Rows-only here; tests/test_operators.py bounds the error "
+    "vs the exact count.",
+)
+def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    "S5/§1.2 semi-structured — JSON field extraction from the events "
+    "props column (the engine face of the reference's Mongo extended-JSON "
+    "handling, src/transformacion.py:31-32).",
+)
+def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@register(
+    "window_sliding_agg",
+    f"""
+    WITH both_grids AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT}')
+               AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
+                      '{TS_FMT}') AS window_start, value
+      FROM events)
+    SELECT window_start, count(*) AS cnt, round(sum(value), 6) AS sum_value
+    FROM both_grids GROUP BY 1 ORDER BY 1
+    """,
+    "§2.10 — sliding event-time window (1 h window, 30 min slide): each "
+    "event lands in 2 windows. Oracle = union of the two half-offset "
+    "tumbling grids.",
+)
+def window_sliding_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
 # §2.11 text analysis over `documents`
 # --------------------------------------------------------------------------
 
