@@ -1,0 +1,91 @@
+"""End-to-end E-T-L orchestration (SURVEY.md §3.1 redesigned).
+
+The reference runs eager sequential phases through an ETLManager
+(src/main.py:224-263) holding every table in driver RAM between phases.
+Here each table is ONE lazy plan — scan → transform expressions → write —
+so Spark pipelines extract+transform+load per partition with no
+whole-table materialization; the driver only ever holds per-table counts
+for the run report (S11/S12).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import read_table_set
+from ..sources.writers import (
+    drop_id_columns,
+    normalize_for_sink,
+    write_json_report,
+    write_parquet_overwrite,
+)
+from .transforms import TRANSFORMS
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_paths: dict[str, str],
+    output_dir: str,
+    fmt: str = "parquet",
+    report_path: str | None = None,
+) -> dict[str, Any]:
+    """Extract → transform → load → verify → report, one lazy plan per
+    table. Returns the run report dict (S12 shape: per-table extracted /
+    transformed / loaded counts + timings, src/main.py:175-222).
+
+    Counts are real actions (each forces the plan); the load itself
+    re-uses the same plan, so a table is scanned at most twice (once for
+    the pre-count, once for the write+verify) — the reference scans each
+    table once per *step*.
+    """
+    started = time.perf_counter()
+    report: dict[str, Any] = {
+        "fecha_inicio": datetime.now(timezone.utc).isoformat(),
+        "tablas": {},
+    }
+
+    tables = read_table_set(spark, input_paths, fmt=fmt)
+    for name, raw in tables.items():
+        t0 = time.perf_counter()
+        extracted = raw.count()
+        if extracted == 0:
+            # Missing/empty collection: recorded, not fatal (the
+            # reference's calendar case, log:31 / report:36).
+            report["tablas"][name] = {
+                "extraidos": 0, "transformados": 0, "cargados": 0,
+                "segundos": round(time.perf_counter() - t0, 3),
+            }
+            continue
+        transformed_df = _transform(name, raw)
+        out_path = os.path.join(output_dir, f"raw_{name}_transformado")
+        sink_df = normalize_for_sink(drop_id_columns(transformed_df))
+        write_parquet_overwrite(sink_df, out_path)
+        # S11 verification: count what was actually persisted.
+        loaded = spark.read.parquet(out_path).count()
+        report["tablas"][name] = {
+            "extraidos": extracted,
+            "transformados": loaded,
+            "cargados": loaded,
+            "columnas": len(sink_df.columns),
+            "ruta": out_path,
+            "segundos": round(time.perf_counter() - t0, 3),
+        }
+
+    report["total_registros"] = sum(
+        t["cargados"] for t in report["tablas"].values()
+    )
+    report["segundos_totales"] = round(time.perf_counter() - started, 3)
+    report["fecha_fin"] = datetime.now(timezone.utc).isoformat()
+    if report_path:
+        write_json_report(report, report_path)
+    return report
+
+
+def _transform(name: str, df: DataFrame) -> DataFrame:
+    fn = TRANSFORMS.get(name)
+    return fn(df) if fn else df

@@ -1,0 +1,337 @@
+"""Golden pipeline test (SURVEY.md §5.3.4, FIXTURES.md B).
+
+Airbnb-shaped synthetic fixtures exercising every messy-value domain in
+FIXTURES.md B.1–B.3, run through the full E-T-L; asserts the recorded
+invariants of FIXTURES.md B.4: derived-column names, drop accounting,
+bucket boundary semantics, and the duplicate-lexicon sentiment rule.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from etl_airbnb_mex_spark.plans.transforms import (
+    transform_calendar,
+    transform_listings,
+    transform_reviews,
+)
+
+LISTING_DEFAULTS = dict(
+    _id="0fa1",
+    id=1,
+    name=" Casa Azul ",
+    description="Nice place",
+    neighbourhood_cleansed="Cuauhtémoc",
+    latitude=19.4,
+    longitude=-99.1,
+    property_type="Apartment",
+    room_type="Entire home/apt",
+    accommodates="2",
+    bedrooms="1",
+    beds="1",
+    minimum_nights="2",
+    maximum_nights="30",
+    availability_30="10",
+    availability_60="20",
+    availability_90="30",
+    availability_365="100",
+    amenities='["Wifi", "Kitchen"]',
+    price="$1,234.00",
+    host_since="2019-05-04",
+    calendar_last_scraped="2025-10-01",
+    last_scraped='{"$date": "2025-10-02T00:00:00Z"}',
+    host_is_superhost="t",
+    host_identity_verified="f",
+    has_availability="SI ",
+    review_scores_rating=4.8,
+    reviews_per_month=1.2,
+)
+
+
+def make_listing(**over):
+    return Row(**{**LISTING_DEFAULTS, **over})
+
+
+REVIEW_DEFAULTS = dict(
+    _id="ra01",
+    id=1,
+    listing_id=1,
+    date="2024-06-15",
+    reviewer_id=7,
+    reviewer_name="john SMITH",
+    comments="A good stay",
+)
+
+
+def make_review(**over):
+    return Row(**{**REVIEW_DEFAULTS, **over})
+
+
+#: FIXTURES.md B.4 derived-name invariants.
+LISTING_DERIVED = (
+    ["price_clean", "categoria_precio"]
+    + [f"{c}_clean" for c in ("host_since", "calendar_last_scraped", "last_scraped")]
+    + ["amenities_procesados"]
+    + [
+        "amenity_wifi", "amenity_kitchen", "amenity_air_conditioning",
+        "amenity_heating", "amenity_tv", "amenity_washer", "amenity_dryer",
+        "amenity_pool", "amenity_gym", "amenity_parking",
+    ]
+    + ["room_type_normalizado", "property_type_normalizado"]
+    + [f"{c}_bin" for c in ("host_is_superhost", "host_identity_verified", "has_availability")]
+    + [
+        f"{c}_clean"
+        for c in (
+            "accommodates", "bedrooms", "beds", "minimum_nights",
+            "maximum_nights", "availability_30", "availability_60",
+            "availability_90", "availability_365",
+        )
+    ]
+    + [f"{c}_clean" for c in ("name", "description", "neighbourhood_cleansed")]
+)
+
+REVIEW_DERIVED = [
+    "date_clean", "año", "mes", "dia", "trimestre", "dia_semana",
+    "nombre_mes", "comments_clean", "comments_length", "sentiment_score",
+    "reviewer_name_clean",
+]
+
+
+@pytest.fixture(scope="module")
+def listings_df(spark):
+    rows = [
+        make_listing(id=1),
+        # duplicate id → keep-first (D1)
+        make_listing(id=1, name="DUP should drop"),
+        # critical nulls → dropped (P2)
+        make_listing(id=None),
+        make_listing(id=3, latitude=None),
+        # messy price domain incl. exact bucket boundaries (F1/F9)
+        make_listing(id=10, price="$500.00"),
+        make_listing(id=11, price="500.01"),
+        make_listing(id=12, price="$1,000.00"),
+        make_listing(id=13, price="2000"),
+        make_listing(id=14, price="$5,000.00"),
+        make_listing(id=15, price="$5,000.01"),
+        make_listing(id=16, price=None),       # NULL→0.0→'Económico' trap
+        make_listing(id=17, price="N/A"),      # unparseable→0.0
+        make_listing(id=18, price=""),
+        # amenities fallbacks (F19-F21)
+        make_listing(id=20, amenities='["Fast wifi – 400 Mbps", "Air conditioning unit"]'),
+        make_listing(id=21, amenities="WiFi"),
+        make_listing(id=22, amenities=""),
+        make_listing(id=23, amenities="nan"),
+        make_listing(id=24, amenities=None),
+        make_listing(id=25, amenities="[unclosed"),
+        # category maps (F10)
+        make_listing(id=30, room_type=None, property_type="Entire rental unit"),
+        # booleans (F11)
+        make_listing(id=31, host_is_superhost=" True ", host_identity_verified="si", has_availability=None),
+        make_listing(id=32, host_is_superhost="0", host_identity_verified="YES", has_availability="1"),
+        # numeric coercion (F14)
+        make_listing(id=33, accommodates="abc", bedrooms="", beds=None, minimum_nights="1125"),
+        # date handling (F15/F18) incl. $date struct and junk
+        make_listing(id=34, host_since='{"$date": "2019-05-04T12:00:00Z"}',
+                     calendar_last_scraped="not-a-date", last_scraped=None),
+        # text fill (F8)
+        make_listing(id=35, name=None, description="  padded  ", neighbourhood_cleansed=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def listings_out(listings_df):
+    df = transform_listings(listings_df)
+    rows = {r["id"]: r for r in df.collect()}
+    return df, rows
+
+
+def test_listings_derived_columns(listings_out, listings_df):
+    df, _ = listings_out
+    assert [c for c in df.columns if c not in listings_df.columns] == LISTING_DERIVED
+    # width invariant: 28 input cols + 33 derived (B.4)
+    assert len(df.columns) == len(listings_df.columns) + 33
+
+
+def test_listings_drop_accounting(listings_out, listings_df):
+    _, rows = listings_out
+    # 25 input rows − 1 NULL id − 1 NULL latitude − 1 duplicate id = 22
+    assert len(rows) == 22
+    assert rows[1]["name"] == " Casa Azul "  # keep-FIRST, not the dup
+
+
+def test_price_buckets_exact_boundaries(listings_out):
+    _, r = listings_out
+    got = {k: (r[k]["price_clean"], r[k]["categoria_precio"]) for k in
+           (10, 11, 12, 13, 14, 15, 16, 17, 18, 1)}
+    assert got[10] == (500.0, "Económico")       # <=500 inclusive
+    assert got[11] == (500.01, "Medio")
+    assert got[12] == (1000.0, "Medio")
+    assert got[13] == (2000.0, "Medio-Alto")
+    assert got[14] == (5000.0, "Alto")
+    assert got[15] == (5000.01, "Premium")
+    assert got[16] == (0.0, "Económico")         # NULL→0→Económico trap
+    assert got[17] == (0.0, "Económico")
+    assert got[18] == (0.0, "Económico")
+    assert got[1] == (1234.0, "Medio-Alto")
+
+
+def test_amenities_flags_and_fallbacks(listings_out):
+    _, r = listings_out
+    assert r[1]["amenities_procesados"] == ["Wifi", "Kitchen"]
+    assert (r[1]["amenity_wifi"], r[1]["amenity_kitchen"]) == (1, 1)
+    # unicode punctuation cleaned; substring containment flags
+    assert r[20]["amenities_procesados"] == ["Fast wifi  400 Mbps", "Air conditioning unit"]
+    assert r[20]["amenity_wifi"] == 1 and r[20]["amenity_air_conditioning"] == 1
+    assert r[21]["amenities_procesados"] == ["WiFi"]  # bare string
+    for k in (22, 23, 24, 25):  # ''/'nan'/NULL/malformed → empty
+        assert r[k]["amenities_procesados"] == []
+        assert r[k]["amenity_wifi"] == 0
+
+
+def test_category_maps(listings_out):
+    _, r = listings_out
+    assert r[1]["room_type_normalizado"] == "Casa/Departamento completo"
+    assert r[1]["property_type_normalizado"] == "Departamento"
+    assert r[30]["room_type_normalizado"] == "No especificado"   # NULL
+    assert r[30]["property_type_normalizado"] == "Entire rental unit"  # passthrough
+
+
+def test_boolean_encoding(listings_out):
+    _, r = listings_out
+    assert (r[1]["host_is_superhost_bin"], r[1]["host_identity_verified_bin"],
+            r[1]["has_availability_bin"]) == (1, 0, 1)  # 't','f','SI '
+    assert (r[31]["host_is_superhost_bin"], r[31]["host_identity_verified_bin"],
+            r[31]["has_availability_bin"]) == (1, 1, 0)  # ' True ','si',NULL
+    assert (r[32]["host_is_superhost_bin"], r[32]["host_identity_verified_bin"],
+            r[32]["has_availability_bin"]) == (0, 1, 1)  # '0','YES'→?,'1'
+    # NB 'YES' IS in the truthy set ('yes'); '0' is not.
+
+
+def test_numeric_coercion(listings_out):
+    _, r = listings_out
+    assert (r[33]["accommodates_clean"], r[33]["bedrooms_clean"],
+            r[33]["beds_clean"], r[33]["minimum_nights_clean"]) == (0.0, 0.0, 0.0, 1125.0)
+
+
+def test_date_normalization(listings_out):
+    _, r = listings_out
+    assert r[1]["host_since_clean"] == "2019-05-04"
+    assert r[1]["last_scraped_clean"] == "2025-10-02"  # $date unwrap
+    assert r[34]["host_since_clean"] == "2019-05-04"   # $date with time
+    assert r[34]["calendar_last_scraped_clean"] is None  # junk → NULL
+    assert r[34]["last_scraped_clean"] is None
+
+
+def test_text_fill(listings_out):
+    _, r = listings_out
+    assert r[35]["name_clean"] == "No especificado"
+    assert r[35]["description_clean"] == "padded"
+    assert r[1]["name_clean"] == "Casa Azul"
+
+
+@pytest.fixture(scope="module")
+def reviews_out(spark):
+    rows = [
+        make_review(id=1, date="2024-06-15", comments="A good stay"),
+        make_review(id=1, comments="dup drops"),
+        make_review(id=None),
+        make_review(id=3, listing_id=None),
+        # Monday check: 2024-06-17 is a Monday → dia_semana 0
+        make_review(id=10, date="2024-06-17"),
+        make_review(id=11, date='{"$date": "2011-04-02T00:00:00Z"}'),
+        make_review(id=12, date=None),
+        # duplicate-lexicon rule: good(+1) − (terrible×2 + horrible×2) = −3
+        make_review(id=20, comments="good but terrible, horrible place"),
+        make_review(id=21, comments="GOODNESS gracious"),  # containment
+        make_review(id=22, comments=None),                 # → 'nan', len 3
+        make_review(id=23, reviewer_name="o'brien", comments="excelente y maravilloso"),
+        make_review(id=24, reviewer_name=None),
+    ]
+    df = transform_reviews(spark.createDataFrame(rows))
+    return df, {r["id"]: r for r in df.collect()}
+
+
+def test_reviews_derived_columns(reviews_out, spark):
+    df, rows = reviews_out
+    assert [c for c in df.columns if c not in REVIEW_DEFAULTS] == REVIEW_DERIVED
+    assert len(df.columns) == 7 + 11
+    assert len(rows) == 9  # 12 − null id − null listing_id − dup
+
+
+def test_reviews_dates(reviews_out):
+    _, r = reviews_out
+    assert r[1]["date_clean"] == "2024-06-15"
+    assert (r[1]["año"], r[1]["mes"], r[1]["dia"], r[1]["trimestre"]) == (2024, 6, 15, 2)
+    assert r[10]["dia_semana"] == 0          # Monday=0 (pandas convention)
+    assert r[1]["nombre_mes"] == "June"
+    assert r[11]["date_clean"] == "2011-04-02"
+    assert r[12]["date_clean"] is None
+
+
+def test_reviews_sentiment(reviews_out):
+    _, r = reviews_out
+    assert r[1]["sentiment_score"] == 1
+    assert r[20]["sentiment_score"] == -3    # duplicate lexicon ×2
+    assert r[21]["sentiment_score"] == 1     # 'goodness' contains 'good'
+    assert r[22]["sentiment_score"] == 0
+    assert r[23]["sentiment_score"] == 2
+
+
+def test_reviews_text_compat(reviews_out):
+    _, r = reviews_out
+    assert r[22]["comments_clean"] == "nan"
+    assert r[22]["comments_length"] == 3     # astype(str) NULL→'nan' trap
+    assert r[1]["reviewer_name_clean"] == "John Smith"
+    assert r[24]["reviewer_name_clean"] is None
+
+
+def test_calendar_transform(spark):
+    rows = [
+        Row(listing_id=1, date="2025-01-01", available="t", price="$100.00"),
+        Row(listing_id=1, date="2025-01-02", available="f", price="200"),
+        Row(listing_id=1, date="2025-01-03", available="maybe", price=None),
+        Row(listing_id=None, date="2025-01-04", available="t", price="1"),
+        Row(listing_id=2, date=None, available="t", price="1"),
+    ]
+    df = transform_calendar(spark.createDataFrame(rows))
+    got = {(r["listing_id"], r["date"]): r for r in df.collect()}
+    assert len(got) == 3
+    assert got[(1, "2025-01-01")]["available_bin"] == 1
+    assert got[(1, "2025-01-02")]["available_bin"] == 0
+    assert got[(1, "2025-01-03")]["available_bin"] == 0  # else→0
+    assert got[(1, "2025-01-01")]["price_clean"] == 100.0
+    assert got[(1, "2025-01-03")]["price_clean"] == 0.0
+
+
+def test_full_pipeline_run(spark, tmp_path_factory):
+    """E-T-L end-to-end: write fixture parquet → run_pipeline → verify
+    report counts, sink schemas (no _id, arrays stringified), and the
+    missing-calendar path (the reference's recorded run, log:31)."""
+    from etl_airbnb_mex_spark.plans.pipeline import run_pipeline
+
+    tmp = tmp_path_factory.mktemp("etl")
+    lst = [make_listing(id=i) for i in range(1, 9)] + [make_listing(id=None)]
+    rev = [make_review(id=i, listing_id=1 + i % 3) for i in range(1, 21)]
+    spark.createDataFrame(lst).write.parquet(str(tmp / "listings_raw"))
+    spark.createDataFrame(rev).write.parquet(str(tmp / "reviews_raw"))
+
+    report = run_pipeline(
+        spark,
+        {"listings": str(tmp / "listings_raw"), "reviews": str(tmp / "reviews_raw")},
+        str(tmp / "out"),
+        report_path=str(tmp / "reporte.json"),
+    )
+    assert report["tablas"]["listings"]["extraidos"] == 9
+    assert report["tablas"]["listings"]["cargados"] == 8   # NULL id dropped
+    assert report["tablas"]["reviews"]["cargados"] == 20
+    assert report["tablas"]["calendar"]["cargados"] == 0   # absent source
+    assert report["total_registros"] == 28
+
+    out = spark.read.parquet(str(tmp / "out" / "raw_listings_transformado"))
+    assert "_id" not in out.columns                         # S8
+    assert dict(out.dtypes)["amenities_procesados"] == "string"  # S9
+    assert json.loads((tmp / "reporte.json").read_text())["total_registros"] == 28
