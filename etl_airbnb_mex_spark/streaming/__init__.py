@@ -1,0 +1,23 @@
+"""Structured Streaming extension (SURVEY.md §2.10).
+
+The reference is strictly batch; these operators are the streaming face
+of the same aggregation expressions, mandated by the 100 TB north star.
+Batch twins of the window aggregations live in operators.timeseries and
+are oracle-checked; the streaming variants here add watermarks and state.
+"""
+
+from .ops import (
+    stream_dedup_within_watermark,
+    stream_session_agg,
+    stream_sliding_agg,
+    stream_tumbling_agg,
+    streaming_counter_state,
+)
+
+__all__ = [
+    "stream_dedup_within_watermark",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_tumbling_agg",
+    "streaming_counter_state",
+]

@@ -1,0 +1,168 @@
+"""Streaming operators (SURVEY.md §2.10): windowed aggregation with
+watermarks, watermark-scoped dedup, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Each takes a *streaming* DataFrame (``spark.readStream...``) and returns
+the transformed streaming DataFrame; the caller owns the sink
+(``writeStream``). The aggregation expressions are identical to their
+oracle-checked batch twins (operators.timeseries) — same column names,
+so a batch backfill and the live stream produce union-compatible output
+(the standard lambda/kappa reconciliation property).
+
+State sizing at scale: every operator here bounds state by watermark —
+windows close and evict once event time passes ``watermark_delay``; the
+counter state uses processing-time timeout for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_agg(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts/sums with late-data handling.
+    Late rows beyond ``watermark_delay`` are dropped and their windows
+    finalized (append-mode emittable)."""
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            *group_cols,
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_agg(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    value_col: str = "value",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (each event in window/slide windows)."""
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_agg(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the streaming twin of
+    operators.timeseries.session_window_agg."""
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "cnt",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    sdf: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming face of D1. State per
+    key is evicted once the watermark passes — bounded memory, unlike an
+    unbounded dropDuplicates."""
+    return sdf.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+#: Output/state schemas for the custom stateful counter.
+_COUNTER_OUTPUT_SCHEMA = (
+    "user_id bigint, events_seen bigint, value_sum double"
+)
+_COUNTER_STATE_SCHEMA = "events_seen bigint, value_sum double"
+
+
+def streaming_counter_state(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-key (event count, value sum) that emits the updated totals each
+    micro-batch — the §2.10 escape hatch for semantics the built-in
+    window operators can't express. Arrow-batched (pandas per group),
+    never row-at-a-time Python.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        seen, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            seen += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((seen, total))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [seen], "value_sum": [total]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_OUTPUT_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

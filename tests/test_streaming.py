@@ -1,0 +1,138 @@
+"""Streaming-operator tests (SURVEY.md §2.10): file-source streams over
+the driver events table, availableNow trigger, memory sink; results
+cross-checked against the oracle-checked *batch* twins on the same data
+(the lambda/kappa reconciliation property the module promises)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_airbnb_mex_spark.streaming import (
+    stream_dedup_within_watermark,
+    stream_session_agg,
+    stream_tumbling_agg,
+    streaming_counter_state,
+)
+from etl_airbnb_mex_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as a 4-file parquet dir (a micro-batched file
+    stream) with a normal microsecond ts column."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(path)
+    return path
+
+
+def _run_stream(spark, events_dir, transform, name):
+    schema = spark.read.parquet(events_dir).schema
+    sdf = spark.readStream.schema(schema).parquet(events_dir)
+    q = (
+        transform(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name != "counter" else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    """Append mode emits a window only once the watermark passes its end;
+    the window containing max(ts) stays open forever — so streamed ==
+    batch minus still-open windows (correct watermark semantics, not a
+    relaxation)."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.operators.timeseries import tumbling_window_agg
+
+    got = _run_stream(
+        spark, events_dir,
+        lambda s: stream_tumbling_agg(s, watermark_delay="0 seconds"),
+        "tumbling",
+    ).collect()
+    events = spark.read.parquet(events_dir)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = tumbling_window_agg(
+        events, "ts", "1 hour", group_cols=["event_type"], value_col="value",
+    ).collect()
+    closed = [
+        tuple(r) for r in batch
+        if r["window_start"] < (max_ts.replace(minute=0, second=0,
+                                               microsecond=0)
+                                ).strftime("%Y-%m-%d %H:%M:%S")
+    ]
+    open_starts = {tuple(r) for r in batch} - set(closed)
+    assert sorted(map(tuple, got)) == sorted(closed)
+    assert len(open_starts) >= 1  # the max-ts window was indeed open
+
+
+def test_stream_session_matches_batch(spark, events_dir):
+    """Sessions whose (end + gap) the watermark never passes stay open;
+    compare on the closed set."""
+    from etl_airbnb_mex_spark.operators.timeseries import session_window_agg
+
+    got = {tuple(r) for r in _run_stream(
+        spark, events_dir,
+        lambda s: stream_session_agg(s, watermark_delay="0 seconds"),
+        "sessions",
+    ).collect()}
+    batch = {tuple(r) for r in session_window_agg(
+        spark.read.parquet(events_dir), "ts", "user_id", "30 minutes"
+    ).collect()}
+    still_open = batch - got
+    assert got <= batch                      # nothing emitted that batch lacks
+    assert len(got) >= 0.9 * len(batch)      # only tail sessions may be open
+    # every unemitted session must be a LAST session of its user (no
+    # closed session was dropped)
+    last_start_by_user = {}
+    for user, start, _ in batch:
+        last_start_by_user[user] = max(last_start_by_user.get(user, ""), start)
+    for user, start, _ in still_open:
+        assert start == last_start_by_user[user]
+
+
+def test_stream_dedup(spark, events_dir, tmp_path_factory):
+    """Duplicate the stream input; watermark-scoped dedup restores
+    uniqueness per event_id."""
+    dup_dir = str(tmp_path_factory.mktemp("stream") / "dup")
+    base = spark.read.parquet(events_dir)
+    base.union(base).repartition(4).write.parquet(dup_dir)
+
+    got = _run_stream(
+        spark, dup_dir,
+        lambda s: stream_dedup_within_watermark(s, watermark_delay="1 hour"),
+        "dedup",
+    )
+    n_unique = base.select("event_id").distinct().count()
+    assert got.count() == n_unique
+
+
+def test_streaming_counter_state(spark, events_dir):
+    """Custom stateful op: final per-user totals must equal the batch
+    groupBy (availableNow processes everything, update mode emits the
+    last state per key in the final batch)."""
+    from pyspark.sql import functions as F
+
+    got = _run_stream(spark, events_dir, streaming_counter_state, "counter")
+    # update-mode memory sink may hold one row per micro-batch per key;
+    # the LAST emission per key is the final state.
+    final = {
+        r["user_id"]: (r["events_seen"], round(r["value_sum"], 4))
+        for r in got.collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        )
+    }
+    # every key's final emitted state matches the batch totals
+    for k, v in batch.items():
+        assert final[k] == v
