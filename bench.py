@@ -43,6 +43,109 @@ HEADLINE = [
 ]
 
 
+def _pipeline_throughput(spark, n_listings: int = 100_000,
+                         n_reviews: int = 200_000) -> dict:
+    """Measure the Airbnb cleaning-pipeline throughput (BASELINE.md: the
+    reference does the equivalent work at ~561 rows/s in row-wise
+    pandas). Input synthesized once per run with the fixture value
+    domains (messy prices/dates/amenities/bools) so the transforms do
+    real work; timing covers transform + write to a temp parquet sink.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.plans.transforms import (
+        transform_listings,
+        transform_reviews,
+    )
+
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    listings = spark.range(n_listings).select(
+        F.lit("x").alias("_id"),
+        i.alias("id"),
+        F.concat(F.lit("  Casa "), s(i)).alias("name"),
+        F.when(i % 17 == 0, None).otherwise(F.lit("desc")).alias("description"),
+        F.when(i % 2 == 0, "Cuauhtémoc").otherwise(
+            F.concat(F.lit("Colonia "), s(i % 40))
+        ).alias("neighbourhood_cleansed"),
+        (F.lit(19.0) + (i % 100) / 100.0).alias("latitude"),
+        F.lit(-99.1).alias("longitude"),
+        F.when(i % 5 == 0, "Apartment").otherwise("Entire rental unit").alias(
+            "property_type"
+        ),
+        F.when(i % 3 == 0, "Entire home/apt").when(i % 3 == 1, "Private room")
+        .otherwise(F.lit(None).cast("string")).alias("room_type"),
+        *[
+            F.when(i % 13 == 0, "abc").otherwise(s(i % 9)).alias(c)
+            for c in (
+                "accommodates", "bedrooms", "beds", "minimum_nights",
+                "maximum_nights", "availability_30", "availability_60",
+                "availability_90", "availability_365",
+            )
+        ],
+        F.when(i % 7 == 0, '["Fast wifi – 400 Mbps", "Air conditioning"]')
+        .when(i % 7 == 1, "WiFi").when(i % 7 == 2, "")
+        .otherwise(F.lit('["Kitchen", "TV", "Pool"]')).alias("amenities"),
+        F.when(i % 11 == 0, F.lit(None).cast("string"))
+        .when(i % 11 == 1, "N/A")
+        .otherwise(F.concat(F.lit("$"), s(i % 6000), F.lit(".00")))
+        .alias("price"),
+        F.lit("2019-05-04").alias("host_since"),
+        F.lit('{"$date": "2025-10-01T00:00:00Z"}').alias("calendar_last_scraped"),
+        F.when(i % 23 == 0, "junk").otherwise(F.lit("2025-10-02")).alias(
+            "last_scraped"
+        ),
+        F.when(i % 4 == 0, "t").when(i % 4 == 1, " True ").otherwise("f").alias(
+            "host_is_superhost"
+        ),
+        F.lit("si").alias("host_identity_verified"),
+        F.when(i % 9 == 0, F.lit(None).cast("string")).otherwise(F.lit("1")).alias(
+            "has_availability"
+        ),
+        (4.0 + (i % 10) / 10.0).alias("review_scores_rating"),
+        F.lit(1.2).alias("reviews_per_month"),
+    )
+    reviews = spark.range(n_reviews).select(
+        F.lit("r").alias("_id"),
+        i.alias("id"),
+        (i % n_listings).alias("listing_id"),
+        F.concat(
+            F.lit("20"), F.lpad(s(11 + i % 14), 2, "0"), F.lit("-"),
+            F.lpad(s(1 + i % 12), 2, "0"), F.lit("-"),
+            F.lpad(s(1 + i % 28), 2, "0"),
+        ).alias("date"),
+        (i % 9999).alias("reviewer_id"),
+        F.when(i % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ana "), s(i % 50))).alias("reviewer_name"),
+        F.when(i % 6 == 0, "a good and excellent stay")
+        .when(i % 6 == 1, "terrible, horrible place")
+        .when(i % 6 == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("plain comment text here")).alias("comments"),
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        start = time.perf_counter()
+        transform_listings(listings).write.mode("overwrite").parquet(
+            os.path.join(out, "listings")
+        )
+        transform_reviews(reviews).write.mode("overwrite").parquet(
+            os.path.join(out, "reviews")
+        )
+        elapsed = time.perf_counter() - start
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = n_listings + n_reviews
+    return {
+        "rows": rows,
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(rows / elapsed, 1),
+    }
+
+
 def main() -> None:
     from etl_airbnb_mex_spark.queries import REGISTRY, _load
     from etl_airbnb_mex_spark.session import get_spark
@@ -59,13 +162,22 @@ def main() -> None:
         spec = REGISTRY[name]
         start = time.perf_counter()
         df = spec.spark(spark, SF_DIR)
-        # collect(), not count(): Catalyst would drop sorts/projections
-        # under a bare count and under-measure the real query.
-        n = len(df.collect())
+        # Full materialization to the driver (not count(): Catalyst would
+        # drop sorts/projections and under-measure). toPandas uses the
+        # Arrow path — the realistic consumption cost, not per-Row
+        # Python object construction.
+        n = len(df.toPandas())
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    pipeline = _pipeline_throughput(spark)
+    print(
+        f"# pipeline: {pipeline['rows']} rows in {pipeline['sec']}s "
+        f"({pipeline['rows_per_sec']} rows/s; reference 561 rows/s)",
+        file=sys.stderr,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -75,6 +187,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline": pipeline,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

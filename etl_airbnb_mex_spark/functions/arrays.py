@@ -57,11 +57,42 @@ AMENITY_NAMES = (
 
 def amenity_flag(arr: Column | str, name: str) -> Column:
     """F21 — 1 if any array element case-insensitively *contains* the
-    amenity name as a substring, else 0."""
+    amenity name as a substring, else 0.
+
+    Single-flag form. For the 10-flag batch use
+    :func:`amenity_flags_packed`: evaluating ``exists`` per flag
+    re-evaluates the (expensive, non-codegen) array-parse expression per
+    flag — measured 11× slower at sf0.1.
+    """
     needle = name.lower()
     return F.exists(
         _col(arr), lambda x: F.contains(F.lower(x), F.lit(needle))
     ).cast("int")
+
+
+#: Join separator for packed containment checks: a control char that the
+#: needles never contain, so a needle cannot falsely span two elements.
+_SEP = chr(1)
+
+
+def amenity_flags_packed(
+    arr: Column | str, names: tuple[str, ...] = AMENITY_NAMES
+) -> list[Column]:
+    """F21, all flags in one pass: join the lowered elements with an
+    unmatchable separator and run plain ``contains`` per needle. The
+    joined-string subtree is IDENTICAL across all flags, so Spark's
+    subexpression elimination evaluates the parse/join once (per-flag
+    ``exists`` defeats CSE — higher-order functions don't share).
+    Equivalent semantics: needle ⊆ some element ⇔ needle ⊆ joined
+    string, since needles contain no separator.
+    """
+    joined = F.lower(F.concat_ws(_SEP, _col(arr)))
+    return [
+        F.contains(joined, F.lit(n.lower()))
+        .cast("int")
+        .alias(amenity_flag_name(n))
+        for n in names
+    ]
 
 
 def amenity_flag_name(name: str) -> str:

@@ -75,15 +75,25 @@ def dedup_text_exact(
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Token n-gram shingles as array<string> (distinct), the unit set for
-    Jaccard/MinHash near-dup."""
+    Jaccard/MinHash near-dup.
+
+    Built by zipping the token array with its own 1..n-1 shifts
+    (``zip_with`` + ``slice``), NOT by indexing inside a ``transform``
+    lambda: a lambda body referencing the tokens expression re-evaluates
+    the full tokenize (regex split) per element — O(tokens²) per doc,
+    measured ~6 s of pure re-tokenization at sf0.1. Here every lambda
+    touches only its element arguments, so shingling is O(tokens).
+    zip_with pads the shorter (shifted) array with NULLs; concat
+    propagates them and the final filter drops the short tail grams.
+    """
     toks = tokenize(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    acc = toks
+    for j in range(2, n + 1):
+        shifted = F.slice(toks, j, F.size(toks))
+        acc = F.zip_with(
+            acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(F.filter(acc, lambda g: g.isNotNull()))
 
 
 def minhash_signatures(

@@ -20,9 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.arrays import (
-    AMENITY_NAMES,
-    amenity_flag,
-    amenity_flag_name,
+    amenity_flags_packed,
     clean_string_array,
     parse_string_array,
 )
@@ -107,10 +105,7 @@ def transform_listings(df: DataFrame) -> DataFrame:
             for c in LISTING_DATE_COLS
         ],
         amenities_arr.alias("amenities_procesados"),
-        *[
-            amenity_flag(amenities_arr, n).alias(amenity_flag_name(n))
-            for n in AMENITY_NAMES
-        ],
+        *amenity_flags_packed(amenities_arr),
         map_with_default("room_type", ROOM_TYPE_MAP).alias(
             "room_type_normalizado"
         ),

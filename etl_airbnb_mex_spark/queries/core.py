@@ -912,9 +912,7 @@ def _amenities_flags_oracle() -> str:
 )
 def amenities_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import (
-        AMENITY_NAMES,
-        amenity_flag,
-        amenity_flag_name,
+        amenity_flags_packed,
         clean_string_array,
         parse_string_array,
     )
@@ -931,13 +929,7 @@ def amenities_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     arr = clean_string_array(parse_string_array(raw))
-    return p.select(
-        "p_partkey",
-        *[
-            amenity_flag(arr, n).alias(amenity_flag_name(n))
-            for n in AMENITY_NAMES
-        ],
-    )
+    return p.select("p_partkey", *amenity_flags_packed(arr))
 
 
 @register(
