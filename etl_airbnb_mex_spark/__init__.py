@@ -11,9 +11,10 @@ Layout:
   tables      — loaders for the parquet test tables (TESTDATA.md)
   functions/  — scalar Column builders (SURVEY.md §2.9 F1–F21)
   operators/  — relational/dataflow operators (SURVEY.md §2.1–2.8, §2.11)
-  pipeline/   — the reference's E-T-L as declarative DataFrame transforms
-  sources/    — readers/writers (parquet, JSONL w/ Mongo extended JSON, JDBC)
+  plans/      — the reference's E-T-L + analytics as declarative plans
+  sources/    — readers/writers (parquet, JSONL w/ Mongo extended JSON)
   streaming/  — Structured Streaming variants (tumbling/sliding/session)
+  multimodal/ — binary media columns + Arrow-batched codec plumbing
   queries     — the oracle-checked query registry driving __spark_entry__.py
 """
 

@@ -75,37 +75,74 @@ def lsh_bucket_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sum(bits[1:], bits[0])
 
 
+def lsh_table_signatures(
+    vec: Column, planes: list[list[float]], bits_per_table: int
+) -> Column:
+    """Multi-table LSH signatures: split ``planes`` into tables of
+    ``bits_per_table`` and emit array<struct<table int, bucket long>> —
+    one probe key per table. Multiple independent tables are what buys
+    recall (P[found] = 1-(1-p^b)^L vs a single table's p^b)."""
+    tables = [
+        planes[i: i + bits_per_table]
+        for i in range(0, len(planes), bits_per_table)
+    ]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_signature(vec, tbl).alias("bucket"),
+            )
+            for t, tbl in enumerate(tables)
+        ]
+    )
+
+
 def knn_cosine_lsh(
     df: DataFrame,
     query_df: DataFrame,
     planes: list[list[float]],
     k: int = 10,
+    bits_per_table: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dp: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    cosine within it. At scale the corpus is pre-bucketed and written
-    partitioned by bucket → partition pruning makes each probe touch one
-    partition. Recall trades off with number of planes."""
+    """Approximate top-k via multi-table random-hyperplane LSH: the
+    corpus emits one (table, bucket) row per table (explode), the query
+    probes its bucket in EVERY table, candidates = union of bucket hits
+    (deduped), then exact cosine + top-k over candidates only.
+
+    At scale the exploded (table, bucket) index is precomputed and
+    written partitioned by (table, bucket) → each probe is a partition-
+    pruned point lookup; candidate count ≈ L·n/2^b regardless of corpus
+    size. Recall: with per-bit agreement p = 1-θ/π, P[candidate found] =
+    1-(1-p^b)^L — raise L for recall, b for selectivity.
+    """
     v = F.col(vec_col).cast("array<double>")
-    bucketed = df.withColumn("__bucket", lsh_bucket_signature(v, planes))
+    sig = lsh_table_signatures(v, planes, bits_per_table)
+    corpus = df.select(
+        F.col(id_col), v.alias("__vec"), F.explode(sig).alias("__s")
+    ).select(id_col, "__vec", "__s.table", "__s.bucket")
     q = query_df.select(
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
+        v.alias("__qvec"),
         F.col(id_col).alias("__qid"),
-        lsh_bucket_signature(
-            F.col(vec_col).cast("array<double>"), planes
-        ).alias("__qbucket"),
+        F.explode(sig).alias("__qs"),
+    ).select("__qvec", "__qid", "__qs.table", "__qs.bucket")
+    candidates = (
+        corpus.join(
+            F.broadcast(q),
+            on=["table", "bucket"],
+        )
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(id_col, "__vec", "__qvec")
+        .dropDuplicates([id_col])
     )
     return (
-        bucketed.join(
-            F.broadcast(q),
-            (F.col("__bucket") == F.col("__qbucket"))
-            & (F.col(id_col) != F.col("__qid")),
-        )
-        .select(
+        candidates.select(
             id_col,
-            F.round(cosine(v, F.col("__qvec")), dp).alias("cosine_sim"),
+            F.round(cosine(F.col("__vec"), F.col("__qvec")), dp).alias(
+                "cosine_sim"
+            ),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)

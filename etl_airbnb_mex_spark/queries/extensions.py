@@ -774,7 +774,7 @@ def knn_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine(e, e.filter(F.col("vec_id") == 0), k=10)
 
 
-def _fixed_planes(dim: int = 64, n: int = 4) -> list[list[float]]:
+def _fixed_planes(dim: int = 64, n: int = 32) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG dependency: a fixed
     LCG) shared by tests; at scale planes ship as literals with the job."""
     planes, state = [], 1234567891
@@ -790,13 +790,14 @@ def _fixed_planes(dim: int = 64, n: int = 4) -> list[list[float]]:
 @register(
     "knn_cosine_lsh",
     None,  # approximate variant — recall checked in unit tests vs exact
-    "§2.11 — LSH-bucketed ANN: random-hyperplane bucket join, then exact "
-    "cosine inside the bucket (the 100 TB probe path).",
+    "§2.11 — LSH-bucketed ANN: 8-table random-hyperplane bucket probe, "
+    "exact cosine over the candidate union (the 100 TB probe path).",
 )
 def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return knn_cosine_lsh(
-        e, e.filter(F.col("vec_id") == 0), planes=_fixed_planes(), k=10
+        e, e.filter(F.col("vec_id") == 0), planes=_fixed_planes(),
+        bits_per_table=4, k=10,
     )
 
 

@@ -1,0 +1,308 @@
+"""Operator-quality tests beyond oracle parity (SURVEY.md §5.3.5):
+approximation error bounds, LSH recall vs exact ground truth, plan-shape
+assertions (pushdown/pruning), and hypothesis property checks on the
+scalar expression builders."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_airbnb_mex_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Approximation error bounds
+# ---------------------------------------------------------------------------
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """approx_count_distinct (HLL++, default rsd 5%) must land within
+    ±10% of the exact count — the bound promised in the approx_distinct
+    registry docstring."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.1 * row["exact"]
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5)).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# LSH quality vs exact ground truth
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    d.persist()
+    yield d
+    d.unpersist()
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """For every candidate pair, the signature-agreement estimate must be
+    close to the true shingle Jaccard (MinHash unbiasedness; 32 hashes →
+    s.e. ≈ sqrt(j(1-j)/32) ≤ 0.09)."""
+    from etl_airbnb_mex_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        shingles,
+    )
+
+    pairs = minhash_near_dup_pairs(docs).collect()
+    assert pairs, "expected near-dup candidates in the documents table"
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in a.join(
+            b, F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.1)
+        .collect()
+    }
+    for r in pairs:
+        true_j = truth.get((r["id_a"], r["id_b"]), 0.0)
+        assert abs(r["est_jaccard"] - true_j) < 0.35, (r, true_j)
+
+
+def test_minhash_recall_of_strong_dups(spark, docs):
+    """Pairs with true Jaccard >= 0.5 must be found by the 8-band LSH
+    (P[miss] = (1-j^4)^8 ≤ 0.6% at j=0.5)."""
+    from etl_airbnb_mex_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        shingles,
+    )
+
+    found = {
+        (r["id_a"], r["id_b"]) for r in minhash_near_dup_pairs(docs).collect()
+    }
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    strong = [
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    ]
+    assert strong, "expected strong near-dups in the documents table"
+    missed = [p for p in strong if p not in found]
+    assert len(missed) <= max(1, 0.05 * len(strong)), missed
+
+
+def test_lsh_finds_planted_near_dups(spark, sf_dir):
+    """Multi-table LSH must recover planted high-cosine neighbors — the
+    near-dup regime LSH exists for. Corpus = driver embeddings + 5
+    perturbed copies of vector 0 (cosine ≈ 0.98); with 8 tables × 4 bits
+    and per-bit agreement p ≈ 0.94, P[miss one] ≈ (1-p^4)^8 < 0.01."""
+    from etl_airbnb_mex_spark.operators.similarity import knn_cosine_lsh
+    from etl_airbnb_mex_spark.queries.extensions import _fixed_planes
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = e.filter(F.col("vec_id") == 0)
+    planted = [
+        base.select(
+            F.lit(100_000 + j).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x + 0.02 * ((i + j) % 3 - 1)
+            ).alias("embedding"),
+        )
+        for j in range(5)
+    ]
+    corpus = e
+    for p in planted:
+        corpus = corpus.unionByName(p)
+    got = knn_cosine_lsh(
+        corpus, base, planes=_fixed_planes(), bits_per_table=4, k=5
+    ).collect()
+    found = {r["vec_id"] for r in got}
+    assert found == {100_000 + j for j in range(5)}, got
+    assert all(r["cosine_sim"] > 0.9 for r in got)
+
+
+def test_lsh_results_are_true_cosines(spark, sf_dir):
+    """Whatever the LSH probe returns must carry EXACT cosine values
+    (approximation affects candidate recall, never reported scores)."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        knn_cosine,
+        knn_cosine_lsh,
+    )
+    from etl_airbnb_mex_spark.queries.extensions import _fixed_planes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"]: r["cosine_sim"] for r in knn_cosine(e, q, k=500).collect()}
+    approx = knn_cosine_lsh(e, q, planes=_fixed_planes(), k=10).collect()
+    assert approx
+    for r in approx:
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape assertions: the optimizations SURVEY.md §4.3 promises
+# ---------------------------------------------------------------------------
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_and_prune_reach_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _formatted_plan(
+        li.filter(F.col("l_shipdate") <= "1995-01-01").select(
+            "l_orderkey", "l_quantity"
+        )
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_orderkey" in read_schema
+
+
+def test_topn_plans_as_take_ordered(spark, sf_dir):
+    from etl_airbnb_mex_spark.operators.topn import topn_by_count
+
+    plan = _formatted_plan(
+        topn_by_count(load_table(spark, sf_dir, "documents"), "lang", 3)
+    )
+    assert "TakeOrderedAndProject" in plan  # true top-k, no global sort
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from etl_airbnb_mex_spark.operators.joins import broadcast_dim_join
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    plan = _formatted_plan(
+        broadcast_dim_join(c, n, "c_nationkey", "n_nationkey")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property checks on scalar builders (SURVEY.md §5.3.5)
+# ---------------------------------------------------------------------------
+
+HSETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    raw=st.one_of(
+        st.none(),
+        st.text(max_size=12),
+        st.from_regex(r"\$?[0-9]{1,7}(,[0-9]{3})?(\.[0-9]{2})?", fullmatch=True),
+    )
+)
+@HSETTINGS
+def test_clean_price_idempotent_and_total(spark, raw):
+    """F1 is total (never NULL, never error) and idempotent: cleaning an
+    already-clean price string returns the same value."""
+    from etl_airbnb_mex_spark.functions.cleaning import clean_price
+
+    df = spark.createDataFrame([(raw,)], "p string")
+    once = df.select(clean_price("p").alias("v")).collect()[0]["v"]
+    assert once is not None and not math.isnan(once)
+    twice = (
+        df.select(F.lit(str(once)).alias("p2"))
+        .select(clean_price("p2").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert twice == pytest.approx(once)
+
+
+@given(
+    p1=st.floats(min_value=0, max_value=10_000, allow_nan=False),
+    p2=st.floats(min_value=0, max_value=10_000, allow_nan=False),
+)
+@HSETTINGS
+def test_price_bucket_monotone(spark, p1, p2):
+    """F9 monotonicity: a higher price never lands in a lower bucket."""
+    from etl_airbnb_mex_spark.functions.cleaning import price_bucket
+
+    order = ["Económico", "Medio", "Medio-Alto", "Alto", "Premium"]
+    lo, hi = sorted([p1, p2])
+    df = spark.createDataFrame([Row(a=lo, b=hi)])
+    row = df.select(
+        price_bucket("a").alias("ba"), price_bucket("b").alias("bb")
+    ).collect()[0]
+    assert order.index(row["ba"]) <= order.index(row["bb"])
+
+
+@given(
+    d=st.dates(min_value=__import__("datetime").date(1980, 1, 1),
+               max_value=__import__("datetime").date(2030, 12, 31))
+)
+@HSETTINGS
+def test_date_parts_consistent(spark, d):
+    """F16 internal consistency: weekday matches Python's Monday=0
+    convention; quarter matches month; normalize round-trips."""
+    from etl_airbnb_mex_spark.functions.dates import (
+        date_normalize,
+        weekday_mon0,
+    )
+
+    df = spark.createDataFrame([Row(s=d.isoformat())])
+    row = df.select(
+        weekday_mon0(F.to_timestamp("s")).alias("wd"),
+        F.quarter(F.to_timestamp("s")).alias("q"),
+        date_normalize("s").alias("norm"),
+    ).collect()[0]
+    assert row["wd"] == d.weekday()
+    assert row["q"] == (d.month - 1) // 3 + 1
+    assert row["norm"] == d.isoformat()
+
+
+@given(raw=st.one_of(st.none(), st.text(max_size=20)))
+@HSETTINGS
+def test_bool_encode_total_binary(spark, raw):
+    """F11 is total and binary: every input maps to exactly 0 or 1, and
+    membership in the truthy set decides which."""
+    from etl_airbnb_mex_spark.functions.cleaning import TRUTHY, bool_encode
+
+    df = spark.createDataFrame([(raw,)], "b string")
+    got = df.select(bool_encode("b").alias("v")).collect()[0]["v"]
+    expected = 1 if raw is not None and raw.strip().lower() in TRUTHY else 0
+    assert got == expected
