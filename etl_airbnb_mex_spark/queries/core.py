@@ -287,6 +287,19 @@ def topn_by_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mode_value",
+    """
+    SELECT lang, count(*) AS cnt FROM documents
+    GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 1
+    """,
+    "A2 variant — mode (most frequent value, nb:cell14:40-45) with "
+    "deterministic tie-break.",
+)
+def mode_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topn.mode(load_table(spark, sf_dir, "documents"), "lang")
+
+
+@register(
     "pct_of_total",
     """
     SELECT lang, count(*) AS cnt,

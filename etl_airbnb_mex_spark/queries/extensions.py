@@ -310,6 +310,25 @@ def set_union_by_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_custkey
+    """,
+    "INTERSECT (distinct) — SURVEY.md §2.8.",
+)
+def set_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import intersect_distinct
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return intersect_distinct(a, b).orderBy("c_custkey")
+
+
+@register(
     "set_except",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

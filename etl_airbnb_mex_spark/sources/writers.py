@@ -88,6 +88,92 @@ def write_excel_report(
     return summary
 
 
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    max_rows: int = 1_000_000,
+    batch_size: int = 10_000,
+) -> int:
+    """S7 exact-parity sink: SQLite with overwrite semantics
+    (``to_sql(if_exists='replace')``, src/carga.py:50-51).
+
+    SQLite is a single-file, single-writer store — inherently a
+    driver-side, small-result sink (no cluster JDBC parallelism to win);
+    rows stream to the driver via ``toLocalIterator`` in Arrow-sized
+    batches so at most one partition is in driver memory, and the export
+    is capped at ``max_rows``. The 100 TB path is
+    :func:`write_parquet_overwrite`; this exists for drop-in
+    compatibility with the reference's warehouse consumers.
+
+    Returns the number of rows written.
+    """
+    import sqlite3
+
+    flat = normalize_for_sink(df.limit(max_rows))
+    # SQLite has no temporal affinity; ship ISO strings (the reference
+    # stores normalized date *strings* too, F15).
+    flat = flat.select(
+        *[
+            F.col(f.name).cast("string").alias(f.name)
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+            else F.col(f.name)
+            for f in flat.schema.fields
+        ]
+    )
+    cols = flat.columns
+    placeholders = ",".join("?" for _ in cols)
+    col_list = ",".join(f'"{c}"' for c in cols)
+    con = sqlite3.connect(db_path)
+    try:
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(
+            f'CREATE TABLE "{table}" ({", ".join(chr(34) + c + chr(34) for c in cols)})'
+        )
+        written = 0
+        batch: list[tuple] = []
+        for row in flat.toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                con.executemany(
+                    f'INSERT INTO "{table}" ({col_list}) VALUES ({placeholders})',
+                    batch,
+                )
+                written += len(batch)
+                batch = []
+        if batch:
+            con.executemany(
+                f'INSERT INTO "{table}" ({col_list}) VALUES ({placeholders})',
+                batch,
+            )
+            written += len(batch)
+        con.commit()
+        return written
+    finally:
+        con.close()
+
+
+def verify_sqlite_counts(db_path: str) -> dict[str, int]:
+    """S11 — post-load verification: COUNT(*) for every table in
+    sqlite_master (src/carga.py:95-121)."""
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        tables = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        ]
+        return {
+            t: con.execute(f'SELECT COUNT(*) FROM "{t}"').fetchone()[0]
+            for t in tables
+        }
+    finally:
+        con.close()
+
+
 def write_json_report(report: dict[str, Any], path: str) -> None:
     """S12 — JSON run-report sink (src/main.py:204-208): driver-side
     metadata + per-table metric aggregates collected from DataFrame
