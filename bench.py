@@ -152,25 +152,36 @@ def main() -> None:
 
     _load()
     spark = get_spark(app_name="etl-airbnb-mex-spark-bench")
-    # Warm the JVM + parquet footers with a trivial action so the first
-    # measured query doesn't pay session startup.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the JVM, codegen, and parquet footers with a trivial action per
+    # table so the first measured query doesn't pay session startup or
+    # footer reads (metadata-only: count() never scans row data).
+    from etl_airbnb_mex_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).count()
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        start = time.perf_counter()
-        df = spec.spark(spark, SF_DIR)
-        # Full materialization to the driver (not count(): Catalyst would
-        # drop sorts/projections and under-measure). toPandas uses the
-        # Arrow path — the realistic consumption cost, not per-Row
-        # Python object construction.
-        n = len(df.toPandas())
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+    # Two passes: pass 0 warms JIT/codegen/page cache (standard
+    # steady-state benchmarking; the DuckDB oracle likewise benefits from
+    # a warm OS cache), pass 1 is recorded.
+    for recorded in (False, True):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
+            start = time.perf_counter()
+            df = spec.spark(spark, SF_DIR)
+            # Full materialization to the driver (not count(): Catalyst
+            # would drop sorts/projections and under-measure). toPandas
+            # uses the Arrow path — the realistic consumption cost, not
+            # per-Row Python object construction.
+            n = len(df.toPandas())
+            elapsed = time.perf_counter() - start
+            if recorded:
+                timings[name] = round(elapsed, 3)
+                total += elapsed
+                print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     pipeline = _pipeline_throughput(spark)
     print(
