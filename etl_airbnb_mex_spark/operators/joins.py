@@ -11,6 +11,9 @@ window — one shuffle on (key, time), linear in input size.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,6 +46,72 @@ def semi_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str) 
 def anti_join(left: DataFrame, right: DataFrame, left_key: str, right_key: str) -> DataFrame:
     """left rows with no match (NOT EXISTS)."""
     return left.join(right, left[left_key] == right[right_key], "left_anti")
+
+
+def salted_join(
+    fact: DataFrame,
+    skewed_dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join for when one key dominates (the
+    reference's data has a 45.9 % hot neighbourhood — SURVEY.md §4.3)
+    and the other side is too big to broadcast: fact rows take one of
+    ``salt`` pseudo-random salts, the other side replicates ``salt``×,
+    and the join key becomes (key, salt) — the hot key's rows spread
+    over ``salt`` reducers instead of one straggler.
+
+    The salt value never affects the result (each fact row joins its
+    replica of the matching dim row), so the per-row salt only needs
+    spread, not determinism; ``monotonically_increasing_id() % salt``
+    gives uniform spread with no RNG. AQE's skew-join handles most cases
+    without this; explicit salting is for aggregation-after-join
+    pipelines and engines/configs where AQE can't split (e.g. a
+    partitioning that must be preserved downstream).
+    """
+    fact_salted = fact.withColumn(
+        "__salt", (F.monotonically_increasing_id() % salt).cast("int")
+    )
+    dim_salted = skewed_dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = fact_salted.join(
+        dim_salted,
+        (fact_salted[fact_key] == dim_salted[dim_key])
+        & (fact_salted["__salt"] == dim_salted["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key:
+    two tables bucketed identically join WITHOUT any shuffle — the
+    pre-partitioning is the 100 TB answer to repeated fact-fact joins on
+    the same key (pay the shuffle once at write time, never at read).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A stale location with no catalog entry (e.g. a previous session's
+    # in-memory metastore) blocks managed-table creation; clear it.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    leftover = os.path.join(warehouse, table)
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
 
 
 def asof_join(

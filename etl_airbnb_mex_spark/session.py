@@ -84,6 +84,13 @@ def get_spark(
         # Keep partition files at a size that parallelizes well at 100 TB
         # (default 128 MiB is fine; stated here so it is a deliberate choice).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Managed-table warehouse (bucketed tables): keep out of the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for key, value in PARITY_CONF.items():

@@ -306,3 +306,51 @@ def test_bool_encode_total_binary(spark, raw):
     got = df.select(bool_encode("b").alias("v")).collect()[0]["v"]
     expected = 1 if raw is not None and raw.strip().lower() in TRUTHY else 0
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Skew + bucketing posture (SURVEY.md §4.3)
+# ---------------------------------------------------------------------------
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from etl_airbnb_mex_spark.operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment").count()
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", "c_custkey", salt=8)
+        .groupBy("c_mktsegment").count()
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key join with ZERO Exchange — the
+    write-once/join-many posture for 100 TB fact-fact joins."""
+    from etl_airbnb_mex_spark.operators.joins import write_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(o, "b_orders", "o_custkey", 8, sort_by="o_custkey")
+    write_bucketed_table(c, "b_customer", "c_custkey", 8, sort_by="c_custkey")
+    bo, bc = spark.table("b_orders"), spark.table("b_customer")
+    # hint('merge'): the fact-fact regime this posture exists for — at
+    # test scale the planner would otherwise broadcast the small side
+    # (and mark the bucketed scan unused).
+    joined = (
+        bo.hint("merge")
+        .join(bc.hint("merge"), bo["o_custkey"] == bc["c_custkey"])
+        .select("o_orderkey", "c_name")
+    )
+    plan = _formatted_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # and it actually runs correctly
+    expected = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    assert joined.count() == expected
