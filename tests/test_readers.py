@@ -1,0 +1,93 @@
+"""Reader tests (SURVEY.md §2.1 S1–S6): JSONL document extraction with
+declared schemas, Mongo extended-JSON date handling, the multi-table
+extract loop's empty-table fallback, and limit pushdown."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_airbnb_mex_spark.sources.readers import (
+    AIRBNB_SCHEMAS,
+    read_jsonl,
+    read_table_set,
+    unwrap_mongo_date,
+)
+
+
+def test_jsonl_with_extended_json_dates(spark, tmp_path):
+    """A reviews JSONL where `date` is sometimes a plain string and
+    sometimes {"$date": ...} — the reference's Mongo export reality
+    (src/transformacion.py:31-32). With the declared StringType schema
+    the object arrives as its JSON text; unwrap_mongo_date recovers the
+    inner value either way."""
+    rows = [
+        {"_id": "a", "id": 1, "listing_id": 1, "date": "2024-06-15",
+         "reviewer_id": 1, "reviewer_name": "Ana", "comments": "good"},
+        {"_id": "b", "id": 2, "listing_id": 1,
+         "date": {"$date": "2011-04-02T00:00:00Z"},
+         "reviewer_id": 2, "reviewer_name": "Bo", "comments": "bad"},
+        {"_id": "c", "id": 3, "listing_id": 2, "date": None,
+         "reviewer_id": 3, "reviewer_name": None, "comments": None},
+    ]
+    path = tmp_path / "reviews.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+
+    df = read_jsonl(spark, str(path), AIRBNB_SCHEMAS["reviews"])
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", unwrap_mongo_date("date").alias("d")
+        ).collect()
+    }
+    assert got[1] == "2024-06-15"
+    assert got[2] == "2011-04-02T00:00:00Z"
+    assert got[3] is None
+
+
+def test_read_table_set_empty_fallback(spark, tmp_path):
+    """Missing collections yield EMPTY frames with the declared schema
+    (the reference's absent-calendar case, log:31) — downstream plans
+    still analyze."""
+    lst_path = tmp_path / "listings.jsonl"
+    lst_path.write_text(
+        json.dumps({"_id": "x", "id": 1, "price": "$100.00"})
+    )
+    tables = read_table_set(
+        spark, {"listings": str(lst_path)}, fmt="json"
+    )
+    assert set(tables) == {"listings", "reviews", "calendar"}
+    assert tables["listings"].count() == 1
+    assert tables["calendar"].count() == 0
+    assert tables["calendar"].schema == AIRBNB_SCHEMAS["calendar"]
+    # missing fields in present docs → NULL, not failure (PERMISSIVE)
+    row = tables["listings"].collect()[0]
+    assert row["price"] == "$100.00" and row["room_type"] is None
+
+
+def test_limit_pushdown_reaches_scan(spark, sf_dir):
+    """S1/O3 — df.limit(n) plans a pushed LocalLimit over the scan, the
+    engine face of find().limit(n)."""
+    from etl_airbnb_mex_spark.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders").limit(7)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "GlobalLimit 7" in plan or "CollectLimit 7" in plan
+    assert df.count() == 7
+
+
+def test_unwrap_passthrough_on_braces(spark):
+    """A value that starts with '{' but has no $date field passes
+    through unchanged (defensive: JSON-looking comments etc.)."""
+    df = spark.createDataFrame(
+        [('{"note": "x"}',), ("plain",)], "v string"
+    )
+    got = [r["u"] for r in df.select(
+        unwrap_mongo_date("v").alias("u")
+    ).collect()]
+    assert got == ['{"note": "x"}', "plain"]
