@@ -439,6 +439,108 @@ def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_counts",
+    f"""
+    SELECT o_orderstatus,
+           {", ".join(
+               f'''CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS "{p}"''' for p in _PRIORITIES
+           )}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "Engine extension — pivot/crosstab: status × priority counts. "
+    "Explicit value list (pinned) so the output schema is deterministic; "
+    "missing combos coalesce to 0 to match the CASE-sum oracle.",
+)
+def pivot_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p)
+            for p in _PRIORITIES
+        ],
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    "Engine extension — CUBE: all subtotal combinations of the two "
+    "grouping axes (SURVEY.md §2.5 notes).",
+)
+def agg_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "window_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    """,
+    "Engine extension — ntile quartiles per group with deterministic "
+    "tie-break (SURVEY.md §2.6).",
+)
+def window_ntile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "window_cume_dist",
+    """
+    SELECT o_orderkey,
+           round(cume_dist() OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS cume
+    FROM orders
+    """,
+    "Engine extension — cumulative distribution per group "
+    "(SURVEY.md §2.6); tie rows share a value in both engines.",
+)
+def window_cume_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey", F.round(F.cume_dist().over(w), 6).alias("cume")
+    )
+
+
 @register(
     "approx_distinct",
     None,  # HLL sketch values differ across engines; bounded-error unit test
