@@ -354,3 +354,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # and it actually runs correctly
     expected = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
     assert joined.count() == expected
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of operator itself shuffles exactly once (on the key for
+    the ordered window) — the union+last(ignoreNulls) design; a naive
+    range join would be a broadcast-nested-loop blow-up."""
+    from etl_airbnb_mex_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["ts", "value"],
+    )
+    plan = _formatted_plan(out)
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exchanges == 1, plan
