@@ -24,6 +24,7 @@ from ..sources.writers import (
     write_json_report,
     write_parquet_overwrite,
 )
+from .metrics import MetricsCollector
 from .transforms import TRANSFORMS
 
 
@@ -44,6 +45,7 @@ def run_pipeline(
     table once per *step*.
     """
     started = time.perf_counter()
+    mc = MetricsCollector()
     report: dict[str, Any] = {
         "fecha_inicio": datetime.now(timezone.utc).isoformat(),
         "tablas": {},
@@ -52,7 +54,7 @@ def run_pipeline(
     tables = read_table_set(spark, input_paths, fmt=fmt)
     for name, raw in tables.items():
         t0 = time.perf_counter()
-        extracted = raw.count()
+        extracted = mc.timed_count(f"extraccion_{name}", raw)
         if extracted == 0:
             # Missing/empty collection: recorded, not fatal (the
             # reference's calendar case, log:31 / report:36).
@@ -64,9 +66,12 @@ def run_pipeline(
         transformed_df = _transform(name, raw)
         out_path = os.path.join(output_dir, f"raw_{name}_transformado")
         sink_df = normalize_for_sink(drop_id_columns(transformed_df))
-        write_parquet_overwrite(sink_df, out_path)
+        with mc.timed(f"carga_{name}"):
+            write_parquet_overwrite(sink_df, out_path)
         # S11 verification: count what was actually persisted.
-        loaded = spark.read.parquet(out_path).count()
+        loaded = mc.timed_count(
+            f"verificacion_{name}", spark.read.parquet(out_path)
+        )
         report["tablas"][name] = {
             "extraidos": extracted,
             "transformados": loaded,
@@ -79,6 +84,7 @@ def run_pipeline(
     report["total_registros"] = sum(
         t["cargados"] for t in report["tablas"].values()
     )
+    report["acciones"] = mc.as_rows()
     report["segundos_totales"] = round(time.perf_counter() - started, 3)
     report["fecha_fin"] = datetime.now(timezone.utc).isoformat()
     if report_path:

@@ -93,6 +93,22 @@ def unwrap_mongo_date(col: Column | str) -> Column:
     ).otherwise(c.cast("string"))
 
 
+def ensure_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Schema-drift defensive mode: the reference probes
+    ``if col in df.columns`` before every step (src/transformacion.py:
+    211,267,296,309) because its inputs are schemaless. The engine's
+    equivalent is done ONCE at the read boundary: any declared column
+    missing from the frame is added as a typed NULL, extra columns pass
+    through — downstream transforms can then assume the full schema."""
+    present = set(df.columns)
+    additions = [
+        F.lit(None).cast(field.dataType).alias(field.name)
+        for field in schema.fields
+        if field.name not in present
+    ]
+    return df.select("*", *additions) if additions else df
+
+
 def read_parquet(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -335,3 +335,23 @@ def test_full_pipeline_run(spark, tmp_path_factory):
     assert "_id" not in out.columns                         # S8
     assert dict(out.dtypes)["amenities_procesados"] == "string"  # S9
     assert json.loads((tmp / "reporte.json").read_text())["total_registros"] == 28
+
+
+def test_pipeline_reports_action_metrics(spark, tmp_path_factory):
+    """S12 + §3.1.f — the run report carries per-action metrics
+    (extraction/load/verification wall clocks and plan heads)."""
+    from etl_airbnb_mex_spark.plans.pipeline import run_pipeline
+
+    tmp = tmp_path_factory.mktemp("etl_metrics")
+    spark.createDataFrame(
+        [make_review(id=i) for i in range(1, 6)]
+    ).write.parquet(str(tmp / "reviews_raw"))
+    report = run_pipeline(
+        spark, {"reviews": str(tmp / "reviews_raw")}, str(tmp / "out")
+    )
+    actions = {a["accion"]: a for a in report["acciones"]}
+    assert "extraccion_reviews" in actions
+    assert "carga_reviews" in actions
+    assert "verificacion_reviews" in actions
+    assert actions["verificacion_reviews"]["filas"] == 5
+    assert all(a["duracion_ms"] >= 0 for a in report["acciones"])

@@ -91,3 +91,20 @@ def test_unwrap_passthrough_on_braces(spark):
         unwrap_mongo_date("v").alias("u")
     ).collect()]
     assert got == ['{"note": "x"}', "plain"]
+
+
+def test_ensure_columns_schema_drift(spark):
+    """A drifted source (missing cols, extra cols) normalizes to the
+    declared schema once at the read boundary (SURVEY.md §1.2 'defensive
+    behavior as an optional schema-drift mode')."""
+    from etl_airbnb_mex_spark.sources.readers import ensure_columns
+
+    drifted = spark.createDataFrame(
+        [(1, "x", "surprise")], "id long, name string, extra string"
+    )
+    out = ensure_columns(drifted, AIRBNB_SCHEMAS["reviews"])
+    assert set(AIRBNB_SCHEMAS["reviews"].fieldNames()) <= set(out.columns)
+    assert "extra" in out.columns  # extras pass through
+    row = out.collect()[0]
+    assert row["comments"] is None  # typed NULL fill
+    assert dict(out.dtypes)["listing_id"] == "bigint"
