@@ -57,7 +57,9 @@ AMENITY_NAMES = (
 
 def amenity_flag(arr: Column | str, name: str) -> Column:
     """F21 — 1 if any array element case-insensitively *contains* the
-    amenity name as a substring, else 0.
+    amenity name as a substring, else 0. NULL arrays flag 0, matching
+    both the reference (missing amenities → all-zero flags,
+    src/transformacion.py:169-183) and :func:`amenity_flags_packed`.
 
     Single-flag form. For the 10-flag batch use
     :func:`amenity_flags_packed`: evaluating ``exists`` per flag
@@ -65,9 +67,12 @@ def amenity_flag(arr: Column | str, name: str) -> Column:
     flag — measured 11× slower at sf0.1.
     """
     needle = name.lower()
-    return F.exists(
-        _col(arr), lambda x: F.contains(F.lower(x), F.lit(needle))
-    ).cast("int")
+    return F.coalesce(
+        F.exists(
+            _col(arr), lambda x: F.contains(F.lower(x), F.lit(needle))
+        ).cast("int"),
+        F.lit(0),
+    )
 
 
 #: Join separator for packed containment checks: a control char that the
@@ -86,7 +91,7 @@ def amenity_flags_packed(
     Equivalent semantics: needle ⊆ some element ⇔ needle ⊆ joined
     string, since needles contain no separator.
     """
-    joined = F.lower(F.concat_ws(_SEP, _col(arr)))
+    joined = F.lower(F.concat_ws(_SEP, _col(arr)))  # NULL array → '' → 0s
     return [
         F.contains(joined, F.lit(n.lower()))
         .cast("int")

@@ -29,11 +29,7 @@ def date_normalize(col: Column | str) -> Column:
     unparseable input. Mongo extended-JSON ``{'$date': ...}`` structs are
     unwrapped by the reader (sources.readers), not here.
     """
-    c = _col(col)
-    ts = F.when(
-        c.cast("string").isNotNull(), robust_to_timestamp(c)
-    )
-    return F.date_format(ts, "yyyy-MM-dd")
+    return F.date_format(robust_to_timestamp(_col(col)), "yyyy-MM-dd")
 
 
 def weekday_mon0(col: Column | str) -> Column:

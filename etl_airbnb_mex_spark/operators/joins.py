@@ -70,7 +70,17 @@ def salted_join(
     without this; explicit salting is for aggregation-after-join
     pipelines and engines/configs where AQE can't split (e.g. a
     partitioning that must be preserved downstream).
+
+    Only fact-preserving join types are valid: the replicated side's
+    unmatched rows would otherwise appear once PER SALT REPLICA
+    (right/full outer would silently inflate).
     """
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            "salted_join supports inner/left joins only: the replicated "
+            f"dim side breaks '{how}' semantics (unmatched dim rows would "
+            "emit once per salt replica)"
+        )
     fact_salted = fact.withColumn(
         "__salt", (F.monotonically_increasing_id() % salt).cast("int")
     )

@@ -36,10 +36,16 @@ def describe_stats(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     """A5 — df.describe(): count/mean/std/min/p25/p50/p75/max, one row.
 
     Reference: nb:cell7:30-35. std is sample stddev (pandas ddof=1).
+    Mean = exact decimal sum / count (partition-order independent —
+    double-summation low bits could otherwise flip the 6 dp rounding
+    against the oracle).
     """
     wide = df.agg(
         F.count(col).alias("cnt"),
-        _r(F.avg(col)).alias("mean"),
+        _r(
+            F.sum(F.col(col).cast("decimal(20,4)")).cast("double")
+            / F.count(col)
+        ).alias("mean"),
         _r(F.stddev_samp(col)).alias("std"),
         _r(F.min(col)).alias("min"),
         _pcts(col, (0.25, 0.50, 0.75), approx).alias("__q"),
@@ -78,10 +84,16 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """
     cols = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}"))
+    # Positional aliases (__n_0…) so arbitrary source column names —
+    # non-ASCII ('año'), spaces, quotes — never enter the stack() SQL as
+    # identifiers; the display name travels as an escaped string literal.
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{i}"))
     wide = df.agg(*aggs)
-    pairs = ", ".join(f"'{c}', n_{c}" for c in cols)
+    pairs = ", ".join(
+        "'{}', __n_{}".format(c.replace("'", "''"), i)
+        for i, c in enumerate(cols)
+    )
     return (
         wide.select(
             F.expr(f"stack({len(cols)}, {pairs}) as (column_name, null_count)"),

@@ -50,7 +50,6 @@ def tumbling_window_agg(
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             *group_cols,
-            *[a if isinstance(a, str) else a for a in []],
             "cnt",
             *(["sum_value"] if value_col else []),
         )

@@ -357,17 +357,10 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A5 — df.describe() block (nb:cell7:30-35); stddev is sample (ddof=1).",
 )
 def describe_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count("l_quantity").alias("cnt"),
-        F.round(dsum("l_quantity") / F.count("l_quantity"), 6).alias("mean"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std"),
-        F.round(F.min("l_quantity"), 6).alias("min"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.max("l_quantity"), 6).alias("max"),
-    )
+    # Delegates to the one-pass operator (single array-percentile buffer;
+    # see stats._pcts). The oracle's mean uses the decimal-sum/count form
+    # which equals round(avg) at 6 dp for this column's value domain.
+    return stats.describe_stats(load_table(spark, sf_dir, "lineitem"), "l_quantity")
 
 
 @register(

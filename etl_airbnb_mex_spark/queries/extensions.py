@@ -372,7 +372,7 @@ def window_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_agg",
     f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
@@ -381,7 +381,7 @@ def window_tumbling_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sessions AS (
       SELECT user_id, ts,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
     SELECT user_id, strftime(min(ts), '{TS_FMT}') AS session_start,

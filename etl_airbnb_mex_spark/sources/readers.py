@@ -153,6 +153,11 @@ def read_table_set(
         schema = AIRBNB_SCHEMAS.get(name)
         path = paths.get(name)
         if path is None:
+            if schema is None:
+                raise ValueError(
+                    f"table '{name}' has no path and no declared schema in "
+                    "AIRBNB_SCHEMAS — an empty frame cannot be synthesized"
+                )
             out[name] = spark.createDataFrame([], schema)
             continue
         if fmt == "parquet":

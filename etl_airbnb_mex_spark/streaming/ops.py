@@ -116,10 +116,6 @@ def stream_dedup_within_watermark(
     )
 
 
-#: Output/state schemas for the custom stateful counter.
-_COUNTER_OUTPUT_SCHEMA = (
-    "user_id bigint, events_seen bigint, value_sum double"
-)
 _COUNTER_STATE_SCHEMA = "events_seen bigint, value_sum double"
 
 
@@ -134,9 +130,24 @@ def streaming_counter_state(
     micro-batch — the §2.10 escape hatch for semantics the built-in
     window operators can't express. Arrow-batched (pandas per group),
     never row-at-a-time Python.
+
+    State boundedness: with ``timeout_ms`` set, a key idle past the
+    processing-time timeout is REMOVED (its final totals are emitted
+    once with the eviction); without it, state is per-key forever — use
+    only on bounded key domains. The output key column/type mirror
+    ``key_col`` from the input schema.
     """
     import pandas as pd  # local import: executors need it, driver may not
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            sdf.schema[key_col],
+            T.StructField("events_seen", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+        ]
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -144,6 +155,14 @@ def streaming_counter_state(
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
         seen, total = state.get if state.exists else (0, 0.0)
+        if state.hasTimedOut:
+            # Idle key: emit final totals and evict — this is what keeps
+            # state bounded on unbounded key domains.
+            state.remove()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "events_seen": [seen], "value_sum": [total]}
+            )
+            return
         for pdf in pdfs:
             seen += len(pdf)
             total += float(pdf[value_col].sum())
@@ -151,7 +170,7 @@ def streaming_counter_state(
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "events_seen": [seen], "value_sum": [total]}
+            {key_col: [key[0]], "events_seen": [seen], "value_sum": [total]}
         )
 
     timeout = (
@@ -161,7 +180,7 @@ def streaming_counter_state(
     )
     return sdf.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=_COUNTER_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_COUNTER_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,

@@ -355,3 +355,16 @@ def test_pipeline_reports_action_metrics(spark, tmp_path_factory):
     assert "verificacion_reviews" in actions
     assert actions["verificacion_reviews"]["filas"] == 5
     assert all(a["duracion_ms"] >= 0 for a in report["acciones"])
+
+
+def test_quality_report_on_transformed_reviews(reviews_out):
+    """Regression: null_profile must handle non-identifier column names
+    — transform_reviews emits 'año', which crashed the unquoted stack()
+    SQL (code-review finding)."""
+    from etl_airbnb_mex_spark.plans.quality import quality_report
+
+    df, _ = reviews_out
+    rows = quality_report(df).collect()
+    names = {r["column_name"] for r in rows}
+    assert "año" in names
+    assert all(r["completeness_pct"] <= 100.0 for r in rows)
