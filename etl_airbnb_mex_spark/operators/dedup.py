@@ -220,6 +220,41 @@ def minhash_near_dup_pairs(
     )
 
 
+def near_dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """§2.11 — the full training-data near-dedup operation: drop every
+    document that is a near-duplicate (estimated Jaccard ≥ ``threshold``)
+    of a lower-id document. Returns the SURVIVING rows of ``df``.
+
+    Pipeline: MinHash-LSH candidate pairs → threshold filter → victims =
+    distinct id_b (every doc similar to some lower id) → left-anti join
+    back. One-pass greedy lowest-id-wins — the standard corpus-dedup
+    policy (equivalent to keeping the minimum id of every similarity
+    cluster for clusters of diameter 1; chains A~B~C with A≁C keep A and
+    C, drop B — the conservative choice for training data).
+
+    At scale every stage is the bounded-shuffle shape documented on its
+    operator: the anti join broadcasts when victims are few, else
+    shuffles on the 8-byte id — never the text payload.
+    """
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    victims = (
+        pairs.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(victims, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",

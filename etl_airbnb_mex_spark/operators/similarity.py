@@ -149,6 +149,86 @@ def knn_cosine_lsh(
     )
 
 
+def knn_cosine_ivf(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: KMeans-partition the corpus into ``n_centroids``
+    inverted lists, probe the ``n_probe`` centroids nearest the query,
+    exact cosine inside the probed lists only.
+
+    Complements :func:`knn_cosine_lsh`: IVF adapts its partitions to the
+    data distribution (better candidate quality on clustered
+    embeddings), LSH is data-independent (no training step). At scale
+    the assignment is precomputed and written partitioned by
+    ``centroid_id``; a probe touches n_probe/n_centroids of the data.
+    Training uses MLlib KMeans on (a sample of) the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    arr = F.col(vec_col).cast("array<double>")
+    # Unit-normalize before clustering: squared Euclidean on unit
+    # vectors is 2-2cos, so Euclidean KMeans partitions BY cosine — the
+    # metric the probe ranks with (unnormalized vectors cluster by
+    # magnitude and wreck recall).
+    unit = F.transform(arr, lambda x: x / norm(arr))
+    vecs = df.select(
+        F.col(id_col),
+        arr.alias("__arr"),
+        unit.alias("__unit"),
+    ).withColumn("features", array_to_vector("__unit"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs).select(
+        id_col, "__arr", F.col("prediction").alias("__centroid")
+    )
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    q_row = query_df.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ).head()
+    qvec = q_row["__qvec"]
+    # Probe order: centroids by cosine to the query (driver-side — the
+    # centroid table is tiny by construction).
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp_ = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dp_ / (na * nb)
+
+    probe = sorted(
+        range(len(centers)), key=lambda i: -cos(centers[i], qvec)
+    )[:n_probe]
+
+    qdf = spark.createDataFrame(
+        [(q_row["__qid"], qvec)], f"__qid long, __qvec array<double>"
+    )
+    return (
+        assigned.filter(F.col("__centroid").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            F.round(cosine(F.col("__arr"), F.col("__qvec")), dp).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

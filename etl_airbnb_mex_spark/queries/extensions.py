@@ -923,6 +923,35 @@ def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dedup_corpus",
+    None,  # minhash-based victims — rows-only; policy tested vs brute force
+    "§2.11 — full near-dedup operation: drop docs with est. Jaccard >= "
+    "0.5 to a lower-id doc (MinHash candidates → threshold → anti join); "
+    "returns the surviving corpus rows.",
+)
+def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "knn_cosine_ivf",
+    None,  # approximate (KMeans-trained) — recall tested vs exact
+    "§2.11 — IVF-flat ANN: KMeans inverted lists, probe the 4 nearest "
+    "of 16 centroids, exact cosine inside probed lists (data-adaptive "
+    "complement to the LSH probe path).",
+)
+def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_cosine_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_ivf(e, e.filter(F.col("vec_id") == 0), k=10)
+
+
+@register(
     "cosine_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -379,3 +379,74 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
         if line.strip().startswith("(") and "Exchange" in line
     )
     assert n_exchanges == 1, plan
+
+
+def test_near_dedup_corpus_policy(spark, docs):
+    """Survivors = corpus minus docs near-dup (est >= 0.5) of a LOWER id;
+    verify the greedy policy against the candidate pairs themselves and
+    that at least one true duplicate was removed from the driver data."""
+    from etl_airbnb_mex_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dedup_corpus,
+    )
+
+    survivors = {
+        r["doc_id"] for r in near_dedup_corpus(docs).select("doc_id").collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs).collect()
+        if r["est_jaccard"] >= 0.5
+    ]
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expected_victims = {b for _, b in pairs}
+    assert survivors == all_ids - expected_victims
+    assert expected_victims, "driver documents table should contain near-dups"
+    # no surviving pair is still a >=0.5 near-dup with both sides kept
+    for a, b in pairs:
+        assert not (a in survivors and b in survivors)
+
+
+def test_ivf_knn_recall_vs_exact(spark, sf_dir):
+    """IVF probing 8 of 16 lists recovers most of the exact top-10 even
+    on the driver's weakly-similar embeddings (top cosine ≈ 0.3 — the
+    hard regime for any ANN; deterministic with the fixed KMeans seed),
+    and reported scores are exact cosines."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        knn_cosine,
+        knn_cosine_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"]: r["cosine_sim"] for r in knn_cosine(e, q, k=100).collect()}
+    got = knn_cosine_ivf(e, q, k=10, n_centroids=16, n_probe=8).collect()
+    assert len(got) == 10
+    top10 = sorted(exact, key=lambda i: -exact[i])[:10]
+    overlap = len(set(top10) & {r["vec_id"] for r in got})
+    assert overlap >= 5, (top10, got)
+    for r in got:
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+def test_ivf_finds_planted_near_dups(spark, sf_dir):
+    """The near-dup regime IVF exists for: planted high-cosine copies of
+    the query land in the query's own probed list and are all found."""
+    from etl_airbnb_mex_spark.operators.similarity import knn_cosine_ivf
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = e.filter(F.col("vec_id") == 0)
+    corpus = e
+    for j in range(5):
+        corpus = corpus.unionByName(
+            base.select(
+                F.lit(100_000 + j).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x, i: x + 0.02 * ((i + j) % 3 - 1)
+                ).alias("embedding"),
+            )
+        )
+    got = knn_cosine_ivf(corpus, base, k=5, n_centroids=16, n_probe=4).collect()
+    assert {r["vec_id"] for r in got} == {100_000 + j for j in range(5)}, got
