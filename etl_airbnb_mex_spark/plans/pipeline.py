@@ -34,6 +34,7 @@ def run_pipeline(
     output_dir: str,
     fmt: str = "parquet",
     report_path: str | None = None,
+    limit: int | None = None,
 ) -> dict[str, Any]:
     """Extract → transform → load → verify → report, one lazy plan per
     table. Returns the run report dict (S12 shape: per-table extracted /
@@ -53,6 +54,11 @@ def run_pipeline(
 
     tables = read_table_set(spark, input_paths, fmt=fmt)
     for name, raw in tables.items():
+        if limit is not None:
+            # S1/O3 — the reference's --limite extraction cap
+            # (find().limit(n)); Catalyst pushes the LocalLimit to the
+            # scan, so capped runs never read the full source.
+            raw = raw.limit(limit)
         t0 = time.perf_counter()
         extracted = mc.timed_count(f"extraccion_{name}", raw)
         if extracted == 0:

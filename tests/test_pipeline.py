@@ -368,3 +368,30 @@ def test_quality_report_on_transformed_reviews(reviews_out):
     names = {r["column_name"] for r in rows}
     assert "año" in names
     assert all(r["completeness_pct"] <= 100.0 for r in rows)
+
+
+def test_cli_end_to_end(spark, tmp_path_factory):
+    """§3.1 CLI parity: config + flags, --limite cap, JSON summary line,
+    exit code 0 (in-process main(); the driver smoke covers module
+    import)."""
+    from etl_airbnb_mex_spark.cli import main
+
+    tmp = tmp_path_factory.mktemp("cli")
+    spark.createDataFrame(
+        [make_review(id=i) for i in range(1, 31)]
+    ).write.parquet(str(tmp / "reviews_raw"))
+    cfg = tmp / "etl.json"
+    cfg.write_text(json.dumps({
+        "entradas": {"reviews": str(tmp / "reviews_raw")},
+        "salida": str(tmp / "out"),
+        "limite": 10,
+        "reporte": str(tmp / "reporte.json"),
+    }))
+    rc = main(["--config", str(cfg)])
+    assert rc == 0
+    report = json.loads((tmp / "reporte.json").read_text())
+    assert report["tablas"]["reviews"]["extraidos"] == 10   # --limite cap
+    assert report["total_registros"] == 10
+
+    rc_bad = main(["--salida", str(tmp / "out2")])
+    assert rc_bad == 1  # no inputs -> error exit, like the reference
