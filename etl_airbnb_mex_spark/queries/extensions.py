@@ -329,6 +329,26 @@ def set_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except_all",
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    ORDER BY c_nationkey
+    """,
+    "EXCEPT ALL — multiset difference (bag semantics preserve "
+    "multiplicity; SURVEY.md §2.8).",
+)
+def set_except_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import except_all
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    return except_all(a, b).orderBy("c_nationkey")
+
+
+@register(
     "set_except",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

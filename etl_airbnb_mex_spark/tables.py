@@ -70,3 +70,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for spark.sql(...) queries."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def catalog_tables(spark: SparkSession) -> list[str]:
+    """S3 — catalog listing / existence check
+    (db.list_collection_names() / sqlite_master analogue,
+    src/extraccion.py:79,116, src/carga.py:103)."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """S3 — membership probe before reading a collection."""
+    return spark.catalog.tableExists(name)

@@ -395,3 +395,32 @@ def test_cli_end_to_end(spark, tmp_path_factory):
 
     rc_bad = main(["--salida", str(tmp / "out2")])
     assert rc_bad == 1  # no inputs -> error exit, like the reference
+
+
+def test_transforms_on_empty_inputs(spark):
+    """Robustness: every transform analyzes and executes on an EMPTY
+    frame with the declared schema (the reference's missing-collection
+    path) — same derived columns, zero rows."""
+    from etl_airbnb_mex_spark.plans.transforms import TRANSFORMS
+    from etl_airbnb_mex_spark.sources.readers import AIRBNB_SCHEMAS
+
+    for name, fn in TRANSFORMS.items():
+        empty = spark.createDataFrame([], AIRBNB_SCHEMAS[name])
+        out = fn(empty)
+        assert out.count() == 0
+        assert len(out.columns) > len(empty.columns)
+
+
+def test_catalog_helpers(spark, sf_dir):
+    from etl_airbnb_mex_spark.tables import (
+        catalog_tables,
+        register_views,
+        table_exists,
+    )
+
+    register_views(spark, sf_dir)
+    names = catalog_tables(spark)
+    assert "orders" in names and "documents" in names
+    assert table_exists(spark, "lineitem")
+    assert not table_exists(spark, "no_such_collection")
+    assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] > 0
