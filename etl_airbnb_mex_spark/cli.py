@@ -45,7 +45,17 @@ def main(argv: list[str] | None = None) -> int:
             conf = json.load(fh)
 
     entradas = dict(conf.get("entradas", {}))
-    for table in ("listings", "reviews", "calendar"):
+    known = ("listings", "reviews", "calendar")
+    unknown = sorted(set(entradas) - set(known))
+    if unknown:
+        # A typo'd table name must fail loudly, not run a 0-row "success".
+        print(
+            f"error: unknown table(s) in config entradas: {unknown}; "
+            f"expected one of {list(known)}",
+            file=sys.stderr,
+        )
+        return 1
+    for table in known:
         path = getattr(args, table)
         if path:
             entradas[table] = path

@@ -234,11 +234,16 @@ def near_dedup_corpus(
     of a lower-id document. Returns the SURVIVING rows of ``df``.
 
     Pipeline: MinHash-LSH candidate pairs → threshold filter → victims =
-    distinct id_b (every doc similar to some lower id) → left-anti join
-    back. One-pass greedy lowest-id-wins — the standard corpus-dedup
-    policy (equivalent to keeping the minimum id of every similarity
-    cluster for clusters of diameter 1; chains A~B~C with A≁C keep A and
-    C, drop B — the conservative choice for training data).
+    distinct id_b (every doc similar to SOME lower id) → left-anti join
+    back. One-pass greedy drop-if-any-lower-near-dup — the standard
+    single-pass corpus-dedup policy. Note the chain semantics: for
+    A~B~C (A≁C) both B and C are dropped (C pairs with the lower B even
+    though B itself is dropped) — i.e. the survivor set is ids that are
+    the MINIMUM of their similarity neighborhood, which over-deletes on
+    chains relative to connected-component keep-one. That bias (toward
+    deleting borderline docs) is the usual choice for training data;
+    a cluster-exact variant needs iterative label propagation (O(log n)
+    join rounds) and is intentionally not the default.
 
     At scale every stage is the bounded-shuffle shape documented on its
     operator: the anti join broadcasts when victims are few, else

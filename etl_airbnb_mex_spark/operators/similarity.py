@@ -179,13 +179,23 @@ def knn_cosine_ivf(
     # Unit-normalize before clustering: squared Euclidean on unit
     # vectors is 2-2cos, so Euclidean KMeans partitions BY cosine — the
     # metric the probe ranks with (unnormalized vectors cluster by
-    # magnitude and wreck recall).
-    unit = F.transform(arr, lambda x: x / norm(arr))
-    vecs = df.select(
-        F.col(id_col),
-        arr.alias("__arr"),
-        unit.alias("__unit"),
-    ).withColumn("features", array_to_vector("__unit"))
+    # magnitude and wreck recall). zip_with against an array_repeat of
+    # the precomputed norm keeps normalization O(d) per row (a lambda
+    # referencing norm(arr) would re-evaluate the aggregate per element
+    # — the documented re-eval trap); zero vectors pass through
+    # unnormalized (direction undefined; their cosine ranks last).
+    base = df.select(F.col(id_col), arr.alias("__arr")).withColumn(
+        "__norm", norm(F.col("__arr"))
+    )
+    unit = F.when(
+        F.col("__norm") > 0,
+        F.zip_with(
+            F.col("__arr"),
+            F.array_repeat(F.col("__norm"), F.size(F.col("__arr"))),
+            lambda x, n: x / n,
+        ),
+    ).otherwise(F.col("__arr"))
+    vecs = base.withColumn("features", array_to_vector(unit))
     model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(vecs)
     assigned = model.transform(vecs).select(
         id_col, "__arr", F.col("prediction").alias("__centroid")
@@ -196,6 +206,12 @@ def knn_cosine_ivf(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).head()
+    if q_row is None:
+        # Empty query frame → empty result, like knn_cosine.
+        id_type = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"`{id_col}` {id_type}, cosine_sim double"
+        )
     qvec = q_row["__qvec"]
     # Probe order: centroids by cosine to the query (driver-side — the
     # centroid table is tiny by construction).
@@ -211,8 +227,10 @@ def knn_cosine_ivf(
         range(len(centers)), key=lambda i: -cos(centers[i], qvec)
     )[:n_probe]
 
+    qid_type = query_df.schema[id_col].dataType.simpleString()
     qdf = spark.createDataFrame(
-        [(q_row["__qid"], qvec)], f"__qid long, __qvec array<double>"
+        [(q_row["__qid"], qvec)],
+        f"__qid {qid_type}, __qvec array<double>",
     )
     return (
         assigned.filter(F.col("__centroid").isin(probe))

@@ -36,16 +36,15 @@ def describe_stats(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     """A5 — df.describe(): count/mean/std/min/p25/p50/p75/max, one row.
 
     Reference: nb:cell7:30-35. std is sample stddev (pandas ddof=1).
-    Mean = exact decimal sum / count (partition-order independent —
-    double-summation low bits could otherwise flip the 6 dp rounding
-    against the oracle).
+    Mean = plain double avg: a decimal-cast sum would silently round
+    values with >4 fractional digits and NULL-overflow values ≥ 1e16 —
+    this operator serves arbitrary columns, so correctness beats the
+    last-bit partition-order determinism (rounding to 6 dp absorbs the
+    ~1e-12 relative summation variance, same policy as stddev/corr).
     """
     wide = df.agg(
         F.count(col).alias("cnt"),
-        _r(
-            F.sum(F.col(col).cast("decimal(20,4)")).cast("double")
-            / F.count(col)
-        ).alias("mean"),
+        _r(F.avg(col)).alias("mean"),
         _r(F.stddev_samp(col)).alias("std"),
         _r(F.min(col)).alias("min"),
         _pcts(col, (0.25, 0.50, 0.75), approx).alias("__q"),
@@ -84,25 +83,27 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """
     cols = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("__total")]
-    # Positional aliases (__n_0…) so arbitrary source column names —
-    # non-ASCII ('año'), spaces, quotes — never enter the stack() SQL as
-    # identifiers; the display name travels as an escaped string literal.
+    # Positional aliases (__n_0…) plus a pure-Column unpivot (explode of
+    # lit-name structs) so arbitrary source column names — non-ASCII
+    # ('año'), quotes, backslashes — never enter generated SQL text.
     for i, c in enumerate(cols):
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{i}"))
     wide = df.agg(*aggs)
-    pairs = ", ".join(
-        "'{}', __n_{}".format(c.replace("'", "''"), i)
-        for i, c in enumerate(cols)
+    unpivoted = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__n_{i}").alias("null_count"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
     return (
-        wide.select(
-            F.expr(f"stack({len(cols)}, {pairs}) as (column_name, null_count)"),
-            F.col("__total"),
-        )
+        wide.select(F.explode(unpivoted).alias("__p"), F.col("__total"))
         .select(
-            "column_name",
-            "null_count",
-            F.round((F.col("__total") - F.col("null_count"))
+            F.col("__p.column_name").alias("column_name"),
+            F.col("__p.null_count").alias("null_count"),
+            F.round((F.col("__total") - F.col("__p.null_count"))
                     / F.col("__total") * 100, 2).alias("completeness_pct"),
         )
         .orderBy(F.desc("null_count"), "column_name")

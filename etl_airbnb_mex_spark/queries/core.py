@@ -344,8 +344,7 @@ def groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "describe_stats",
     """
     SELECT count(l_quantity) AS cnt,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
-                 / count(l_quantity), 6) AS mean,
+           round(avg(l_quantity), 6) AS mean,
            round(stddev_samp(l_quantity), 6) AS std,
            round(min(l_quantity), 6) AS min,
            round(quantile_cont(l_quantity, 0.25), 6) AS p25,

@@ -161,9 +161,12 @@ def read_table_set(
             out[name] = spark.createDataFrame([], schema)
             continue
         if fmt == "parquet":
-            out[name] = read_parquet(spark, path, schema)
+            df = read_parquet(spark, path, schema)
         elif fmt == "json":
-            out[name] = read_jsonl(spark, path, schema)
+            df = read_jsonl(spark, path, schema)
         else:
             raise ValueError(f"unsupported format: {fmt}")
+        # Drift normalization (no-op when the declared schema already
+        # bound every column): downstream transforms assume full schema.
+        out[name] = ensure_columns(df, schema) if schema is not None else df
     return out
