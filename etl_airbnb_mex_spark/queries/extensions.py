@@ -520,6 +520,67 @@ def agg_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_dense_rank",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(dense_rank() OVER (
+             PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS INT)
+             AS status_rank,
+           round(percent_rank() OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+             AS price_pct_rank
+    FROM orders
+    """,
+    "Engine extension — dense_rank + percent_rank per group "
+    "(SURVEY.md §2.6); tie rows share values in both engines.",
+)
+def window_dense_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w_status = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    w_price = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.dense_rank().over(w_status).alias("status_rank"),
+        F.round(F.percent_rank().over(w_price), 6).alias("price_pct_rank"),
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d')
+             AS first_order_date,
+           strftime(last_value(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             '%Y-%m-%d') AS last_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Engine extension — first_value/last_value over per-customer order "
+    "history (full-frame last_value; SURVEY.md §2.6).",
+)
+def window_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias(
+            "first_order_date"
+        ),
+        F.date_format(F.last("o_orderdate").over(w_full), "yyyy-MM-dd").alias(
+            "last_order_date"
+        ),
+    )
+
+
+@register(
     "window_ntile",
     """
     SELECT o_orderkey,

@@ -450,3 +450,25 @@ def test_ivf_finds_planted_near_dups(spark, sf_dir):
         )
     got = knn_cosine_ivf(corpus, base, k=5, n_centroids=16, n_probe=4).collect()
     assert {r["vec_id"] for r in got} == {100_000 + j for j in range(5)}, got
+
+
+def test_sql_interface_runs_registry_equivalent(spark, sf_dir):
+    """The engine's query language IS Spark SQL: registered views +
+    spark.sql produce the same result as the DataFrame-built flagship
+    (S6/§3 — a reference user can bring raw SQL instead of the API)."""
+    from etl_airbnb_mex_spark.queries.core import flagship
+    from etl_airbnb_mex_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    via_api = flagship(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty"
+    ).collect()
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_api]
