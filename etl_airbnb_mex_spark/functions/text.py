@@ -105,6 +105,22 @@ def lang_id_score(col: Column | str, lang: str) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 style, simplified): contractions,
+#: letter runs, digit runs, punctuation runs, each optionally preceded by
+#: a space. \p{L}/\p{N} Unicode classes are supported by both Java regex
+#: (Spark) and RE2 (DuckDB), keeping the oracle expressible.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """§2.11 — BPE-style pre-tokenization (regexp_extract_all): the token
+    count a GPT-2-family tokenizer would see before merges — the standard
+    cheap proxy for LLM token budgeting over a corpus."""
+    return F.regexp_extract_all(_col(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
 def quality_score_cols(col: Column | str) -> dict[str, Column]:
     """Text-quality features (§2.11): char length, token count, mean token
     length, punctuation ratio, stopword ratio. Returns named Columns;

@@ -304,6 +304,85 @@ def simhash_signatures(
     return votes.select(id_col, fold.alias("simhash"))
 
 
+def ngram_jaccard_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """§2.11 — the PRODUCTION near-dup shape: MinHash-LSH candidates,
+    then EXACT n-gram Jaccard computed only on candidate pairs (shingle
+    sets joined back by id). Cost is O(n·bands) candidate generation +
+    O(|candidates|) verification — never the O(n²) cross product that
+    :func:`ngram_jaccard_pairs` gates with ``max_ids``. Shuffles ship
+    ids and shingle arrays for candidates only.
+    """
+    candidates = minhash_near_dup_pairs(
+        df, text_col, id_col, num_hashes, bands, n
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """§2.11 — winnowing document fingerprints (Schleimer et al.): hash
+    every k-gram (rolling shingle hash), then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive k-gram hashes; the
+    distinct minima are the document's fingerprint set (guaranteed to
+    share a fingerprint with any document overlapping by ≥ window+k-1
+    tokens). Returns one row per (id, fingerprint).
+
+    The windowed minimum folds via zip_with against shifted copies of
+    the hash array (per-element lambdas only — no enclosing-expression
+    re-evaluation), so the whole operator is native expressions; the
+    explode ships (id, 8-byte hash) rows to the distinct shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, k).alias("__sh")
+    ).select(
+        id_col,
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"),
+    )
+    # min over sliding window of `window` consecutive entries:
+    # acc_j = zip_with(acc_{j-1}, shift_j(h), least); after window-1
+    # zips, acc[i] = min(h[i..i+window-1]) for valid i (tail entries
+    # where the shift ran past the end keep partial minima of a shorter
+    # window — standard winnowing keeps them: suffix windows shrink).
+    acc = F.col("__h")
+    for j in range(1, window):
+        shifted = F.slice(F.col("__h"), j + 1, F.size(F.col("__h")))
+        # least() skips the null pad zip_with adds past the shorter array
+        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+    return (
+        sh.select(id_col, F.explode(F.array_distinct(acc)).alias("fingerprint"))
+        .distinct()
+        .orderBy(id_col, "fingerprint")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

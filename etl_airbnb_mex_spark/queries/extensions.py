@@ -874,6 +874,88 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+             AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+    "§2.11 — BPE-ish pre-tokenizer count (GPT-2-style regex; the cheap "
+    "LLM token-budget proxy). Same \\p{L}/\\p{N} pattern runs in Java "
+    "regex and RE2.",
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(toks) >= 20
+      AND (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            * 1.0 / length(text) <= 0.1
+      AND len(list_filter(toks, x -> x IN ('the','a','and','of','is')))
+            * 1.0 / len(toks) >= 0.05
+    ORDER BY doc_id
+    """,
+    "§2.11 — corpus quality filter: keep docs with >= 20 tokens, punct "
+    "ratio <= 10%, stopword ratio >= 5% (the C4-style heuristic gate, "
+    "composed from the quality_score features).",
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return (
+        d.select("doc_id", *(cols[c].alias(c) for c in
+                             ("n_tokens", "punct_ratio", "stopword_ratio")))
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("punct_ratio") <= 0.1)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ngram_jaccard_verified",
+    None,  # minhash candidate generation — rows-only; vs-brute-force test
+    "§2.11 — production near-dup verification: exact 3-gram Jaccard "
+    "computed ONLY on MinHash-LSH candidate pairs (no O(n²) cross "
+    "product anywhere).",
+)
+def ngram_jaccard_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_verified_pairs
+
+    return ngram_jaccard_verified_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "doc_winnowing",
+    None,  # xxhash64-based — rows-only; invariants unit-tested
+    "§2.11 — winnowing fingerprints (rolling k-gram hash, sliding-window "
+    "minima): the overlap-detection fingerprint family, one row per "
+    "(doc, fingerprint).",
+)
+def doc_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,

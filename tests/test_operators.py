@@ -472,3 +472,56 @@ def test_sql_interface_runs_registry_equivalent(spark, sf_dir):
         "l_returnflag", "l_linestatus", "sum_qty"
     ).collect()
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_api]
+
+
+def test_ngram_jaccard_verified_matches_bruteforce(spark, docs):
+    """The candidate-fed exact Jaccard must reproduce the brute-force
+    result for every pair whose true Jaccard clears the threshold AND
+    was recallable by LSH (strong pairs: recall-tested separately)."""
+    from etl_airbnb_mex_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_verified_pairs,
+    )
+
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_ids=10**12
+        ).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert brute, "expected >=1 strong near-dup pair in documents"
+    # verified ⊆ brute with identical values; misses only from LSH recall
+    for pair, j in verified.items():
+        assert brute[pair] == pytest.approx(j, abs=1e-9)
+    missed = set(brute) - set(verified)
+    assert len(missed) <= max(1, 0.05 * len(brute)), missed
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Winnowing property: two docs sharing a long run of tokens share
+    at least one fingerprint; disjoint docs share none; fingerprints are
+    deterministic."""
+    from etl_airbnb_mex_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"different opening {shared} other ending"),
+            (3, "completely unrelated words about nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "overlapping docs must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    again = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
+    assert again  # deterministic re-run (no RNG anywhere)
