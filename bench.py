@@ -37,9 +37,13 @@ HEADLINE = [
     "dedup_by_key",
     "dedup_text_exact",
     "dedup_minhash",
+    "near_dedup_corpus",
     "token_topn",
+    "token_count_bpe",
+    "quality_filter",
     "sentiment_dist",
     "knn_cosine",
+    "knn_cosine_lsh",
 ]
 
 
