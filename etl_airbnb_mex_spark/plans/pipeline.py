@@ -35,6 +35,7 @@ def run_pipeline(
     fmt: str = "parquet",
     report_path: str | None = None,
     limit: int | None = None,
+    partition_spec: dict[str, tuple[str, ...]] | None = None,
 ) -> dict[str, Any]:
     """Extract → transform → load → verify → report, one lazy plan per
     table. Returns the run report dict (S12 shape: per-table extracted /
@@ -72,8 +73,11 @@ def run_pipeline(
         transformed_df = _transform(name, raw)
         out_path = os.path.join(output_dir, f"raw_{name}_transformado")
         sink_df = normalize_for_sink(drop_id_columns(transformed_df))
+        # 100 TB sink posture: partitioned writes (e.g. reviews by año)
+        # give readers partition pruning and writers full parallelism.
+        partitions = (partition_spec or {}).get(name, ())
         with mc.timed(f"carga_{name}"):
-            write_parquet_overwrite(sink_df, out_path)
+            write_parquet_overwrite(sink_df, out_path, partition_by=partitions)
         # S11 verification: count what was actually persisted.
         loaded = mc.timed_count(
             f"verificacion_{name}", spark.read.parquet(out_path)

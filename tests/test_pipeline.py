@@ -424,3 +424,26 @@ def test_catalog_helpers(spark, sf_dir):
     assert table_exists(spark, "lineitem")
     assert not table_exists(spark, "no_such_collection")
     assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] > 0
+
+
+def test_pipeline_partitioned_write(spark, tmp_path_factory):
+    """partition_spec routes through to the sink: reviews partitioned by
+    año produce year directories (partition pruning for readers)."""
+    import os
+
+    from etl_airbnb_mex_spark.plans.pipeline import run_pipeline
+
+    tmp = tmp_path_factory.mktemp("etl_part")
+    spark.createDataFrame(
+        [make_review(id=i, date=f"20{20 + i % 3}-06-15") for i in range(1, 16)]
+    ).write.parquet(str(tmp / "reviews_raw"))
+    report = run_pipeline(
+        spark,
+        {"reviews": str(tmp / "reviews_raw")},
+        str(tmp / "out"),
+        partition_spec={"reviews": ("año",)},
+    )
+    assert report["tablas"]["reviews"]["cargados"] == 15
+    out_dir = str(tmp / "out" / "raw_reviews_transformado")
+    years = [d for d in os.listdir(out_dir) if d.startswith("año=")]
+    assert len(years) == 3
