@@ -118,3 +118,21 @@ def test_resumen_final(listings, reviews):
     rows = {r["tabla"]: r["registros"]
             for r in an.resumen_final({"listings": listings, "reviews": reviews}).collect()}
     assert rows["TOTAL"] == rows["listings"] + rows["reviews"]
+
+
+def test_generar_graficos_artifacts(listings, reviews, tmp_path):
+    """§3.2 — the 8 reference chart artifacts are produced from
+    transformed tables (CSV fallback here: no matplotlib in this
+    container; the aggregation is identical either way)."""
+    import os
+
+    from etl_airbnb_mex_spark.plans.plots import generar_graficos
+
+    paths = generar_graficos(listings, reviews, str(tmp_path / "charts"))
+    assert len(paths) == 8
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+    # spot-check one artifact's content is the real aggregate
+    top = [p for p in paths if "top_neighbourhoods" in p][0]
+    text = open(top).read()
+    assert "Roma" in text or "Condesa" in text
