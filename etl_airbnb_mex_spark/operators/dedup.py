@@ -368,16 +368,25 @@ def winnowing_fingerprints(
     )
     # min over sliding window of `window` consecutive entries:
     # acc_j = zip_with(acc_{j-1}, shift_j(h), least); after window-1
-    # zips, acc[i] = min(h[i..i+window-1]) for valid i (tail entries
-    # where the shift ran past the end keep partial minima of a shorter
-    # window — standard winnowing keeps them: suffix windows shrink).
+    # zips, acc[i] = min(h[i..i+window-1]). Only FULL windows count —
+    # Schleimer et al. select from complete windows, and partial tail
+    # windows would make every doc's final k-gram an automatic
+    # fingerprint (spurious cross-doc matches on a shared last shingle).
+    # Docs with fewer than `window` k-grams emit no fingerprints.
     acc = F.col("__h")
     for j in range(1, window):
         shifted = F.slice(F.col("__h"), j + 1, F.size(F.col("__h")))
         # least() skips the null pad zip_with adds past the shorter array
         acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+    n_full = F.greatest(
+        F.size(F.col("__h")) - (window - 1), F.lit(0)
+    )
+    full_windows = F.slice(acc, 1, n_full)
     return (
-        sh.select(id_col, F.explode(F.array_distinct(acc)).alias("fingerprint"))
+        sh.select(
+            id_col,
+            F.explode(F.array_distinct(full_windows)).alias("fingerprint"),
+        )
         .distinct()
         .orderBy(id_col, "fingerprint")
     )

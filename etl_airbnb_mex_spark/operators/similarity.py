@@ -11,8 +11,6 @@ Arrow never crosses the JVM/Python boundary.
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas_udf type-hint resolution
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -83,7 +81,17 @@ def lsh_table_signatures(
     """Multi-table LSH signatures: split ``planes`` into tables of
     ``bits_per_table`` and emit array<struct<table int, bucket long>> —
     one probe key per table. Multiple independent tables are what buys
-    recall (P[found] = 1-(1-p^b)^L vs a single table's p^b)."""
+    recall (P[found] = 1-(1-p^b)^L vs a single table's p^b).
+
+    Expression twin of the Arrow-batched bucket UDF inside
+    :func:`knn_cosine_lsh` — a consistency unit test keeps the two in
+    lockstep, and both reject plane counts that don't divide evenly
+    into tables (a silent remainder would drop probe tables)."""
+    if len(planes) % bits_per_table != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be a multiple of "
+            f"bits_per_table={bits_per_table}"
+        )
     tables = [
         planes[i: i + bits_per_table]
         for i in range(0, len(planes), bits_per_table)
@@ -105,32 +113,48 @@ def _lsh_bucket_udf(planes: list[list[float]], bits_per_table: int):
     expression at sf0.1 — with tens of literal planes the expression
     tree's analysis+interpreted evaluation dominates, the textbook case
     for a vectorized Pandas UDF (the planes matrix ships in the UDF
-    closure; rows never cross the boundary one at a time)."""
+    closure; rows never cross the boundary one at a time).
+
+    NULL or wrong-dimension embeddings yield an EMPTY bucket list — the
+    row simply never enters any probe table (posexplode drops it)
+    instead of killing the job. Same table-splitting contract as
+    :func:`lsh_table_signatures` (consistency unit-tested)."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if len(planes) % bits_per_table != 0:
+        raise ValueError(
+            f"len(planes)={len(planes)} must be a multiple of "
+            f"bits_per_table={bits_per_table}"
+        )
     plane_matrix = np.asarray(planes, dtype="float64").T  # dim × n_planes
+    dim = plane_matrix.shape[0]
     weights = 2 ** np.arange(bits_per_table, dtype="int64")
     n_tables = len(planes) // bits_per_table
 
-    @pandas_udf("array<bigint>")
-    def buckets(emb: pd.Series) -> pd.Series:
-        vecs = np.vstack(emb.map(np.asarray).values)
-        bits = (vecs @ plane_matrix >= 0).astype("int64")
-        return pd.Series(
-            [
-                [
-                    int(
-                        row[t * bits_per_table: (t + 1) * bits_per_table]
-                        @ weights
-                    )
+    def buckets(emb):
+        arrs = emb.tolist()
+        good = [
+            i for i, a in enumerate(arrs) if a is not None and len(a) == dim
+        ]
+        out = [[] for _ in arrs]
+        if good:
+            vecs = np.asarray([arrs[i] for i in good], dtype="float64")
+            bits = (vecs @ plane_matrix >= 0).astype("int64")
+            for pos, row in zip(good, bits):
+                out[pos] = [
+                    int(row[t * bits_per_table: (t + 1) * bits_per_table]
+                        @ weights)
                     for t in range(n_tables)
                 ]
-                for row in bits
-            ]
-        )
+        return pd.Series(out)
 
-    return buckets
+    # Annotations set post-hoc with live objects: `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf can't
+    # resolve against a function-local pandas import.
+    buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, "array<bigint>")
 
 
 def knn_cosine_lsh(

@@ -46,6 +46,14 @@ def run_pipeline(
     the pre-count, once for the write+verify) — the reference scans each
     table once per *step*.
     """
+    unknown_parts = sorted(set(partition_spec or {}) - set(input_paths))
+    if unknown_parts:
+        # Same fail-loudly contract as the CLI's entradas validation: a
+        # typo here would silently skip the 100 TB partitioning posture.
+        raise ValueError(
+            f"partition_spec names unknown tables {unknown_parts}; "
+            f"inputs are {sorted(input_paths)}"
+        )
     started = time.perf_counter()
     mc = MetricsCollector()
     report: dict[str, Any] = {

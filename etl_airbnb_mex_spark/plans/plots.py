@@ -65,7 +65,7 @@ def _chart_specs():
 
 def _write_csv(df: DataFrame, path: str) -> None:
     rows = df.collect()
-    with open(path, "w", newline="") as fh:
+    with open(path, "w", newline="", encoding="utf-8") as fh:
         writer = csv.writer(fh)
         writer.writerow(df.columns)
         for r in rows:
@@ -75,9 +75,17 @@ def _write_csv(df: DataFrame, path: str) -> None:
 def _render_png(df: DataFrame, path: str, title: str) -> None:  # pragma: no cover
     rows = df.collect()
     fig, ax = plt.subplots(figsize=(8, 5))
-    if len(rows) > 1 and len(df.columns) >= 2:
-        xs = [str(r[0]) for r in rows]
-        ys = [r[1] if r[1] is not None else 0 for r in rows]
+    # First NUMERIC column is the bar height (e.g. correlaciones rows are
+    # (col_a, col_b, corr) — index 1 would be a string).
+    y_idx = next(
+        (i for i, v in enumerate(rows[0]) if isinstance(v, (int, float))
+         and i > 0),
+        None,
+    ) if rows else None
+    if len(rows) > 1 and y_idx is not None:
+        xs = [" ".join(str(v) for i, v in enumerate(r) if i != y_idx)
+              for r in rows]
+        ys = [r[y_idx] if r[y_idx] is not None else 0 for r in rows]
         ax.bar(xs, ys)
         ax.tick_params(axis="x", rotation=60)
     else:

@@ -96,10 +96,13 @@ def unwrap_mongo_date(col: Column | str) -> Column:
 def ensure_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Schema-drift defensive mode: the reference probes
     ``if col in df.columns`` before every step (src/transformacion.py:
-    211,267,296,309) because its inputs are schemaless. The engine's
-    equivalent is done ONCE at the read boundary: any declared column
-    missing from the frame is added as a typed NULL, extra columns pass
-    through — downstream transforms can then assume the full schema."""
+    211,267,296,309) because its inputs are schemaless. The declared-
+    schema readers already materialize every declared column (typed NULL
+    when absent from files); this helper is for frames arriving from
+    OUTSIDE them — e.g. an existing DataFrame handed straight to a
+    plans.transforms function — any declared column missing is added as
+    a typed NULL, extras pass through, so transforms can assume the
+    full schema."""
     present = set(df.columns)
     additions = [
         F.lit(None).cast(field.dataType).alias(field.name)
@@ -161,12 +164,9 @@ def read_table_set(
             out[name] = spark.createDataFrame([], schema)
             continue
         if fmt == "parquet":
-            df = read_parquet(spark, path, schema)
+            out[name] = read_parquet(spark, path, schema)
         elif fmt == "json":
-            df = read_jsonl(spark, path, schema)
+            out[name] = read_jsonl(spark, path, schema)
         else:
             raise ValueError(f"unsupported format: {fmt}")
-        # Drift normalization (no-op when the declared schema already
-        # bound every column): downstream transforms assume full schema.
-        out[name] = ensure_columns(df, schema) if schema is not None else df
     return out

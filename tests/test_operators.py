@@ -525,3 +525,67 @@ def test_winnowing_overlap_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
     again = {r["doc_id"]: r["fingerprint"] for r in fp.collect()}
     assert again  # deterministic re-run (no RNG anywhere)
+
+
+def test_lsh_udf_matches_expression_signatures(spark, sf_dir):
+    """The Arrow-batched bucket UDF and the expression-based
+    lsh_table_signatures must produce IDENTICAL (table, bucket) pairs —
+    the contract that makes a precomputed index probe-compatible."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        _lsh_bucket_udf,
+        lsh_table_signatures,
+    )
+    from etl_airbnb_mex_spark.queries.extensions import _fixed_planes
+
+    planes = _fixed_planes()
+    e = load_table(spark, sf_dir, "embeddings").limit(50)
+    v = F.col("embedding").cast("array<double>")
+    via_udf = {
+        (r["vec_id"], r["t"], r["b"])
+        for r in e.select(
+            "vec_id", F.posexplode(_lsh_bucket_udf(planes, 4)(v)).alias("t", "b")
+        ).collect()
+    }
+    via_expr = {
+        (r["vec_id"], r["s"]["table"], r["s"]["bucket"])
+        for r in e.select(
+            "vec_id", F.explode(lsh_table_signatures(v, planes, 4)).alias("s")
+        ).collect()
+    }
+    assert via_udf == via_expr
+
+
+def test_lsh_tolerates_null_and_short_embeddings(spark, sf_dir):
+    """A NULL or wrong-dimension embedding must drop out of the index,
+    not kill the query (regression: np.vstack on ragged input raised
+    inside the Python worker)."""
+    from etl_airbnb_mex_spark.operators.similarity import knn_cosine_lsh
+    from etl_airbnb_mex_spark.queries.extensions import _fixed_planes
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bad = spark.createDataFrame(
+        [(90_001, None), (90_002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = e.unionByName(bad)
+    got = knn_cosine_lsh(
+        corpus, e.filter(F.col("vec_id") == 0), planes=_fixed_planes(), k=10
+    ).collect()
+    assert got  # query still runs
+    assert all(r["vec_id"] not in (90_001, 90_002) for r in got)
+
+
+def test_lsh_rejects_remainder_planes(spark, sf_dir):
+    """Plane counts that don't divide into whole tables fail loudly in
+    BOTH implementations (a silent remainder would drop probe tables)."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        _lsh_bucket_udf,
+        lsh_table_signatures,
+    )
+
+    with pytest.raises(ValueError, match="multiple of"):
+        _lsh_bucket_udf([[1.0] * 64] * 3, 2)
+    with pytest.raises(ValueError, match="multiple of"):
+        lsh_table_signatures(F.col("x"), [[1.0] * 64] * 3, 2)
