@@ -459,6 +459,34 @@ def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_collect",
+    """
+    SELECT n_nationkey,
+           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+    "Engine extension — array/string aggregation (collect_list + "
+    "sort_array + array_join): per-nation customer id lists. Sorted on "
+    "both sides because collection order is partition-dependent.",
+)
+def group_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    keys = F.sort_array(F.collect_list("c_custkey"))
+    return (
+        n.join(c, n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            keys.alias("custkeys"),
+            F.array_join(keys, ",").alias("custkeys_csv"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
