@@ -589,3 +589,33 @@ def test_lsh_rejects_remainder_planes(spark, sf_dir):
         _lsh_bucket_udf([[1.0] * 64] * 3, 2)
     with pytest.raises(ValueError, match="multiple of"):
         lsh_table_signatures(F.col("x"), [[1.0] * 64] * 3, 2)
+
+
+def test_bracket_percentiles_equal_exact_agg(spark, sf_dir):
+    """The two-phase bracket algorithm must equal the exact percentile
+    aggregate bit-for-bit on real data and on adversarial shapes
+    (duplicates, skew, tiny n)."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        exact_percentiles_bracket,
+    )
+
+    ps = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    cases = [
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_extendedprice").alias("x")
+        ),
+        # heavy duplicates + skew: 90% zeros, long tail
+        spark.range(2000).select(
+            F.when(F.col("id") % 10 != 0, 0.0)
+            .otherwise(F.col("id").cast("double")).alias("x")
+        ),
+        # tiny n around the rank-arithmetic edges
+        spark.range(3).select(F.col("id").cast("double").alias("x")),
+    ]
+    for df in cases:
+        truth = df.agg(
+            F.percentile("x", F.array(*[F.lit(p) for p in ps]))
+        ).collect()[0][0]
+        got = exact_percentiles_bracket(df, "x", ps)
+        for p, t in zip(ps, truth):
+            assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)
