@@ -180,6 +180,12 @@ def minhash_near_dup_pairs(
         ).alias("band"),
     ).select("id", "sig", "band.band_id", "band.band_hash")
     if max_bucket is not None:
+        # Hot-bucket guard as a count window: ONE shuffle on the band
+        # keys and the signature pipeline runs once. (A broadcast
+        # anti-join against an oversized-buckets aggregate was tried and
+        # measured no faster — and since the broadcast side is its own
+        # plan branch, it recomputes every signature a second time at
+        # scale, where that is the dominant cost.)
         w = Window.partitionBy("band_id", "band_hash")
         banded = (
             banded.withColumn("__bc", F.count(F.lit(1)).over(w))
