@@ -10,6 +10,7 @@ import pytest
 from etl_airbnb_mex_spark.streaming import (
     stream_dedup_within_watermark,
     stream_session_agg,
+    stream_sliding_agg,
     stream_tumbling_agg,
     streaming_counter_state,
 )
@@ -136,3 +137,31 @@ def test_streaming_counter_state(spark, events_dir):
     # every key's final emitted state matches the batch totals
     for k, v in batch.items():
         assert final[k] == v
+
+
+def test_stream_sliding_matches_batch(spark, events_dir):
+    """Sliding windows: streamed closed-window results must be a subset
+    of the batch twin's grid with identical values (the last windows
+    stay open under the watermark, as in the tumbling test)."""
+    got = {tuple(r) for r in _run_stream(
+        spark, events_dir,
+        lambda s: stream_sliding_agg(s, watermark_delay="0 seconds"),
+        "sliding",
+    ).collect()}
+    from etl_airbnb_mex_spark.queries import REGISTRY, _load
+    _load()
+    # batch twin: the oracle-checked window_sliding_agg shape over the
+    # same parquet (re-read through a temp view of this events copy)
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(events_dir)
+    batch = {tuple(r) for r in (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "cnt", "sum_value")
+        .collect()
+    )}
+    assert got <= batch
+    assert len(got) >= len(batch) - 2  # at most the 2 open tail windows
