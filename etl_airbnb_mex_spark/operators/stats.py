@@ -62,23 +62,31 @@ def describe_stats(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
 def percentiles(
     df: DataFrame, col: str, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
     approx: bool = False,
-    method: str = "bracket",
+    method: str = "agg",
 ) -> DataFrame:
     """A7 — exact percentiles at the reference's cut points (nb:cell9:37-41).
 
-    ``method='bracket'`` (default) uses the two-phase distributed
-    algorithm in :func:`exact_percentiles_bracket` — same exact values,
-    ~3× faster than the percentile aggregate at sf0.1 because no pass
-    ever buffers the whole column. ``method='agg'`` is the single
-    aggregate form (the fallback path of the bracket method).
+    ``method='agg'`` (default) is a LAZY single percentile aggregate —
+    safe to compose into larger plans. ``method='bracket'`` runs the
+    two-phase distributed algorithm in
+    :func:`exact_percentiles_bracket` EAGERLY at call time (2–3 jobs;
+    same exact values, ~2× faster at sf0.1 and no full-column buffer) —
+    use it when the result is consumed immediately, not composed.
+    Rounding goes through F.round on both paths so HALF_UP semantics
+    match the rest of the module and the oracle (Python's round() is
+    half-even on the binary value and diverges on trailing-5 digits).
     """
+    if method not in ("agg", "bracket"):
+        raise ValueError(f"method must be 'agg' or 'bracket', got {method!r}")
     if method == "bracket" and not approx:
         vals = exact_percentiles_bracket(df, col, ps)
-        row = [round(vals[p], ROUND_DP) if vals[p] is not None else None
-               for p in ps]
-        return df.sparkSession.createDataFrame(
-            [tuple(row)],
+        raw = df.sparkSession.createDataFrame(
+            [tuple(vals[p] for p in ps)],
             ", ".join(f"`p{int(p * 100)}` double" for p in ps),
+        )
+        return raw.select(
+            *[_r(F.col(f"p{int(p * 100)}")).alias(f"p{int(p * 100)}")
+              for p in ps]
         )
     wide = df.agg(_pcts(col, ps, approx).alias("__q"))
     return wide.select(
@@ -102,14 +110,20 @@ def exact_percentiles_bracket(
        (rank error of the KLL-style sketch is n/accuracy, so the true
        values at ranks ⌊(n-1)p⌋/⌈(n-1)p⌉ provably lie inside the value
        bracket [v(p−3ε), v(p+3ε)]).
-    2. ONE pass: per bracket, count of rows strictly below the bracket
-       start + the sorted values inside the bracket (≈ 6·n/accuracy
-       values — collected to the driver, NOT the column).
-    3. Driver: index the needed ranks into each segment, interpolate.
+    2. ONE pass: per bracket, scalar counts of rows strictly below the
+       bracket start and EQUAL to each bracket endpoint, plus the
+       sorted values strictly INSIDE the bracket. Ties never enter the
+       collection — a bracket landing on a 90 %-duplicated value counts
+       the tied mass as two longs instead of collecting it, so the
+       collected interior is rank-bounded (≤ ~24·n/accuracy values)
+       regardless of duplication.
+    3. Driver: reconstruct the rank layout
+       [eq_lo ties][interior values][eq_hi ties] starting at the
+       below-count, index the needed ranks, interpolate.
 
-    Falls back to the exact percentile aggregate if a segment misses
-    its ranks (cannot happen within the sketch guarantee; belt and
-    braces). Returns {p: value} with None for an empty column.
+    Falls back to the exact percentile aggregate if a rank misses the
+    reconstructed segment (cannot happen within the sketch guarantee;
+    belt and braces). Returns {p: value} with None for an empty column.
     """
     eps = 3.0 / accuracy
     probe_ps: list[float] = []
@@ -136,26 +150,39 @@ def exact_percentiles_bracket(
     c = F.col(col)
     aggs = []
     for i, (lo, hi) in enumerate(brackets):
-        aggs.append(
-            F.sum((c < F.lit(lo)).cast("long")).alias(f"below_{i}")
-        )
-        aggs.append(
-            F.sort_array(
-                F.collect_list(F.when((c >= lo) & (c <= hi), c))
-            ).alias(f"seg_{i}")
-        )
+        aggs.append(F.sum((c < F.lit(lo)).cast("long")).alias(f"below_{i}"))
+        aggs.append(F.sum((c == F.lit(lo)).cast("long")).alias(f"eqlo_{i}"))
+        if hi > lo:
+            aggs.append(
+                F.sum((c == F.lit(hi)).cast("long")).alias(f"eqhi_{i}")
+            )
+            aggs.append(
+                F.sort_array(
+                    F.collect_list(F.when((c > lo) & (c < hi), c))
+                ).alias(f"seg_{i}")
+            )
     second = df.agg(*aggs).collect()[0]
 
     out: dict[float, float | None] = {}
     fallback_ps: list[float] = []
     for i, p in enumerate(ps):
+        lo, hi = brackets[i]
         k = (n - 1) * p
         lo_rank, hi_rank = int(k // 1), -int(-k // 1)
         below = second[f"below_{i}"]
-        seg = second[f"seg_{i}"]
-        if below <= lo_rank and hi_rank < below + len(seg):
-            v_lo = seg[lo_rank - below]
-            v_hi = seg[hi_rank - below]
+        eq_lo = second[f"eqlo_{i}"]
+        interior = list(second[f"seg_{i}"]) if hi > lo else []
+        eq_hi = second[f"eqhi_{i}"] if hi > lo else 0
+        # Rank layout: ranks [below, below+eq_lo) hold lo; then the
+        # interior values; then eq_hi copies of hi.
+        values = [lo] * eq_lo + interior + [hi] * eq_hi
+
+        def at_rank(r: int):
+            idx = r - below
+            return values[idx] if 0 <= idx < len(values) else None
+
+        v_lo, v_hi = at_rank(lo_rank), at_rank(hi_rank)
+        if v_lo is not None and v_hi is not None:
             out[p] = float(v_lo + (k - lo_rank) * (v_hi - v_lo))
         else:  # outside the sketch guarantee — exact-agg fallback
             fallback_ps.append(p)

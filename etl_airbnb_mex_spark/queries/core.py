@@ -403,7 +403,13 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile is the documented 100 TB swap (SURVEY.md §4.3).",
 )
 def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stats.percentiles(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+    # bracket method: the driver executes this immediately, so the eager
+    # two-phase algorithm is appropriate here (lazy agg is the default
+    # for composition contexts).
+    return stats.percentiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        method="bracket",
+    )
 
 
 @register(

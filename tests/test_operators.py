@@ -619,3 +619,24 @@ def test_bracket_percentiles_equal_exact_agg(spark, sf_dir):
         got = exact_percentiles_bracket(df, "x", ps)
         for p, t in zip(ps, truth):
             assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)
+
+
+def test_bracket_percentiles_ties_do_not_collect_column(spark):
+    """Regression (review finding): a bracket landing on a 90%-duplicated
+    value must count the tied mass, not collect it — values are exact
+    AND the collected interior stays rank-bounded."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        exact_percentiles_bracket,
+    )
+
+    ps = (0.25, 0.5, 0.75, 0.99)
+    df = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, 0.0)
+        .otherwise(F.col("id").cast("double")).alias("x")
+    )
+    truth = df.agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in ps]))
+    ).collect()[0][0]
+    got = exact_percentiles_bracket(df, "x", ps)
+    for p, t in zip(ps, truth):
+        assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)

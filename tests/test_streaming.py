@@ -148,10 +148,8 @@ def test_stream_sliding_matches_batch(spark, events_dir):
         lambda s: stream_sliding_agg(s, watermark_delay="0 seconds"),
         "sliding",
     ).collect()}
-    from etl_airbnb_mex_spark.queries import REGISTRY, _load
-    _load()
-    # batch twin: the oracle-checked window_sliding_agg shape over the
-    # same parquet (re-read through a temp view of this events copy)
+    # batch twin: same plan shape as the oracle-checked
+    # window_sliding_agg query, built over this events copy
     from pyspark.sql import functions as F
 
     ev = spark.read.parquet(events_dir)
