@@ -640,3 +640,73 @@ def test_bracket_percentiles_ties_do_not_collect_column(spark):
     got = exact_percentiles_bracket(df, "x", ps)
     for p, t in zip(ps, truth):
         assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)
+
+
+@given(
+    value=st.one_of(
+        st.none(),
+        st.sampled_from(["Entire home/apt", "Private room", "Hotel room",
+                         "Entire rental unit", "Casa particular", ""]),
+        st.text(max_size=15),
+    )
+)
+@HSETTINGS
+def test_map_with_default_total(spark, value):
+    """F10 totality: NULL → sentinel, mapped keys translate, everything
+    else passes through byte-identical."""
+    from etl_airbnb_mex_spark.functions.cleaning import map_with_default
+
+    mapping = {"Entire home/apt": "Casa completa", "Private room": "Privada"}
+    df = spark.createDataFrame([(value,)], "v string")
+    got = df.select(
+        map_with_default("v", mapping).alias("m")
+    ).collect()[0]["m"]
+    if value is None:
+        assert got == "No especificado"
+    elif value in mapping:
+        assert got == mapping[value]
+    else:
+        assert got == value
+
+
+@given(n_pos=st.integers(0, 4), n_neg=st.integers(0, 4))
+@HSETTINGS
+def test_sentiment_counts_distinct_lexicon_hits(spark, n_pos, n_neg):
+    """F13: score == (#positive lexicon words present) − (#negative
+    present, with 'terrible'/'horrible' counting twice per the
+    duplicated reference lexicon)."""
+    from etl_airbnb_mex_spark.functions.text import (
+        NEGATIVE_WORDS,
+        POSITIVE_WORDS,
+        sentiment_score,
+    )
+
+    pos = list(dict.fromkeys(POSITIVE_WORDS))[:n_pos]
+    neg = list(dict.fromkeys(NEGATIVE_WORDS))[:n_neg]
+    text = " ".join(pos + neg) or "neutral filler"
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(sentiment_score("t").alias("s")).collect()[0]["s"]
+    expected = sum(1 for w in POSITIVE_WORDS if w in text.lower()) - sum(
+        1 for w in NEGATIVE_WORDS if w in text.lower()
+    )
+    assert got == expected
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6),
+        min_size=0, max_size=5,
+    )
+)
+@HSETTINGS
+def test_parse_array_roundtrips_clean_json(spark, words):
+    """F19 round-trip: a well-formed JSON array string parses back to
+    exactly its elements; an empty array parses to empty."""
+    import json as _json
+
+    from etl_airbnb_mex_spark.functions.arrays import parse_string_array
+
+    raw = _json.dumps(words)
+    df = spark.createDataFrame([(raw,)], "a string")
+    got = df.select(parse_string_array("a").alias("arr")).collect()[0]["arr"]
+    assert got == words
