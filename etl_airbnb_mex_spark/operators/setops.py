@@ -20,5 +20,36 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def split_by_hash(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: int = 2654435761,
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test) for training-data
+    pipelines: bucket = (key · Knuth-multiplier) mod 2³² mod 100, ranges
+    assigned by cumulative fraction. Pure integer arithmetic — the same
+    row lands in the same split on every run, every engine, every
+    partitioning (unlike randomSplit), and rows never move between
+    splits when the corpus grows. Adds a ``split`` column.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.pmod(
+        F.pmod(F.col(key).cast("long") * F.lit(salt), F.lit(2 ** 32)),
+        F.lit(100),
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = bucket < F.lit(int(round(cum * 100)))
+        expr = (
+            F.when(cond, name) if expr is None
+            else expr.when(cond, name)
+        )
+    return df.withColumn("split", expr.otherwise("rest"))
+
+
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)

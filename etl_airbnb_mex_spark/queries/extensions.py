@@ -460,6 +460,34 @@ def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split",
+    """
+    WITH b AS (
+      SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS cnt
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+    "Training-pipeline extension — deterministic 80/10/10 corpus split "
+    "by multiplicative key hash (stable across runs/engines/partitioning, "
+    "unlike randomSplit; rows never migrate as the corpus grows).",
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import split_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        split_by_hash(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("split")
+    )
+
+
+@register(
     "group_collect",
     """
     SELECT n_nationkey,
