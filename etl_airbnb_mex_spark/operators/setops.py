@@ -35,10 +35,23 @@ def split_by_hash(
     """
     from pyspark.sql import functions as F
 
-    bucket = F.pmod(
-        F.pmod(F.col(key).cast("long") * F.lit(salt), F.lit(2 ** 32)),
-        F.lit(100),
+    # (k·salt) mod 2³² computed without int64 overflow: reduce the key to
+    # 32 bits first, then split k = hi·2¹⁶ + lo so every intermediate
+    # stays < 2⁴⁹ ((a·c) mod m == ((a mod m)·c) mod m keeps it exact).
+    # The naive key*salt wraps silently above key ≈ 3.5e9 in Spark
+    # (ANSI off) but *raises* in engines with checked BIGINT arithmetic,
+    # breaking the same-split-everywhere guarantee. Negative keys are
+    # normalized by pmod, so every engine that lacks pmod can mirror
+    # this with ((k % 2³²) + 2³²) % 2³².
+    k = F.pmod(F.col(key).cast("long"), F.lit(2 ** 32))
+    hi = F.floor(k / F.lit(2 ** 16)).cast("long")
+    lo = F.pmod(k, F.lit(2 ** 16))
+    h = F.pmod(
+        F.pmod(hi * F.lit(salt), F.lit(2 ** 32)) * F.lit(2 ** 16)
+        + lo * F.lit(salt),
+        F.lit(2 ** 32),
     )
+    bucket = F.pmod(h, F.lit(100))
     expr = None
     cum = 0.0
     for name, frac in fractions.items():

@@ -78,7 +78,13 @@ def percentiles(
     """
     if method not in ("agg", "bracket"):
         raise ValueError(f"method must be 'agg' or 'bracket', got {method!r}")
-    if method == "bracket" and not approx:
+    if method == "bracket" and approx:
+        raise ValueError(
+            "method='bracket' computes EXACT percentiles; combining it "
+            "with approx=True is contradictory — use method='agg' with "
+            "approx=True for the sketch-based path"
+        )
+    if method == "bracket":
         vals = exact_percentiles_bracket(df, col, ps)
         raw = df.sparkSession.createDataFrame(
             [tuple(vals[p] for p in ps)],

@@ -76,7 +76,20 @@ _ORDER_COL = "__file_order"
 def _with_file_order(df: DataFrame) -> DataFrame:
     """Surrogate for pandas' first-in-file-order dedup semantics (D1,
     SURVEY.md §7.4.4): a per-row monotonically increasing id captured at
-    scan time, used as the deterministic keep-first tie-break."""
+    scan time, used as the deterministic keep-first tie-break.
+
+    Caveat: monotonically_increasing_id encodes (partition index, row
+    offset), so WHICH duplicate survives depends on the file-split
+    layout — deterministic for a given input + reader configuration, but
+    a different maxPartitionBytes (or a different engine) can pick a
+    different member of the duplicate group. That matches the pandas
+    semantics only insofar as Spark's split planning preserves file
+    order within partitions (it does for unsplit row groups). Callers
+    that need byte-for-byte reference parity on the survivor should pass
+    a stable source column (e.g. ``_id`` or a reader-provided line
+    number) to :func:`dedup_keep_first` instead; all quality metrics
+    downstream are survivor-invariant (duplicate groups are exact-key
+    groups, so aggregate counts do not depend on the choice)."""
     return df.withColumn(_ORDER_COL, F.monotonically_increasing_id())
 
 

@@ -859,16 +859,21 @@ def bool_encode_narrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_array",
     """
     SELECT p_partkey,
-           CASE p_partkey % 6
-             WHEN 0 THEN string_split(p_name, ' ')
-             WHEN 1 THEN [p_name]
-             ELSE CAST([] AS VARCHAR[]) END AS items
+           CAST(CASE p_partkey % 6
+             WHEN 0 THEN to_json(string_split(p_name, ' '))
+             WHEN 1 THEN to_json([p_name])
+             ELSE to_json(CAST([] AS VARCHAR[])) END AS VARCHAR) AS items
     FROM part
     """,
     "F19 — string→array parse with every fallback: JSON-array string "
     "(parsed), bare string (1-elem), ''/'nan'/NULL/malformed (empty) "
     "(src/transformacion.py:126-137). The oracle derives the expected "
-    "array from the deterministic construction; Spark genuinely parses.",
+    "array from the deterministic construction; Spark genuinely parses. "
+    "The compared column is the to_json rendering of the array (both "
+    "engines emit compact [\"a\",\"b\"]) because the driver's pandas "
+    "canonicalizer cannot hash raw list values; the array-returning "
+    "operator itself stays array-typed for composition "
+    "(functions/arrays.py:parse_string_array).",
 )
 def parse_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrays import parse_string_array
@@ -876,7 +881,7 @@ def parse_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
     json_arr = F.concat(
-        F.lit('["'), words[0], F.lit('", "'), words[1], F.lit('"]')
+        F.lit('["'), F.array_join(words, '", "'), F.lit('"]')
     )
     k = F.col("p_partkey") % 6
     raw = (
@@ -888,7 +893,7 @@ def parse_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("[unclosed"))
     )
     return p.select(
-        "p_partkey", parse_string_array(raw).alias("items")
+        "p_partkey", F.to_json(parse_string_array(raw)).alias("items")
     )
 
 

@@ -462,9 +462,15 @@ def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dataset_split",
     """
-    WITH b AS (
-      SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
-      FROM documents)
+    WITH k AS (
+      SELECT doc_id,
+             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 100 AS bucket
+      FROM k)
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
@@ -491,14 +497,17 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_collect",
     """
     SELECT n_nationkey,
-           list_sort(list(c_custkey)) AS custkeys,
+           len(list(c_custkey)) AS n_custkeys,
            array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv
     FROM nation JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_nationkey ORDER BY n_nationkey
     """,
     "Engine extension — array/string aggregation (collect_list + "
     "sort_array + array_join): per-nation customer id lists. Sorted on "
-    "both sides because collection order is partition-dependent.",
+    "both sides because collection order is partition-dependent; the "
+    "compared columns are the CSV rendering + length (the driver's "
+    "canonicalizer cannot hash raw array values — parse_array lesson, "
+    "VERDICT.md r1 §Wrong #1).",
 )
 def group_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
@@ -508,7 +517,7 @@ def group_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(c, n["n_nationkey"] == c["c_nationkey"])
         .groupBy("n_nationkey")
         .agg(
-            keys.alias("custkeys"),
+            F.size(keys).cast("long").alias("n_custkeys"),
             F.array_join(keys, ",").alias("custkeys_csv"),
         )
         .orderBy("n_nationkey")

@@ -710,3 +710,34 @@ def test_parse_array_roundtrips_clean_json(spark, words):
     df = spark.createDataFrame([(raw,)], "a string")
     got = df.select(parse_string_array("a").alias("arr")).collect()[0]["arr"]
     assert got == words
+
+
+def test_split_by_hash_safe_for_huge_and_negative_keys(spark):
+    """The split bucket must be overflow-free int64 arithmetic: keys
+    above ~3.5e9 would wrap the naive key*salt form, and negative keys
+    must normalize via pmod (ADVICE r1). Pin the exact buckets against a
+    Python big-int reference of (k mod 2^32 * salt) mod 2^32 mod 100."""
+    from etl_airbnb_mex_spark.operators.setops import split_by_hash
+
+    keys = [0, 1, 7, 2**31 - 1, 2**31, 2**33 + 12345, 2**62, -1, -2**31]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {
+        r["k"]: r["split"]
+        for r in split_by_hash(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+
+    def ref_bucket(k: int) -> int:
+        return ((k % 2**32) * 2654435761) % 2**32 % 100
+
+    def ref_split(b: int) -> str:
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    assert out == {k: ref_split(ref_bucket(k)) for k in keys}
+
+
+def test_percentiles_rejects_bracket_plus_approx(spark):
+    from etl_airbnb_mex_spark.operators.stats import percentiles
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="contradictory"):
+        percentiles(df, "v", method="bracket", approx=True)
