@@ -23,12 +23,14 @@ HEADLINE = [
     "flagship_topn_pct",
     "groupby_multi_agg",
     "percentiles",
+    "percentiles_approx",
     "outliers_iqr",
     "corr_matrix",
     "topn_by_count",
     "monthly_counts",
     "join_inner_fk",
     "join_broadcast_dim",
+    "join_salted_skew",
     "join_asof",
     "window_rank_topn",
     "window_moving_avg",

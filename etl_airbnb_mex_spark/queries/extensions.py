@@ -209,6 +209,44 @@ def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "join_salted_skew",
+    """
+    WITH dim AS (SELECT lang, avg(n_chars) AS avg_chars
+                 FROM documents GROUP BY lang)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.n_chars > dim.avg_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_avg
+    FROM documents d JOIN dim ON d.lang = dim.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    "Skew-mitigated join (SURVEY.md §4.3): documents.lang is the hot-key "
+    "case ('en' ≈ 44% of the corpus, mirroring the reference's 45.9% "
+    "Cuauhtémoc skew) — fact rows spread over 8 salt replicas of the "
+    "per-lang dim so no single reducer owns the hot key. The salt never "
+    "changes the result (operators/joins.py:salted_join), which is "
+    "exactly what the plain-join oracle verifies.",
+)
+def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import salted_join
+
+    d = load_table(spark, sf_dir, "documents")
+    dim = d.groupBy(F.col("lang").alias("lang_k")).agg(
+        F.avg("n_chars").alias("avg_chars")
+    )
+    joined = salted_join(d, dim, "lang", "lang_k", salt=8)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_chars") > F.col("avg_chars")).cast("long"))
+            .alias("n_above_avg"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.6 window functions
 # --------------------------------------------------------------------------
@@ -700,6 +738,24 @@ def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
     )
+
+
+@register(
+    "percentiles_approx",
+    None,  # sketch values are engine-specific; error bound unit-tested
+    "The documented 100 TB swap for the exact percentile aggregate "
+    "(operators/stats.py: approx=True): approx_percentile's KLL-style "
+    "sketch is mergeable with bounded memory per partition — no "
+    "per-partition value map, no single-threaded merge. Rows-only by "
+    "design; tests/test_operators.py bounds the error vs exact. In the "
+    "bench HEADLINE so the swap is performance-proven, not just flagged "
+    "(VERDICT.md r1 #7).",
+)
+def percentiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return percentiles(li, "l_extendedprice", approx=True)
 
 
 @register(

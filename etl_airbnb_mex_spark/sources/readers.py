@@ -140,6 +140,57 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_mongo_or_parquet(
+    spark: SparkSession,
+    collection: str,
+    parquet_path: str | None = None,
+    schema: T.StructType | None = None,
+    mongo_uri: str | None = None,
+    database: str = "airbnb",
+) -> DataFrame:
+    """S1 — the reference's live document-store read
+    (src/extraccion.py:72-112: ``client[db][collection].find().limit()``)
+    as a configuration path, with a parquet fallback for environments
+    without a reachable server (this sandbox).
+
+    When a connection URI is given — explicitly or via the
+    ``SPARK_GRAFT_MONGO_URI`` environment variable — the read goes
+    through the public MongoDB Spark connector's DataSource V2
+    (``spark.read.format("mongodb")``), which pushes projections and
+    filters into the server as aggregation-pipeline ``$project`` /
+    ``$match`` stages and splits the collection into input partitions by
+    shard/chunk ranges, so a downstream ``select(...).filter(...)``
+    never ships whole documents. An explicit schema skips the
+    connector's sampling-based inference pass (its analogue of the
+    reference's ``pd.DataFrame(list(cursor))`` schema guess, S5).
+
+    With no URI configured the same declared schema reads from
+    ``parquet_path`` — identical downstream plan either way, so the
+    choice of source is pure configuration, not code.
+    """
+    import os as _os
+
+    uri = mongo_uri or _os.environ.get("SPARK_GRAFT_MONGO_URI")
+    if uri:
+        reader = (
+            spark.read.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load()
+    if parquet_path is None:
+        raise ValueError(
+            f"collection '{collection}': no Mongo URI configured and no "
+            "parquet fallback path given"
+        )
+    return read_parquet(
+        spark, parquet_path, schema or AIRBNB_SCHEMAS.get(collection)
+    )
+
+
 def read_table_set(
     spark: SparkSession,
     paths: dict[str, str],

@@ -108,3 +108,39 @@ def test_ensure_columns_schema_drift(spark):
     row = out.collect()[0]
     assert row["comments"] is None  # typed NULL fill
     assert dict(out.dtypes)["listing_id"] == "bigint"
+
+
+def test_mongo_source_falls_back_to_parquet(spark, tmp_path, monkeypatch):
+    """S1 config path (VERDICT.md r1 #5): with no Mongo URI set, the
+    reader must serve the declared schema from parquet."""
+    import pytest
+
+    from etl_airbnb_mex_spark.sources.readers import read_mongo_or_parquet
+
+    monkeypatch.delenv("SPARK_GRAFT_MONGO_URI", raising=False)
+    p = str(tmp_path / "reviews.parquet")
+    spark.createDataFrame(
+        [(1, 10, "2024-01-01")], "id long, listing_id long, date string"
+    ).write.mode("overwrite").parquet(p)
+    out = read_mongo_or_parquet(spark, "reviews", parquet_path=p)
+    assert out.count() == 1
+    # declared schema applies: every reviews column materializes
+    assert set(AIRBNB_SCHEMAS["reviews"].fieldNames()) <= set(out.columns)
+
+    # no URI and no fallback path is a loud error, not a silent empty read
+    with pytest.raises(ValueError, match="no parquet fallback"):
+        read_mongo_or_parquet(spark, "reviews")
+
+
+def test_mongo_source_branch_selects_connector(spark, monkeypatch):
+    """With a URI configured the mongodb DataSource V2 is attempted —
+    the connector jar is absent in this sandbox, so reaching Spark's
+    'failed to find data source: mongodb' error IS the proof that the
+    branch routed to the connector, not to parquet."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_MONGO_URI", "mongodb://localhost:27017")
+    from etl_airbnb_mex_spark.sources.readers import read_mongo_or_parquet
+
+    with pytest.raises(Exception, match="(?i)mongodb"):
+        read_mongo_or_parquet(spark, "reviews", parquet_path="/nonexistent")
