@@ -42,6 +42,9 @@ HEADLINE = [
     "near_dedup_corpus",
     "token_topn",
     "token_count_bpe",
+    "tfidf_topk",
+    "bigram_topn",
+    "pii_scrub",
     "quality_filter",
     "sentiment_dist",
     "knn_cosine",

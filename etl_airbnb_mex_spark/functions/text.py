@@ -150,3 +150,38 @@ def quality_score_cols(col: Column | str) -> dict[str, Column]:
             n_tokens > 0, stop.cast("double") / n_tokens
         ),
     }
+
+
+#: PII patterns (§2.11 — the scrub step every C4/RefinedWeb-style corpus
+#: pipeline runs before training). Chosen to behave identically under
+#: Java regex (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+#: Replacement order matters and is part of the contract: emails first
+#: (their local parts can contain dots/digits), then IPv4, then phones.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE_PATTERN = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """§2.11 — PII redaction: emails → <EMAIL>, IPv4 → <IP>, NNN-NNN-NNNN
+    phones → <PHONE>. Pure JVM regexp_replace chain — codegen'd, no UDF;
+    the DuckDB oracle mirrors it with regexp_replace(..., 'g')."""
+    c = _col(col)
+    c = F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_PATTERN, "<IP>")
+    c = F.regexp_replace(c, PII_PHONE_PATTERN, "<PHONE>")
+    return c
+
+
+def word_repetition_ratio(col: Column | str) -> Column:
+    """§2.11 — Gopher-style repetition quality signal: share of word
+    occurrences that are repeats, 1 − distinct/total over whitespace
+    tokens. NULL for empty/whitespace-only text (no tokens → undefined,
+    not 0). Array expressions only — no explode, no shuffle: the ratio
+    is computed inside the row."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n, 6),
+    )

@@ -20,6 +20,65 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
+def hash_bucket_100(key: str, salt: int = 2654435761):
+    """Bucket in [0, 100): (k·salt) mod 2³² mod 100, computed without
+    int64 overflow — reduce the key to 32 bits first, then split
+    k = hi·2¹⁶ + lo so every intermediate stays < 2⁴⁹
+    ((a·c) mod m == ((a mod m)·c) mod m keeps it exact).
+    The naive key*salt wraps silently above key ≈ 3.5e9 in Spark
+    (ANSI off) but *raises* in engines with checked BIGINT arithmetic,
+    breaking the same-bucket-everywhere guarantee. Negative keys are
+    normalized by pmod, so every engine that lacks pmod can mirror
+    this with ((k % 2³²) + 2³²) % 2³²."""
+    from pyspark.sql import functions as F
+
+    k = F.pmod(F.col(key).cast("long"), F.lit(2 ** 32))
+    hi = F.floor(k / F.lit(2 ** 16)).cast("long")
+    lo = F.pmod(k, F.lit(2 ** 16))
+    h = F.pmod(
+        F.pmod(hi * F.lit(salt), F.lit(2 ** 32)) * F.lit(2 ** 16)
+        + lo * F.lit(salt),
+        F.lit(2 ** 32),
+    )
+    return F.pmod(h, F.lit(100))
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: int = 2654435761,
+) -> DataFrame:
+    """Deterministic stratified sampling (§2.11 — corpus rebalancing in
+    training-data pipelines, e.g. downsample the dominant language):
+    keep a row iff its key's hash bucket < 100·fraction[stratum]. Unlike
+    ``DataFrame.sampleBy`` (seeded RNG over partition order) the sample
+    is stable across runs, engines, and repartitioning, and a row once
+    sampled stays sampled as the corpus grows — the property that keeps
+    training/holdout membership consistent between pipeline runs.
+
+    Pure filter — no shuffle; composes with downstream aggs that then
+    shuffle only the surviving fraction.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = hash_bucket_100(key, salt)
+    thresh = None
+    for name, frac in fractions.items():
+        lit = F.lit(int(round(frac * 100)))
+        thresh = (
+            F.when(F.col(strata_col) == name, lit) if thresh is None
+            else thresh.when(F.col(strata_col) == name, lit)
+        )
+    thresh = (
+        thresh.otherwise(int(round(default * 100)))
+        if thresh is not None else F.lit(int(round(default * 100)))
+    )
+    return df.filter(bucket < thresh)
+
+
 def split_by_hash(
     df: DataFrame,
     key: str,
@@ -35,23 +94,7 @@ def split_by_hash(
     """
     from pyspark.sql import functions as F
 
-    # (k·salt) mod 2³² computed without int64 overflow: reduce the key to
-    # 32 bits first, then split k = hi·2¹⁶ + lo so every intermediate
-    # stays < 2⁴⁹ ((a·c) mod m == ((a mod m)·c) mod m keeps it exact).
-    # The naive key*salt wraps silently above key ≈ 3.5e9 in Spark
-    # (ANSI off) but *raises* in engines with checked BIGINT arithmetic,
-    # breaking the same-split-everywhere guarantee. Negative keys are
-    # normalized by pmod, so every engine that lacks pmod can mirror
-    # this with ((k % 2³²) + 2³²) % 2³².
-    k = F.pmod(F.col(key).cast("long"), F.lit(2 ** 32))
-    hi = F.floor(k / F.lit(2 ** 16)).cast("long")
-    lo = F.pmod(k, F.lit(2 ** 16))
-    h = F.pmod(
-        F.pmod(hi * F.lit(salt), F.lit(2 ** 32)) * F.lit(2 ** 16)
-        + lo * F.lit(salt),
-        F.lit(2 ** 32),
-    )
-    bucket = F.pmod(h, F.lit(100))
+    bucket = hash_bucket_100(key, salt)
     expr = None
     cum = 0.0
     for name, frac in fractions.items():

@@ -1256,3 +1256,216 @@ def cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.3, max_ids=300,
     )
+
+
+# --------------------------------------------------------------------------
+# §2.11 round 2: corpus text statistics, PII scrub, stratified sampling
+# --------------------------------------------------------------------------
+
+@register(
+    "pii_scrub",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN substr(text, 1, 40) || ' contact user'
+                           || doc_id || '@mail.example.com now'
+               WHEN 1 THEN substr(text, 1, 40) || ' call 555-867-5309 today'
+               WHEN 2 THEN substr(text, 1, 40) || ' from 192.168.10.25 logged'
+               ELSE substr(text, 1, 40) END AS s
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM raw
+    """,
+    "§2.11 — PII redaction (emails/IPv4/phones → placeholder tokens), the "
+    "pre-training scrub step of C4/RefinedWeb-style pipelines. Inputs are "
+    "constructed deterministically per doc_id arm so both engines see "
+    "identical bytes; patterns are Java-regex/RE2 portable "
+    "(functions/text.py:pii_scrub). Pure codegen'd regexp_replace chain.",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    base = F.substring("text", 1, 40)
+    k = F.col("doc_id") % 4
+    raw = (
+        F.when(k == 0, F.concat(
+            base, F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com now")))
+        .when(k == 1, F.concat(base, F.lit(" call 555-867-5309 today")))
+        .when(k == 2, F.concat(base, F.lit(" from 192.168.10.25 logged")))
+        .otherwise(base)
+    )
+    return d.select("doc_id", pii_scrub(raw).alias("scrubbed"))
+
+
+@register(
+    "repetition_ratio",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents)
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           CASE WHEN len(l) > 0
+                THEN round(1.0 - len(list_distinct(l))::DOUBLE / len(l), 6)
+                END AS rep_ratio
+    FROM toks
+    """,
+    "§2.11 — Gopher-style repetition quality signal: 1 − distinct/total "
+    "word occurrences per document, computed with array expressions "
+    "inside the row (no explode, no shuffle — "
+    "functions/text.py:word_repetition_ratio).",
+)
+def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize, word_repetition_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        word_repetition_ratio("text").alias("rep_ratio"),
+    )
+
+
+@register(
+    "tfidf_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln(n.n_docs / dfreq.dfc) AS raw_tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n_docs / dfreq.dfc) DESC, tf.token
+             ) AS rn
+      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+    SELECT doc_id, token, round(raw_tfidf, 6) AS tfidf, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+    "§2.11 — top-3 TF-IDF terms per document (operators/corpus.py): "
+    "(doc,token) hash agg → token-keyed df join → broadcast 1-row corpus "
+    "count → one window on doc_id. Shuffles carry ids+tokens only; no "
+    "driver collect. Ties broken by token asc for determinism.",
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import tfidf_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rn")
+
+
+@register(
+    "bigram_topn",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    pairs AS (
+      SELECT unnest([l[i] || ' ' || l[i+1]
+                     for i in generate_series(1, len(l) - 1)]) AS bigram
+      FROM toks WHERE len(l) >= 2)
+    SELECT bigram, count(*) AS cnt
+    FROM pairs GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    "§2.11 — top-20 word bigrams by corpus frequency "
+    "(operators/corpus.py:bigram_topn): bigrams built in-row via "
+    "zip_with over aligned slices, so the explode ships short strings "
+    "and the count is a partial+final hash agg — no joins.",
+)
+def bigram_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bigram_topn
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_topn(d, "text", n=20)
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH k AS (
+      SELECT doc_id, lang,
+             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 100 AS bucket
+      FROM k)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50
+                             WHEN 'es' THEN 50 WHEN 'de' THEN 75
+                             WHEN 'fr' THEN 100 ELSE 0 END
+    ORDER BY doc_id
+    """,
+    "§2.11 — deterministic stratified sampling by key hash "
+    "(operators/setops.py:stratified_sample_hash): downsample the "
+    "dominant language (en→25%) while keeping the tail — corpus "
+    "rebalancing with run/engine/partitioning-stable membership, unlike "
+    "sampleBy's seeded RNG. Pure filter, no shuffle.",
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import stratified_sample_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample_hash(
+        d, "doc_id", "lang",
+        {"en": 0.25, "zh": 0.5, "es": 0.5, "de": 0.75, "fr": 1.0},
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+    "Engine extension (SURVEY.md §2.5 notes): arbitrary GROUPING SETS — "
+    "the general form rollup/cube specialize; one pass produces the "
+    "status×priority cells plus both one-dimension margins and the grand "
+    "total. Decimal-accumulated sum for partition-order independence.",
+)
+def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "sum_total",
+        )
+        .orderBy("status", "priority")
+    )

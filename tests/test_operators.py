@@ -741,3 +741,86 @@ def test_percentiles_rejects_bracket_plus_approx(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError, match="contradictory"):
         percentiles(df, "v", method="bracket", approx=True)
+
+
+def test_pii_scrub_redacts_all_and_only_pii(spark):
+    from etl_airbnb_mex_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            ("write a.b+c@d-mail.org or x@y.io", "write <EMAIL> or <EMAIL>"),
+            ("call 555-123-4567 x2", "call <PHONE> x2"),
+            ("host 192.168.1.250 up", "host <IP> up"),
+            ("v1.2 cost $3.50 at 5pm", "v1.2 cost $3.50 at 5pm"),  # no PII
+            ("a@b.co from 10.0.0.1 dial 800-555-0100", "<EMAIL> from <IP> dial <PHONE>"),
+        ],
+        "s string, want string",
+    )
+    bad = df.select(pii_scrub("s").alias("got"), "want").filter(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_bigram_topn_counts(spark):
+    from etl_airbnb_mex_spark.operators.corpus import bigram_topn
+
+    df = spark.createDataFrame(
+        [("a b a b c",), ("b c",), ("x",), ("",), (None,)], "text string"
+    )
+    got = {r["bigram"]: r["cnt"] for r in bigram_topn(df, "text").collect()}
+    assert got == {"a b": 2, "b a": 1, "b c": 2}
+
+
+def test_tfidf_rare_term_outranks_ubiquitous(spark):
+    from etl_airbnb_mex_spark.operators.corpus import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "common rareword common"), (2, "common common"),
+         (3, "common filler"), (4, "common filler")],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_topk(df, "doc_id", "text", k=1).collect()
+    }
+    # 'common' appears in every doc → idf = ln(1) = 0; the rare word wins
+    assert top1[1] == "rareword"
+    assert top1[3] == "filler"
+
+
+def test_stratified_sample_deterministic_and_consistent_with_split(spark):
+    """Same hash arithmetic as split_by_hash → a 25% stratum keeps
+    exactly the keys whose bucket < 25, independent of partitioning."""
+    from etl_airbnb_mex_spark.operators.setops import (
+        hash_bucket_100,
+        stratified_sample_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)],
+        "k long, lang string",
+    )
+    frac = {"en": 0.25, "fr": 1.0}
+    a = {r["k"] for r in stratified_sample_hash(df, "k", "lang", frac).collect()}
+    b = {
+        r["k"]
+        for r in stratified_sample_hash(
+            df.repartition(13), "k", "lang", frac
+        ).collect()
+    }
+    assert a == b  # partitioning-independent membership
+    buckets = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket_100("k").alias("b")).collect()
+    }
+    expect = {
+        k for k, lang in ((i, "en" if i % 2 == 0 else "fr") for i in range(1000))
+        if buckets[k] < (25 if lang == "en" else 100)
+    }
+    assert a == expect
+    # default fraction drops unknown strata entirely
+    c = stratified_sample_hash(
+        df, "k", "lang", {"de": 1.0}
+    ).count()
+    assert c == 0
