@@ -425,3 +425,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def decontaminate_ngram_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (§2.11): flag corpus documents sharing
+    ≥ ``min_overlap`` distinct word ``n``-grams with an evaluation set —
+    the standard pre-training hygiene step (GPT-3 §C / PaLM-style 13-gram
+    checks use the same shape; n defaults lower here because the test
+    corpus is short).
+
+    Plan: both sides explode their DISTINCT shingles (so a gram repeated
+    inside one doc counts once), then a gram-keyed equi join and a
+    per-doc count. Shuffle payload is (id, gram) pairs; the eval side —
+    tiny by definition (benchmarks are small) — is distinct-ed and lands
+    on the build side. At 100 TB swap the gram STRING for xxhash64(gram)
+    before the shuffle (8-byte keys; same join shape) — exact strings are
+    kept here so the DuckDB oracle can replay the semantics.
+
+    Returns (id_col, n_overlap) for flagged documents only.
+    """
+    c = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    e = (
+        eval_set.select(
+            F.explode(shingles(eval_text_col or text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        c.join(e, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

@@ -338,3 +338,31 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def embedding_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding centroid, long form: (label, pos, mean_v) —
+    the class-prototype computation behind IVF coarse quantizers and
+    nearest-centroid classifiers.
+
+    Plan: posexplode to (label, pos, v) scalars, then a (label, pos)
+    hash agg. The explode widens rows×dim but partial aggregation
+    collapses each map task to ≤ labels×dim running sums before the
+    shuffle — at 100 TB the shuffle carries labels×dim×partitions
+    doubles, never the vectors. Long form keeps the result
+    driver-hashable (no array columns) and feeds a pivot/groupBy
+    re-assembly when an array<float> centroid is needed.
+    """
+    return (
+        emb.select(
+            F.col(label_col),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy(label_col, "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -1469,3 +1469,100 @@ def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+@register(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                     || ' ' || l[i+4]
+                for i in generate_series(1, len(l) - 4)])) AS gram
+      FROM toks),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+    SELECT g.doc_id, count(*) AS n_overlap
+    FROM grams g JOIN ev USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    "§2.11 — benchmark decontamination: corpus docs sharing ≥1 distinct "
+    "word 5-gram with the eval slice (doc_id % 97 = 0 stands in for a "
+    "held-out benchmark). Gram-keyed equi join, distinct shingles per "
+    "side; at 100 TB grams become xxhash64 8-byte keys "
+    "(operators/dedup.py:decontaminate_ngram_overlap).",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate_ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_ngram_overlap(corpus, eval_set, n=5).orderBy("doc_id")
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, i - 1 AS pos,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+           count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, pos ORDER BY label, pos
+    """,
+    "§2.11 — per-label embedding centroids in long form (label, pos, "
+    "mean): posexplode + (label,pos) hash agg with map-side partial "
+    "sums, so the shuffle carries labels×dim running sums, never "
+    "vectors (operators/similarity.py:embedding_centroids).",
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroids(e).orderBy("label", "pos")
+
+
+@register(
+    "window_range_frame",
+    f"""
+    SELECT event_id,
+           strftime(ts, '{TS_FMT}') AS ts,
+           CAST(sum(CAST(value AS DECIMAL(20,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum
+    FROM events
+    ORDER BY event_id
+    """,
+    "§2.6 — RANGE interval frame: per-user rolling 1-hour sum, ordered "
+    "by epoch-microseconds so both engines bound the frame identically "
+    "(timestamp-native RANGE frames truncate differently across "
+    "engines). Decimal accumulation keeps per-frame sums "
+    "partition-order-independent. One shuffle on user_id.",
+)
+def window_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.sum(F.col("value").cast("decimal(20,4)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_1h_sum"),
+        )
+        .orderBy("event_id")
+    )

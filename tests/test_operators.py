@@ -824,3 +824,51 @@ def test_stratified_sample_deterministic_and_consistent_with_split(spark):
         df, "k", "lang", {"de": 1.0}
     ).count()
     assert c == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from etl_airbnb_mex_spark.operators.dedup import decontaminate_ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words appear in this document body"),
+            (3, "prefix filler quick brown fox jumps over suffix filler"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox jumps over everything")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate_ngram_overlap(corpus, eval_set, n=5).collect()
+    }
+    # doc 1 shares 'the quick brown fox jumps' + 'quick brown fox jumps over';
+    # doc 3 shares only the latter; doc 2 is clean.
+    assert got == {1: 2, 3: 1}
+
+
+def test_embedding_centroids_match_numpy(spark):
+    import numpy as np
+
+    from etl_airbnb_mex_spark.operators.similarity import embedding_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    df = spark.createDataFrame(
+        [(labels[i], vecs[i].tolist()) for i in range(30)],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["pos"]): (r["mean_v"], r["n_vecs"])
+        for r in embedding_centroids(df).collect()
+    }
+    for lab in range(3):
+        want = vecs[np.array(labels) == lab].astype("float64").mean(axis=0)
+        for pos in range(8):
+            mean_v, n_vecs = got[(lab, pos)]
+            assert n_vecs == 10
+            assert abs(mean_v - want[pos]) < 1e-5, (lab, pos)
