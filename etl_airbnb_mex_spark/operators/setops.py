@@ -61,9 +61,21 @@ def stratified_sample_hash(
 
     Pure filter — no shuffle; composes with downstream aggs that then
     shuffle only the surviving fraction.
+
+    Granularity is 1% (fractions quantize to ``round(frac · 100)``
+    buckets). A positive fraction that quantizes to zero would silently
+    drop the whole stratum, so it raises instead; fractions between
+    percent points round to the nearest percent.
     """
     from pyspark.sql import functions as F
 
+    for name, frac in {**fractions, "<default>": default}.items():
+        if frac > 0 and int(round(frac * 100)) == 0:
+            raise ValueError(
+                f"stratum {name!r}: fraction {frac} quantizes to 0% "
+                "(granularity is 1/100) — the stratum would be dropped "
+                "entirely; use a fraction ≥ 0.005 or 0.0 explicitly"
+            )
     bucket = hash_bucket_100(key, salt)
     thresh = None
     for name, frac in fractions.items():

@@ -86,27 +86,27 @@ def compare_query(
     _load()
     spec = REGISTRY[name]
     sdf = spec.spark(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
-
     if spec.oracle is not None:
         # Faithfulness to the driver: its pandas canonicalizer
         # sort_values over result columns and cannot hash list/dict
         # cells (round-1 parse_array err, VERDICT.md r1 §Wrong #1).
         # This replica converts lists to tuples and would silently
         # pass, so reject container-typed columns up front — compare
-        # a to_json/array_join rendering instead.
+        # a to_json/array_join rendering instead. Schema-only check,
+        # BEFORE collect(): no point executing a plan just to refuse it.
         bad = [
             f.name for f in sdf.schema.fields
             if f.dataType.typeName() in ("array", "map", "struct")
         ]
         if bad:
             return CompareResult(
-                name, False, len(s_rows), -1,
+                name, False, -1, -1,
                 [f"driver-unhashable container columns {bad}: the real "
                  "driver's pandas canonicalizer dies on these — emit "
                  "to_json(...)/array_join(...) strings instead"],
             )
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
 
     if spec.oracle is None:
         # rows-only check, like the driver's weaker path

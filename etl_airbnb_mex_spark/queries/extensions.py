@@ -1328,9 +1328,14 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize, word_repetition_ratio
 
     d = load_table(spark, sf_dir, "documents")
+    # size(NULL) is -1 under the legacy (ANSI-off) conf while the
+    # oracle's len(NULL list) is NULL — guard so both sides emit NULL
+    # for NULL text.
     return d.select(
         "doc_id",
-        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        F.when(
+            F.col("text").isNotNull(), F.size(tokenize("text"))
+        ).cast("long").alias("n_tokens"),
         word_repetition_ratio("text").alias("rep_ratio"),
     )
 

@@ -872,3 +872,30 @@ def test_embedding_centroids_match_numpy(spark):
             mean_v, n_vecs = got[(lab, pos)]
             assert n_vecs == 10
             assert abs(mean_v - want[pos]) < 1e-5, (lab, pos)
+
+
+def test_stratified_sample_rejects_sub_percent_fraction(spark):
+    from etl_airbnb_mex_spark.operators.setops import stratified_sample_hash
+
+    df = spark.createDataFrame([(1, "en")], "k long, lang string")
+    with pytest.raises(ValueError, match="quantizes to 0%"):
+        stratified_sample_hash(df, "k", "lang", {"en": 0.004})
+
+
+def test_repetition_ratio_null_text_parity(spark):
+    """NULL text must yield NULL n_tokens/rep_ratio (not size()'s -1),
+    matching the DuckDB oracle's len(NULL)."""
+    from etl_airbnb_mex_spark.functions.text import (
+        tokenize,
+        word_repetition_ratio,
+    )
+
+    df = spark.createDataFrame([(None,), ("",), ("a a b",)], "text string")
+    rows = df.select(
+        F.when(F.col("text").isNotNull(), F.size(tokenize("text")))
+        .cast("long").alias("n"),
+        word_repetition_ratio("text").alias("r"),
+    ).collect()
+    assert [(r["n"], r["r"]) for r in rows] == [
+        (None, None), (0, None), (3, 0.333333),
+    ]
