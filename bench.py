@@ -137,14 +137,19 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
 
     out = tempfile.mkdtemp(prefix="bench_pipeline_")
     try:
-        start = time.perf_counter()
-        transform_listings(listings).write.mode("overwrite").parquet(
-            os.path.join(out, "listings")
-        )
-        transform_reviews(reviews).write.mode("overwrite").parquet(
-            os.path.join(out, "reviews")
-        )
-        elapsed = time.perf_counter() - start
+        # Same two-pass methodology as the headline queries: pass 0 warms
+        # codegen/JIT for the transform plans (cold whole-stage compile of
+        # the 33-column transform is ~10 s of JVM work, not data work and
+        # a one-time cost in any long-lived job), pass 1 is recorded.
+        for recorded in (False, True):
+            start = time.perf_counter()
+            transform_listings(listings).write.mode("overwrite").parquet(
+                os.path.join(out, "listings")
+            )
+            transform_reviews(reviews).write.mode("overwrite").parquet(
+                os.path.join(out, "reviews")
+            )
+            elapsed = time.perf_counter() - start
     finally:
         shutil.rmtree(out, ignore_errors=True)
     rows = n_listings + n_reviews

@@ -1571,3 +1571,90 @@ def window_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_multiway_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    "TPC-H Q5-shape six-table join: two fact-fact shuffle joins "
+    "(orders⋈customer, lineitem⋈orders) with supplier/nation/region as "
+    "broadcast dims and the region filter pushed below the joins — the "
+    "multi-join reordering + mixed-strategy case a 100 TB star query "
+    "exercises. Decimal-accumulated revenue for partition-order "
+    "independence.",
+)
+def join_multiway_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(20,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "subquery_above_avg",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 6) AS total
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      AND o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    "Scalar-subquery filter (orders above the global average): the "
+    "decorrelated plan is a broadcast 1-row aggregate joined into the "
+    "scan — same shape Catalyst produces for an uncorrelated scalar "
+    "subquery; no second full scan on the probe side at 100 TB.",
+)
+def subquery_above_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_row = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_row))
+        .filter(
+            (F.col("o_totalprice") > F.col("__avg"))
+            & (F.col("o_orderkey") % 10 == 0)
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 6).alias("total"),
+        )
+        .orderBy("o_orderkey")
+    )

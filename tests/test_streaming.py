@@ -163,3 +163,54 @@ def test_stream_sliding_matches_batch(spark, events_dir):
     )}
     assert got <= batch
     assert len(got) >= len(batch) - 2  # at most the 2 open tail windows
+
+
+def test_stream_stateless_text_ops_match_batch(spark, tmp_path_factory):
+    """The §2.11 text operators are stateless expressions, so the SAME
+    plan runs unchanged under Structured Streaming (kappa property):
+    pii_scrub + repetition_ratio over a file stream must equal the batch
+    result row-for-row."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.functions.text import (
+        pii_scrub,
+        word_repetition_ratio,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("stream_docs") / "docs")
+    spark.createDataFrame(
+        [
+            (1, "mail me me at x@y.io today today"),
+            (2, "clean text no pii here"),
+            (3, "server 10.0.0.1 answered answered answered"),
+        ],
+        "doc_id long, text string",
+    ).repartition(2).write.parquet(docs_dir)
+
+    def transform(df):
+        return df.select(
+            "doc_id",
+            pii_scrub("text").alias("scrubbed"),
+            word_repetition_ratio("text").alias("rep"),
+        )
+
+    batch = {
+        r["doc_id"]: (r["scrubbed"], r["rep"])
+        for r in transform(spark.read.parquet(docs_dir)).collect()
+    }
+    schema = spark.read.parquet(docs_dir).schema
+    q = (
+        transform(spark.readStream.schema(schema).parquet(docs_dir))
+        .writeStream.format("memory")
+        .queryName("stateless_text")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["scrubbed"], r["rep"])
+        for r in spark.sql("SELECT * FROM stateless_text").collect()
+    }
+    assert got == batch
+    assert "<EMAIL>" in got[1][0] and "<IP>" in got[3][0]
