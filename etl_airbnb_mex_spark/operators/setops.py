@@ -121,3 +121,43 @@ def split_by_hash(
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """CDC-style MERGE (upsert) without a table format: the next snapshot
+    is ``updates`` overlaid on ``base`` by key — update rows win on key
+    collision, unmatched update rows insert, unmatched base rows carry
+    over. Schemas must match (enforced), so the overlay is a column-wise
+    coalesce over a full-outer join.
+
+    Scale: ONE shuffle of each side on the key (the same cost Delta/
+    Iceberg MERGE pays before file rewrite); no broadcast assumption, so
+    it holds when updates are large. Deletes are out of scope — model
+    them as a tombstone column filtered downstream.
+
+    Matched rows take the update row WHOLE (decided by the update side's
+    key being present) — a per-column coalesce would silently leak base
+    values through legitimate NULLs in update rows.
+    """
+    from pyspark.sql import functions as F
+
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            "merge_upsert requires identical schemas; got "
+            f"base-only {sorted(set(base.columns) - set(updates.columns))}, "
+            f"updates-only {sorted(set(updates.columns) - set(base.columns))}"
+        )
+    b = base.alias("__b")
+    u = updates.alias("__u")
+    joined = b.join(u, F.col(f"__b.{key}") == F.col(f"__u.{key}"), "full_outer")
+    take_update = F.col(f"__u.{key}").isNotNull()
+    return joined.select(
+        *[
+            F.when(take_update, F.col(f"__u.{c}"))
+            .otherwise(F.col(f"__b.{c}"))
+            .alias(c)
+            for c in base.columns
+        ]
+    )

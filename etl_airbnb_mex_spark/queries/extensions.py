@@ -1658,3 +1658,90 @@ def subquery_above_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "merge_upsert_snapshot",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+             round(c_acctbal + 1000, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 9000000 + r_regionkey AS c_custkey,
+             'new-' || r_name AS c_name, 'NEW' AS c_mktsegment,
+             0.0 AS c_acctbal
+      FROM region),
+    base AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+    SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                ELSE b.c_name END AS c_name,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                ELSE b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                ELSE b.c_acctbal END AS c_acctbal
+    FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    ORDER BY c_custkey
+    """,
+    "CDC MERGE/upsert without a table format "
+    "(operators/setops.py:merge_upsert): deterministic update set (every "
+    "10th customer mutated + 5 inserts from region) overlaid on the base "
+    "snapshot via full-outer join; matched rows take the update row "
+    "whole. One key shuffle per side — the Delta/Iceberg MERGE cost "
+    "model.",
+)
+def merge_upsert_snapshot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    r = load_table(spark, sf_dir, "region")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+    ).unionByName(
+        r.select(
+            (F.lit(9_000_000) + F.col("r_regionkey")).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("r_name")).alias("c_name"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    return merge_upsert(c, updates, "c_custkey").orderBy("c_custkey")
+
+
+@register(
+    "unpivot_metrics",
+    """
+    SELECT o_orderkey, metric, round(value, 6) AS value
+    FROM (SELECT o_orderkey,
+                 round(o_totalprice, 6) AS total_price,
+                 round(o_totalprice * 0.16, 6) AS total_tax
+          FROM orders WHERE o_orderkey % 100 = 0)
+    UNPIVOT (value FOR metric IN (total_price, total_tax))
+    ORDER BY o_orderkey, metric
+    """,
+    "Wide→long unpivot/melt (the inverse of pivot_counts): per-order "
+    "metric rows via the native UNPIVOT operator on both engines — an "
+    "Expand node in Spark, no join, no shuffle beyond the final sort.",
+)
+def unpivot_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("total_price"),
+        F.round(F.col("o_totalprice") * 0.16, 6).alias("total_tax"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderkey"],
+            values=["total_price", "total_tax"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select("o_orderkey", "metric", F.round("value", 6).alias("value"))
+        .orderBy("o_orderkey", "metric")
+    )

@@ -185,3 +185,38 @@ def streaming_counter_state(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    each left row matches right rows with the same key whose timestamp
+    falls in [left_ts − lookback, left_ts] — the streaming twin of the
+    bounded-range as-of/theta join family (purchases joined to the
+    clicks that preceded them).
+
+    State bounds (the 100 TB concern): BOTH sides carry watermarks and
+    the join condition bounds the time range in BOTH directions, so
+    Spark evicts buffered rows once the watermark passes
+    ``left_ts − lookback`` — state is O(events in the lookback window
+    per key), not unbounded. Without the two-sided time bound Spark
+    would have to buffer a whole side forever.
+    """
+    l = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    lts = F.col(f"l.{left_ts}")
+    rts = F.col(f"r.{right_ts}")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts <= lts)
+        & (rts >= lts - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )

@@ -899,3 +899,28 @@ def test_repetition_ratio_null_text_parity(spark):
     assert [(r["n"], r["r"]) for r in rows] == [
         (None, None), (0, None), (3, 0.333333),
     ]
+
+
+def test_merge_upsert_update_row_wins_whole(spark):
+    """Matched keys take the update row ENTIRE — including its NULLs
+    (a per-column coalesce would leak base values through)."""
+    from etl_airbnb_mex_spark.operators.setops import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(base, updates, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: (None, 99.0),   # update row wins whole, NULL included
+        3: ("c", 30.0),
+        4: ("d", 40.0),    # insert
+    }
+
+    with pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(base, updates.drop("v"), "k")

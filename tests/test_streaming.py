@@ -214,3 +214,58 @@ def test_stream_stateless_text_ops_match_batch(spark, tmp_path_factory):
     }
     assert got == batch
     assert "<EMAIL>" in got[1][0] and "<IP>" in got[3][0]
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (purchases ⋈ preceding clicks within
+    1h, per user) equals the equivalent batch join — and the streaming
+    plan is accepted by the engine (two-sided watermark + bounded range
+    means bounded state)."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.streaming import stream_interval_join
+
+    batch_df = spark.read.parquet(events_dir)
+    purchases_b = batch_df.filter(F.col("event_type") == "purchase")
+    clicks_b = batch_df.filter(F.col("event_type") == "click")
+
+    def out_cols(j):
+        return j.select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+
+    lts, rts = F.col("l.ts"), F.col("r.ts")
+    batch = out_cols(
+        purchases_b.alias("l").join(
+            clicks_b.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (rts <= lts)
+            & (rts >= lts - F.expr("INTERVAL 1 hour")),
+        )
+    )
+    expect = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert expect  # fixture must actually produce matches
+
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    joined = stream_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+        key="user_id",
+        lookback="1 hour",
+    )
+    q = (
+        out_cols(joined)
+        .writeStream.format("memory")
+        .queryName("interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM interval_join").collect()
+    }
+    assert got == expect
