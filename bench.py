@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_text_exact",
     "dedup_minhash",
     "near_dedup_corpus",
+    "decontaminate",
     "token_topn",
     "token_count_bpe",
     "tfidf_topk",
@@ -49,6 +50,8 @@ HEADLINE = [
     "sentiment_dist",
     "knn_cosine",
     "knn_cosine_lsh",
+    "merge_upsert_snapshot",
+    "linreg_by_group",
 ]
 
 

@@ -1745,3 +1745,36 @@ def unpivot_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "metric", F.round("value", 6).alias("value"))
         .orderBy("o_orderkey", "metric")
     )
+
+
+@register(
+    "linreg_by_group",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6)
+             AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "Engine extension (SURVEY.md §2.5 notes): per-group ordinary least "
+    "squares via the SQL-standard regr_* aggregates (price vs quantity "
+    "per return flag) — single-pass partial+final hash agg, the moment "
+    "sums ship between stages, no iteration. The trend-analysis shape "
+    "the reference's notebook does driver-side with numpy.",
+)
+def linreg_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
