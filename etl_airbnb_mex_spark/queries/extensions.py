@@ -1778,3 +1778,20 @@ def linreg_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "near_dup_components",
+    None,  # edges come from xxhash64 MinHash estimates — rows-only
+    "§2.11 — connected components over the thresholded near-dup graph "
+    "(operators/dedup.py:connected_components): iterative min-label "
+    "propagation, localCheckpoint-truncated lineage, O(diameter) "
+    "rounds. The cluster-exact companion to near_dedup_corpus's greedy "
+    "policy (near_dedup_canonical keeps exactly one doc per component).",
+)
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+    return connected_components(pairs, src="id_a", dst="id_b").orderBy("node")

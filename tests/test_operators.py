@@ -924,3 +924,66 @@ def test_merge_upsert_update_row_wins_whole(spark):
 
     with pytest.raises(ValueError, match="identical schemas"):
         merge_upsert(base, updates.drop("v"), "k")
+
+
+def test_connected_components_planted(spark):
+    from etl_airbnb_mex_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4 (diameter > 1 round), pair {10,11}, star 20-{15,17}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 15), (20, 17)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   15: 15, 17: 15, 20: 15}
+
+    # empty edge set → empty labeling, no crash
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+
+
+def test_near_dedup_canonical_fixes_star_anomaly(spark):
+    """Star 1~5~3 (via near-identical texts): greedy keeps {1,3} (each
+    min of its own neighborhood); canonical keeps the component min 1."""
+    from etl_airbnb_mex_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dedup_canonical,
+        near_dedup_corpus,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one"),
+            (3, base + " three"),
+            (5, base),
+            (40, "совершенно другой текст без общих слов вовсе никак"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, num_hashes=64, bands=16)
+        .filter(F.col("est_jaccard") >= 0.5).collect()
+    }
+    # precondition: the planted similarities actually form the star
+    assert (1, 5) in pairs and (3, 5) in pairs
+
+    greedy = {
+        r["doc_id"]
+        for r in near_dedup_corpus(docs, threshold=0.5,
+                                   num_hashes=64, bands=16).collect()
+    }
+    canonical = {
+        r["doc_id"]
+        for r in near_dedup_canonical(docs, threshold=0.5,
+                                      num_hashes=64, bands=16).collect()
+    }
+    assert 40 in greedy and 40 in canonical  # unrelated doc untouched
+    assert canonical == {1, 40}
+    # greedy keeps 3 unless (1,3) also paired directly
+    if (1, 3) not in pairs:
+        assert greedy == {1, 3, 40}
