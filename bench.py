@@ -144,7 +144,7 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
         # codegen/JIT for the transform plans (cold whole-stage compile of
         # the 33-column transform is ~10 s of JVM work, not data work and
         # a one-time cost in any long-lived job), pass 1 is recorded.
-        for recorded in (False, True):
+        for _ in range(2):
             start = time.perf_counter()
             transform_listings(listings).write.mode("overwrite").parquet(
                 os.path.join(out, "listings")

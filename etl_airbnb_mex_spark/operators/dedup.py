@@ -533,6 +533,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # Returning unconverged labels would silently violate the
+        # one-label-per-component contract downstream (near_dedup_canonical
+        # would keep several "canonical" docs from one cluster).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph has a "
+            "component with diameter > max_iter; raise max_iter or use "
+            "star-contraction for long-path graphs"
+        )
     return labels
 
 

@@ -124,7 +124,10 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def merge_upsert(
-    base: DataFrame, updates: DataFrame, key: str
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    updates_order_col: str | None = None,
 ) -> DataFrame:
     """CDC-style MERGE (upsert) without a table format: the next snapshot
     is ``updates`` overlaid on ``base`` by key — update rows win on key
@@ -137,10 +140,20 @@ def merge_upsert(
     it holds when updates are large. Deletes are out of scope — model
     them as a tombstone column filtered downstream.
 
-    Matched rows take the update row WHOLE (decided by the update side's
-    key being present) — a per-column coalesce would silently leak base
-    values through legitimate NULLs in update rows.
+    Matched rows take the update row WHOLE (decided by a constant marker
+    on the update side, so it also holds for NULL keys) — a per-column
+    coalesce would silently leak base values through legitimate NULLs in
+    update rows. A NULL-key update row never equi-matches and therefore
+    INSERTS (Delta/Iceberg's NOT MATCHED semantics), it is not dropped.
+
+    Precondition: ``key`` is unique within each input — duplicate keys
+    in ``updates`` fan out against the base row (Delta MERGE raises on
+    multiple matches; enforcing that here would cost an extra shuffle,
+    so it is the caller's contract). For last-write-wins over a CDC
+    batch with several versions per key, pass ``updates_order_col`` and
+    the highest value per key is kept before merging.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if set(base.columns) != set(updates.columns):
@@ -149,10 +162,17 @@ def merge_upsert(
             f"base-only {sorted(set(base.columns) - set(updates.columns))}, "
             f"updates-only {sorted(set(updates.columns) - set(base.columns))}"
         )
+    if updates_order_col is not None:
+        w = Window.partitionBy(key).orderBy(F.desc(updates_order_col))
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     b = base.alias("__b")
-    u = updates.alias("__u")
+    u = updates.withColumn("__from_u", F.lit(1)).alias("__u")
     joined = b.join(u, F.col(f"__b.{key}") == F.col(f"__u.{key}"), "full_outer")
-    take_update = F.col(f"__u.{key}").isNotNull()
+    take_update = F.col("__u.__from_u").isNotNull()
     return joined.select(
         *[
             F.when(take_update, F.col(f"__u.{c}"))

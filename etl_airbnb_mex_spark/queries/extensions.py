@@ -1750,34 +1750,65 @@ def unpivot_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "linreg_by_group",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(30,8))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 6)
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag ORDER BY l_returnflag
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           n
+    FROM m ORDER BY l_returnflag
     """,
     "Engine extension (SURVEY.md §2.5 notes): per-group ordinary least "
-    "squares via the SQL-standard regr_* aggregates (price vs quantity "
-    "per return flag) — single-pass partial+final hash agg, the moment "
-    "sums ship between stages, no iteration. The trend-analysis shape "
-    "the reference's notebook does driver-side with numpy.",
+    "squares (price vs quantity per return flag) — single-pass "
+    "partial+final hash agg of the five moment sums; slope/intercept/r2 "
+    "are closed-form over them, no iteration. The moments accumulate as "
+    "DECIMAL so they are EXACT and partition-order independent (the "
+    "2-dp inputs make every product exact in DECIMAL(30,8)); the final "
+    "double arithmetic is then bit-identical on both engines, so the "
+    "6-dp rounding can never flip — the native regr_* aggregates "
+    "accumulate raw doubles whose merge order differs across engines "
+    "(cross-engine flake the driver hash would catch). Same shape the "
+    "reference's notebook computes driver-side with numpy.",
 )
 def linreg_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.regr_slope(y, x), 6).alias("slope"),
-            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-            F.round(F.regr_r2(y, x), 6).alias("r2"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag")
+    dec = "decimal(30,8)"
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
     )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+        "n",
+    ).orderBy("l_returnflag")
 
 
 @register(

@@ -987,3 +987,38 @@ def test_near_dedup_canonical_fixes_star_anomaly(spark):
     # greedy keeps 3 unless (1,3) also paired directly
     if (1, 3) not in pairs:
         assert greedy == {1, 3, 40}
+
+
+def test_merge_upsert_null_key_inserts_and_lww(spark):
+    from etl_airbnb_mex_spark.operators.setops import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double")
+    updates = spark.createDataFrame(
+        [(None, "nullkey", 5.0), (1, "a2", 2.0), (1, "a3", 3.0)],
+        "k long, name string, v double",
+    )
+    # NULL-key update row INSERTS (NOT MATCHED semantics), not dropped
+    got = sorted(
+        [
+            (r["k"], r["name"], r["v"])
+            for r in merge_upsert(
+                base, updates, "k", updates_order_col="v"
+            ).collect()
+        ],
+        key=repr,
+    )
+    # last-write-wins picked v=3.0 for k=1
+    assert got == sorted(
+        [(1, "a3", 3.0), (None, "nullkey", 5.0)], key=repr
+    )
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from etl_airbnb_mex_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4-5: min label needs 4 rounds to reach node 5
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
