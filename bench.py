@@ -52,6 +52,8 @@ HEADLINE = [
     "knn_cosine_lsh",
     "merge_upsert_snapshot",
     "linreg_by_group",
+    "percentile_by_group",
+    "sequence_pack",
 ]
 
 
