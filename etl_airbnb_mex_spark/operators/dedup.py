@@ -492,6 +492,8 @@ def connected_components(
     The driver-side ``count()`` per round is the convergence test —
     intentional (it is the loop condition, not data movement).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Checkpoint the symmetrized edge list BEFORE the loop: without it
     # every round re-executes the full upstream DAG that produced the

@@ -151,7 +151,11 @@ def merge_upsert(
     multiple matches; enforcing that here would cost an extra shuffle,
     so it is the caller's contract). For last-write-wins over a CDC
     batch with several versions per key, pass ``updates_order_col`` and
-    the highest value per key is kept before merging.
+    the highest value per key is kept before merging; NULL-key rows are
+    exempt from that dedup (each one still inserts), and ties on the
+    order column within a key keep an arbitrary row — for a
+    deterministic snapshot the order column must be unique per key
+    (e.g. a CDC log sequence number, which is unique by construction).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -163,10 +167,13 @@ def merge_upsert(
             f"updates-only {sorted(set(updates.columns) - set(base.columns))}"
         )
     if updates_order_col is not None:
+        # NULL-key rows all land in the window's NULL partition, so an
+        # unconditional rn==1 filter would collapse them to one row —
+        # but each is an independent INSERT; exempt them from the dedup.
         w = Window.partitionBy(key).orderBy(F.desc(updates_order_col))
         updates = (
             updates.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col(key).isNull() | (F.col("__rn") == 1))
             .drop("__rn")
         )
     b = base.alias("__b")

@@ -1907,16 +1907,29 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
-        F.size(tokenize("text")).alias("n_tokens"),
+        # NULL text → NULL n_tokens (not size()'s -1 sentinel): both
+        # engines' sums then skip the row, keeping cum aligned.
+        F.when(F.col("text").isNotNull(), F.size(tokenize("text"))).alias(
+            "n_tokens"
+        ),
         (F.col("doc_id") - (F.col("doc_id") % bucket_width)).alias("__b"),
-    )
+    ).filter(F.col("__b").isNotNull())
+    # ^ doc_id is never NULL (data contract), so the filter is free — but
+    # stating it explicitly makes BOTH consumers' exchange subtrees
+    # canonically identical (the inner join infers isnotnull(__b) on one
+    # side only), which is what lets ReusedExchange fire below.
     w_local = (
         Window.partitionBy("__b")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("__cum_local", F.sum("n_tokens").over(w_local))
-    totals = t.groupBy("__b").agg(F.sum("n_tokens").alias("__tot"))
+    # Bucket totals come from the windowed frame, not a second pass over
+    # t: __cum_local is nondecreasing within a bucket, so its max is the
+    # bucket total, the groupBy reuses the window's hash partitioning on
+    # __b, and both consumers share one Exchange subtree (ReusedExchange)
+    # — the corpus is scanned and tokenized ONCE.
+    totals = local.groupBy("__b").agg(F.max("__cum_local").alias("__tot"))
     w_prefix = (
         Window.orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -1013,6 +1013,29 @@ def test_merge_upsert_null_key_inserts_and_lww(spark):
     )
 
 
+def test_merge_upsert_lww_keeps_every_null_key_insert(spark):
+    from etl_airbnb_mex_spark.operators.setops import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double")
+    updates = spark.createDataFrame(
+        [(None, "n1", 5.0), (None, "n2", 6.0), (1, "a2", 2.0)],
+        "k long, name string, v double",
+    )
+    got = sorted(
+        [
+            (r["k"], r["name"], r["v"])
+            for r in merge_upsert(
+                base, updates, "k", updates_order_col="v"
+            ).collect()
+        ],
+        key=repr,
+    )
+    # both NULL-key rows insert — the LWW dedup only collapses real keys
+    assert got == sorted(
+        [(1, "a2", 2.0), (None, "n1", 5.0), (None, "n2", 6.0)], key=repr
+    )
+
+
 def test_connected_components_raises_when_unconverged(spark):
     from etl_airbnb_mex_spark.operators.dedup import connected_components
 
@@ -1022,3 +1045,40 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
+
+
+def test_sequence_pack_null_text_parity(spark, tmp_path):
+    """A NULL-text document must stay engine-aligned: NULL n_tokens (not
+    size()'s -1), NULL seq columns, and no shift of later docs' cum."""
+    import duckdb
+
+    from etl_airbnb_mex_spark.oracle import compare_query
+    from etl_airbnb_mex_spark.queries import REGISTRY, _load
+
+    _load()
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, None, "en", "web", 0),
+            (3, "delta epsilon", "en", "web", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    result = compare_query(spark, d, "sequence_pack", con)
+    assert result.ok, str(result)
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["sequence_pack"].spark(spark, d).collect()
+    }
+    assert rows[2]["n_tokens"] is None and rows[2]["seq_id"] is None
+    # doc 3 starts right after doc 1's 3 tokens — the NULL row adds 0
+    assert rows[3]["seq_off"] == 3
