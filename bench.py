@@ -54,6 +54,8 @@ HEADLINE = [
     "linreg_by_group",
     "percentile_by_group",
     "sequence_pack",
+    "join_range_binned",
+    "interval_occupancy",
 ]
 
 

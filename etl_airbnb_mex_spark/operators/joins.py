@@ -96,6 +96,56 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def range_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key, rewritten as an
+    equi join on bins (the classic "binned range join" Spark's planner
+    does not do on its own — it falls back to BroadcastNestedLoopJoin,
+    O(|points|·|intervals|), a guaranteed 100 TB scale-killer).
+
+    Each point lands in bin ``floor(point/width)``; each interval
+    explodes to the bins it overlaps (``sequence(floor(lo/w),
+    floor(hi/w))``); the join is then a plain shuffled equi join on the
+    bin id with the exact ``lo <= point <= hi`` predicate as residual.
+    Every matching (point, interval) pair meets in exactly ONE bin (the
+    point's own), so no post-join dedup is needed.
+
+    Cost: |intervals| inflates by ``avg_span/width + 1`` and the
+    shuffle is O(n) on bin keys — pick ``bin_width`` near the typical
+    interval span so inflation stays ~2×. Dense value regions make hot
+    bins; at scale combine with AQE skew-join or a finer width.
+
+    Returns the inner-joined frame with all columns from both inputs.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width))
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    joined = p.join(
+        iv,
+        (p["__bin"] == iv["__bin"])
+        & (p[point_col] >= iv[lo_col])
+        & (p[point_col] <= iv[hi_col]),
+    )
+    return joined.drop("__bin")
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

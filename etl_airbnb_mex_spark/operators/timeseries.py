@@ -8,7 +8,7 @@ oracle-checkable face of the same operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import month_trunc
@@ -73,3 +73,42 @@ def session_window_agg(
         )
         .orderBy(key, "session_start")
     )
+
+
+def interval_occupancy(
+    df: DataFrame, start_col: str, end_col: str,
+) -> DataFrame:
+    """Occupancy curve: for every boundary day, how many intervals
+    [start, end] (dates, inclusive) are active.
+
+    The naive formulation is a range join (calendar × intervals,
+    ``start <= day <= end``) — BroadcastNestedLoopJoin, O(days·n).
+    This is the sweep-line rewrite: each interval contributes +1 at
+    ``start`` and −1 at ``end + 1 day``, deltas hash-aggregate by day
+    (ONE shuffle, partial aggs map-side), and a running sum over the
+    aggregated day axis yields the step function. Linear in input,
+    and the final ordered window runs over DISTINCT boundary days
+    (thousands), not raw rows — that is why the single-partition
+    global window is acceptable; for a multi-year ms-resolution axis,
+    range-partition by time and two-level prefix-sum instead.
+
+    Output: one row per boundary day — (day, delta, n_active), where
+    n_active counts intervals with start <= day <= end. Between
+    consecutive boundary days the curve is constant.
+    """
+    deltas = df.select(
+        F.to_date(start_col).alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        df.select(
+            F.date_add(F.to_date(end_col), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    agg = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return agg.select(
+        "day", "delta", F.sum("delta").over(w).alias("n_active")
+    ).orderBy("day")

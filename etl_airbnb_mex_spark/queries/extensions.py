@@ -31,6 +31,7 @@ from ..operators.joins import (
     anti_join,
     asof_join,
     broadcast_dim_join,
+    range_bin_join,
     semi_join,
 )
 from ..operators.similarity import (
@@ -38,8 +39,18 @@ from ..operators.similarity import (
     knn_cosine,
     knn_cosine_lsh,
 )
-from ..operators.timeseries import session_window_agg, tumbling_window_agg
-from ..operators.windows import lag_delta, moving_avg, rank_topn_per_group
+from ..operators.timeseries import (
+    interval_occupancy,
+    session_window_agg,
+    tumbling_window_agg,
+)
+from ..operators.windows import (
+    equidepth_histogram,
+    lag_delta,
+    moving_avg,
+    rank_topn_per_group,
+    scd2_intervals,
+)
 from ..tables import load_table
 from . import register
 
@@ -1947,3 +1958,252 @@ def sequence_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum - n_tokens) div {ctx}").alias("seq_id"),
         (start % ctx).cast("bigint").alias("seq_off"),
     )
+
+
+@register(
+    "join_range_binned",
+    """
+    SELECT s_suppkey, count(*) AS n_within_100
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "Pure-range join (NO equi key) rewritten as a binned equi join "
+    "(operators/joins.py:range_bin_join): Spark would otherwise plan "
+    "BroadcastNestedLoopJoin, O(|supplier|x|customer|). Bins of width "
+    "200 = the +-100 interval span, so each interval lands in <=2 bins "
+    "and matching pairs meet in exactly one. The oracle runs the naive "
+    "theta join — identical result proves the rewrite.",
+)
+def join_range_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("__lo"),
+        (F.col("s_acctbal") + 100).alias("__hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    j = range_bin_join(c, s, "c_acctbal", "__lo", "__hi", bin_width=200.0)
+    return (
+        j.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_within_100"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "interval_occupancy",
+    """
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS lo,
+             CAST(o_orderdate AS DATE)
+               + CAST(1 + o_orderkey % 28 AS INTEGER) AS hi
+      FROM orders
+    ), deltas AS (
+      SELECT lo AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT hi + 1, -1 FROM iv
+    ), agg AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, delta,
+           CAST(sum(delta) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_active
+    FROM agg ORDER BY day
+    """,
+    "Interval-occupancy curve (open orders per day; each order stays "
+    "open 1 + o_orderkey % 28 days) via the sweep-line rewrite "
+    "(operators/timeseries.py:interval_occupancy): +1/-1 deltas, ONE "
+    "hash agg by day, prefix sum over the aggregated day axis — linear "
+    "where the naive calendar x intervals range join is O(days*n). The "
+    "oracle computes the same sweep in SQL.",
+)
+def interval_occupancy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.to_date("o_orderdate").alias("lo"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.lit(1) + F.col("o_orderkey") % 28).cast("int"),
+        ).alias("hi"),
+    )
+    occ = interval_occupancy(iv, "lo", "hi")
+    return occ.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        "n_active",
+    ).orderBy("day")
+
+
+@register(
+    "join_asof_forward",
+    f"""
+    SELECT p.event_id,
+           strftime(p.ts, '{TS_FMT}') AS ts,
+           strftime(c.ts, '{TS_FMT}') AS next_ts,
+           c.value AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY p.event_id
+    """,
+    "Forward as-of join (nearest-LATER click per purchase, per user) — "
+    "same union+ordered-window plan as join_asof, direction flipped "
+    "(first/ignoreNulls over a following frame). ONE shuffle on "
+    "(key, ts); equal timestamps match, mirroring DuckDB ASOF's "
+    "inclusive <=.",
+)
+def join_asof_forward_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["ts", "value"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("next_ts"),
+        F.col("asof_value").alias("next_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scd2_intervals",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '{TS_FMT}') AS valid_from,
+           strftime(lead(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id),
+             '{TS_FMT}') AS valid_to
+    FROM changes ORDER BY user_id, valid_from
+    """,
+    "SCD type-2 interval builder (operators/windows.py:scd2_intervals): "
+    "collapse each user's event stream into [valid_from, valid_to) "
+    "state-validity intervals; NULL valid_to = current state. One "
+    "shuffle on the key; both windows share the partitioning.",
+)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        ev, key="user_id", ts_col="ts", state_col="event_type",
+        tiebreak="event_id",
+    )
+    return iv.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "dq_checks",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+             count(DISTINCT o_orderkey) AS n_keys,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust,
+             sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                 THEN 1 ELSE 0 END) AS n_bad_price,
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                 THEN 1 ELSE 0 END) AS n_bad_status
+      FROM orders
+    )
+    SELECT check_name, n_violations, n_violations = 0 AS pass
+    FROM (
+      SELECT 'orderkey_unique' AS check_name,
+             CAST(n - n_keys AS BIGINT) AS n_violations FROM a
+      UNION ALL SELECT 'custkey_not_null', CAST(n_null_cust AS BIGINT) FROM a
+      UNION ALL SELECT 'totalprice_in_range', CAST(n_bad_price AS BIGINT) FROM a
+      UNION ALL SELECT 'orderstatus_in_set', CAST(n_bad_status AS BIGINT) FROM a
+    ) ORDER BY check_name
+    """,
+    "Deequ-style data-quality report: uniqueness, completeness, range "
+    "and domain checks computed in ONE aggregation pass (partial aggs "
+    "map-side), then unpivoted to a row per check. count(DISTINCT key) "
+    "is exact by parity requirement; at 100 TB swap to "
+    "approx_count_distinct like approx_distinct does.",
+)
+def dq_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        F.sum(
+            ((F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1000000))
+            .cast("long")
+        ).alias("n_bad_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("n_bad_status"),
+    )
+    checks = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orderkey_unique").alias("check_name"),
+                    (F.col("n") - F.col("n_keys")).alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("custkey_not_null").alias("check_name"),
+                    F.col("n_null_cust").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("totalprice_in_range").alias("check_name"),
+                    F.col("n_bad_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orderstatus_in_set").alias("check_name"),
+                    F.col("n_bad_status").alias("n_violations"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select(
+        F.col("c.check_name").alias("check_name"),
+        F.col("c.n_violations").alias("n_violations"),
+        (F.col("c.n_violations") == 0).alias("pass"),
+    ).orderBy("check_name")
+
+
+@register(
+    "histogram_equidepth",
+    """
+    WITH r AS (
+      SELECT c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM customer
+    )
+    SELECT CAST((rn - 1) * 10 // n AS BIGINT) + 1 AS bin,
+           count(*) AS cnt,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM r GROUP BY bin ORDER BY bin
+    """,
+    "Equi-depth histogram (10 ~equal-count bins over c_acctbal) via the "
+    "distributed exact global rank "
+    "(operators/windows.py:equidepth_histogram): repartitionByRange + "
+    "per-partition row_number + 32-row offset metadata — NO single-task "
+    "ntile sort. Bin = floor((rank-1)*k/n), written identically in the "
+    "oracle SQL.",
+)
+def histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return equidepth_histogram(c, "c_acctbal", k=10, tiebreak="c_custkey")

@@ -1082,3 +1082,118 @@ def test_sequence_pack_null_text_parity(spark, tmp_path):
     assert rows[2]["n_tokens"] is None and rows[2]["seq_id"] is None
     # doc 3 starts right after doc 1's 3 tokens — the NULL row adds 0
     assert rows[3]["seq_off"] == 3
+
+
+def test_range_bin_join_matches_naive(spark):
+    """Binned rewrite must return exactly the naive theta join's pairs,
+    including intervals spanning many bins and points on bin edges."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.operators.joins import range_bin_join
+
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([-5.0, 0.0, 2.0, 10.0, 10.0001, 99.5])],
+        "pid long, val double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, -10.0, -1.0),
+            (2, 0.0, 0.0),        # degenerate single-point interval
+            (3, 1.5, 95.0),       # spans ~10 bins of width 10
+            (4, 10.0001, 10.0001),
+            (5, 200.0, 300.0),    # matches nothing
+        ],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_bin_join(
+            points, intervals, "val", "lo", "hi", bin_width=10.0
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points["val"] >= intervals["lo"])
+            & (points["val"] <= intervals["hi"]),
+        ).collect()
+    )
+    assert got == naive
+    assert (3, 3) in got and (1, 2) in got
+    with pytest.raises(ValueError, match="bin_width"):
+        range_bin_join(points, intervals, "val", "lo", "hi", bin_width=0)
+
+
+def test_interval_occupancy_sweep(spark):
+    import datetime
+
+    from etl_airbnb_mex_spark.operators.timeseries import interval_occupancy
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            (d(2020, 1, 1), d(2020, 1, 3)),
+            (d(2020, 1, 2), d(2020, 1, 2)),
+            (d(2020, 1, 10), d(2020, 1, 10)),
+        ],
+        "lo date, hi date",
+    )
+    rows = {
+        r["day"]: (r["delta"], r["n_active"])
+        for r in interval_occupancy(df, "lo", "hi").collect()
+    }
+    # boundaries: +1@1-1, +1@1-2, -1@1-3(=2's hi+1), -1@1-4, +1/-1@1-10/1-11
+    assert rows[d(2020, 1, 1)] == (1, 1)
+    assert rows[d(2020, 1, 2)] == (1, 2)
+    assert rows[d(2020, 1, 3)] == (-1, 1)   # interval 2 closed, 1 still open
+    assert rows[d(2020, 1, 4)] == (-1, 0)
+    assert rows[d(2020, 1, 10)] == (1, 1)
+    assert rows[d(2020, 1, 11)] == (-1, 0)
+
+
+def test_scd2_intervals_state_changes(spark):
+    import datetime
+
+    from etl_airbnb_mex_spark.operators.windows import scd2_intervals
+
+    t = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, t(2020, 1, 1), "a", 10),
+            (1, t(2020, 1, 2), "a", 11),   # same state — no new interval
+            (1, t(2020, 1, 3), "b", 12),
+            (1, t(2020, 1, 4), "a", 13),   # back to a — NEW interval
+            (2, t(2020, 1, 1), "x", 14),
+        ],
+        "k long, ts timestamp, state string, eid long",
+    )
+    got = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(df, "k", "ts", "state", "eid").collect()
+    )
+    assert got == [
+        (1, "a", t(2020, 1, 1), t(2020, 1, 3)),
+        (1, "a", t(2020, 1, 4), None),
+        (1, "b", t(2020, 1, 3), t(2020, 1, 4)),
+        (2, "x", t(2020, 1, 1), None),
+    ]
+
+
+def test_equidepth_histogram_exact_ranks(spark):
+    """Distributed rank must reproduce floor((rank-1)k/n) bins exactly —
+    counts differ by at most 1 across bins and cover all rows."""
+    from etl_airbnb_mex_spark.operators.windows import equidepth_histogram
+
+    n, k = 1007, 10
+    df = spark.createDataFrame(
+        [((i * 7919) % n / 3.0, i) for i in range(n)], "v double, id long"
+    )
+    rows = equidepth_histogram(df, "v", k=k, tiebreak="id").collect()
+    assert [r["bin"] for r in rows] == list(range(1, k + 1))
+    counts = [r["cnt"] for r in rows]
+    assert sum(counts) == n
+    assert max(counts) - min(counts) <= 1
+    # bins are ordered, non-overlapping value ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
