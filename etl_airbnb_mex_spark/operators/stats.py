@@ -67,25 +67,35 @@ def percentiles(
     """A7 — exact percentiles at the reference's cut points (nb:cell9:37-41).
 
     ``method='agg'`` (default) is a LAZY single percentile aggregate —
-    safe to compose into larger plans. ``method='bracket'`` runs the
-    two-phase distributed algorithm in
-    :func:`exact_percentiles_bracket` EAGERLY at call time (2–3 jobs;
-    same exact values, ~2× faster at sf0.1 and no full-column buffer) —
-    use it when the result is consumed immediately, not composed.
-    Rounding goes through F.round on both paths so HALF_UP semantics
+    safe to compose into larger plans, but its per-partition value map +
+    single-threaded merge is the hot spot (3.1 s at sf0.1) and a 100 TB
+    OOM risk. ``method='sortrank'`` runs :func:`exact_percentiles_sortrank`
+    EAGERLY (range shuffle + per-partition rank pick; 1.2–1.6 s at
+    sf0.1, shuffle-bounded memory — the registered driver query).
+    ``method='bracket'`` is the sketch-bracket alternative in
+    :func:`exact_percentiles_bracket` (no shuffle of the column, but
+    3 blocking jobs whose fixed latency benched slower).
+    Rounding goes through F.round on all paths so HALF_UP semantics
     match the rest of the module and the oracle (Python's round() is
     half-even on the binary value and diverges on trailing-5 digits).
     """
-    if method not in ("agg", "bracket"):
-        raise ValueError(f"method must be 'agg' or 'bracket', got {method!r}")
-    if method == "bracket" and approx:
+    if method not in ("agg", "bracket", "sortrank"):
         raise ValueError(
-            "method='bracket' computes EXACT percentiles; combining it "
+            f"method must be 'agg', 'bracket' or 'sortrank', got {method!r}"
+        )
+    if method != "agg" and approx:
+        raise ValueError(
+            f"method={method!r} computes EXACT percentiles; combining it "
             "with approx=True is contradictory — use method='agg' with "
             "approx=True for the sketch-based path"
         )
-    if method == "bracket":
-        vals = exact_percentiles_bracket(df, col, ps)
+    if method in ("bracket", "sortrank"):
+        fn = (
+            exact_percentiles_bracket
+            if method == "bracket"
+            else exact_percentiles_sortrank
+        )
+        vals = fn(df, col, ps)
         raw = df.sparkSession.createDataFrame(
             [tuple(vals[p] for p in ps)],
             ", ".join(f"`p{int(p * 100)}` double" for p in ps),
@@ -200,6 +210,90 @@ def exact_percentiles_bracket(
         ).collect()[0]["q"]
         for p, v in zip(fallback_ps, exact):
             out[p] = float(v) if v is not None else None
+    return out
+
+
+def exact_percentiles_sortrank(
+    df: DataFrame, col: str, ps: tuple[float, ...],
+    num_partitions: int | None = None,
+) -> dict[float, float | None]:
+    """EXACT linear-interpolated percentiles via distributed sort-rank —
+    the fastest exact path measured (1.2–1.6 s vs 3.1 s agg / 2.3 s
+    bracket at sf0.1) and the one whose memory is shuffle-bounded at
+    100 TB (no full-column aggregation buffer, no sketch):
+
+    1. Range-shuffle the non-null column once and ``localCheckpoint`` the
+       partitioned frame — the checkpoint materializes ONE projected
+       column to executor-local storage (same footprint as the shuffle
+       files) and lets the two downstream jobs skip the
+       range-partitioner sample pass + shuffle instead of recomputing
+       them (the lazy single-query formulation re-executes both per
+       branch and benched 5× slower).
+    2. Per-partition row counts (metadata-sized collect: one long per
+       partition) → driver-side prefix sum gives each partition's global
+       rank offset and the total n.
+    3. The ≤ 2·len(ps) needed global ranks map to (partition, local
+       rank) pairs; one partition-local ``row_number`` window (no
+       further shuffle of data rows) filters exactly those rows —
+       a ≤ 2·len(ps)-row collect — and the driver interpolates.
+
+    Same rank semantics as DuckDB ``quantile_cont`` / pandas
+    ``quantile``: value at fractional rank k=(n−1)·p interpolated
+    between floor/ceil ranks. Returns {p: value}, None for an empty
+    column.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .repartitionByRange(num_partitions, "v")
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        return {p: None for p in ps}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # needed global ranks (0-based) → (pid, 1-based local row_number)
+    ranks: set[int] = set()
+    for p in ps:
+        k = (n - 1) * p
+        ranks.add(int(k // 1))
+        ranks.add(-int(-k // 1))
+    need: dict[int, tuple[int, int]] = {}
+    for rank in ranks:
+        pid = max(q for q in offsets if offsets[q] <= rank)
+        need[rank] = (pid, rank - offsets[pid] + 1)
+    from pyspark.sql import Window
+
+    wloc = Window.partitionBy("pid").orderBy("v")
+    pred = F.lit(False)
+    for pid, rn in need.values():
+        pred = pred | ((F.col("pid") == pid) & (F.col("rn") == rn))
+    rows = (
+        part.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(wloc))
+        .filter(pred)
+        .collect()
+    )
+    by_loc = {(r["pid"], r["rn"]): r["v"] for r in rows}
+    out: dict[float, float | None] = {}
+    for p in ps:
+        k = (n - 1) * p
+        lo, hi = int(k // 1), -int(-k // 1)
+        v_lo, v_hi = by_loc[need[lo]], by_loc[need[hi]]
+        out[p] = float(v_lo + (k - lo) * (v_hi - v_lo))
     return out
 
 

@@ -39,28 +39,69 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-#: Driver-surface ordering. The round-1 driver verified only the FIRST 50
-#: registry entries in iteration order, so the highest-value operators —
-#: the LLM-training-data pipeline and §2.10 event windows — must sit
-#: immediately after the 37 core reference ops (VERDICT.md round 1,
-#: "Next round" #2). Entries named here come first, in this order; every
-#: other entry follows in registration order. Gated O(n²) demos
-#: (ngram_jaccard) and redundant variants are pushed to the very end by
-#: _DEMOTED so a truncated check spends its budget on operators users hit.
+#: Driver-surface ordering. The driver verifies only the FIRST 50
+#: registry entries in iteration order, so each round the window must
+#: rotate to the entries with the weakest driver provenance (VERDICT.md
+#: round 2, "Next round" #2/#4). Round-3 window = the 35 oracle-bearing
+#: entries NEVER driver-checked (CORRECTNESS_r01 ∪ r02, incl.
+#: join_salted_skew per ADVICE.md) + the 13 entries whose r1 green rows
+#: went stale when operators/joins.py / setops / windows changed + the 2
+#: highest-value rows-only entries, = exactly 50. The 63 already-green
+#: r1/r2 rows follow in registration order; gated O(n²) demos stay last.
 _PRIORITY: tuple[str, ...] = (
-    "sentiment_score",      # F13 — the one §2 row that was local-only in r1
-    "dedup_text_exact",
-    "knn_cosine",
-    "token_topn",
-    "quality_filter",
-    "window_tumbling_agg",
-    "window_session_agg",
-    "dataset_split",
-    "agg_rollup",
-    "pivot_counts",
-    "sentiment_dist",
-    "window_sliding_agg",
-    "token_count_bpe",
+    # -- 35 oracle-bearing, never driver-checked --
+    "window_range_frame",       # freshly fixed (NTZ cast) — verify first
+    "join_salted_skew",
+    "group_collect",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_dense_rank",
+    "window_first_last",
+    "window_ntile",
+    "window_cume_dist",
+    "json_extract",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "cosine_near_dup",
+    "pii_scrub",
+    "repetition_ratio",
+    "tfidf_topk",
+    "bigram_topn",
+    "sample_stratified",
+    "decontaminate",
+    "embedding_centroids",
+    "join_multiway_revenue",
+    "subquery_above_avg",
+    "merge_upsert_snapshot",
+    "unpivot_metrics",
+    "linreg_by_group",
+    "percentile_by_group",
+    "sequence_pack",
+    "join_range_binned",
+    "interval_occupancy",
+    "join_asof_forward",
+    "scd2_intervals",
+    "dq_checks",
+    "histogram_equidepth",
+    # -- 13 stale-r1 entries (code changed after their green rows) --
+    "join_inner_fk",
+    "join_broadcast_dim",
+    "join_left_semi",
+    "join_left_anti",
+    "join_range_theta",
+    "join_asof",
+    "set_union_by_name",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "window_rank_topn",
+    "window_moving_avg",
+    "window_lag_delta",
+    # -- 2 rows-only entries with the most scale-critical plans --
+    "dedup_minhash",
+    "near_dedup_corpus",
 )
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")
@@ -68,15 +109,13 @@ _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")
 
 def _ordered() -> list[QuerySpec]:
     _load()
-    core_first = [s for s in REGISTRY.values() if s.spark.__module__.endswith(".core")]
+    prio = [REGISTRY[n] for n in _PRIORITY if n in REGISTRY]
     rest = [
         s for s in REGISTRY.values()
-        if not s.spark.__module__.endswith(".core")
-        and s.name not in _PRIORITY and s.name not in _DEMOTED
+        if s.name not in _PRIORITY and s.name not in _DEMOTED
     ]
-    prio = [REGISTRY[n] for n in _PRIORITY if n in REGISTRY]
     demoted = [REGISTRY[n] for n in _DEMOTED if n in REGISTRY]
-    return core_first + prio + rest + demoted
+    return prio + rest + demoted
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -403,12 +403,14 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile is the documented 100 TB swap (SURVEY.md §4.3).",
 )
 def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bracket method: the driver executes this immediately, so the eager
-    # two-phase algorithm is appropriate here (lazy agg is the default
-    # for composition contexts).
+    # method="sortrank": range shuffle + per-partition rank pick —
+    # fastest exact path measured (1.2–1.6 s vs agg 3.1 s / bracket
+    # 2.3 s at sf0.1, VERDICT.md r2 perf #3) and shuffle-bounded memory
+    # at 100 TB (no full-column percentile buffer). agg stays the lazy
+    # composable default; bracket the no-shuffle alternative.
     return stats.percentiles(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
-        method="bracket",
+        method="sortrank",
     )
 
 

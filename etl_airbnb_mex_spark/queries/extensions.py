@@ -1568,7 +1568,10 @@ def window_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # Cast: testdata stores ts as TIMESTAMP_NTZ, which pyspark>=4.1's
+        # unix_micros rejects; the session TZ is pinned UTC so NTZ→TZ is
+        # value-preserving.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

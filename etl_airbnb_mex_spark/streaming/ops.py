@@ -23,6 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _event_time(sdf: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (with zone).
+
+    Parquet written with ``TIMESTAMP_NTZ`` is rejected by
+    ``withWatermark`` under pyspark>=4.1
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``). The session timezone is
+    pinned UTC throughout this engine, so the NTZ→TZ cast is
+    value-preserving. Applied at the streaming-source boundary so every
+    operator below sees a watermark-eligible column.
+    """
+    if dict(sdf.dtypes).get(ts_col) == "timestamp_ntz":
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sdf
+
+
 def stream_tumbling_agg(
     sdf: DataFrame,
     ts_col: str = "ts",
@@ -35,7 +50,8 @@ def stream_tumbling_agg(
     Late rows beyond ``watermark_delay`` are dropped and their windows
     finalized (append-mode emittable)."""
     return (
-        sdf.withWatermark(ts_col, watermark_delay)
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(ts_col, window).alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -62,7 +78,8 @@ def stream_sliding_agg(
 ) -> DataFrame:
     """Sliding event-time windows (each event in window/slide windows)."""
     return (
-        sdf.withWatermark(ts_col, watermark_delay)
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(ts_col, window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -88,7 +105,8 @@ def stream_session_agg(
     """Session windows (gap-based) per key — the streaming twin of
     operators.timeseries.session_window_agg."""
     return (
-        sdf.withWatermark(ts_col, watermark_delay)
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -111,8 +129,10 @@ def stream_dedup_within_watermark(
     (dropDuplicatesWithinWatermark): the streaming face of D1. State per
     key is evicted once the watermark passes — bounded memory, unlike an
     unbounded dropDuplicates."""
-    return sdf.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
@@ -209,8 +229,8 @@ def stream_interval_join(
     per key), not unbounded. Without the two-sided time bound Spark
     would have to buffer a whole side forever.
     """
-    l = left.withWatermark(left_ts, watermark_delay).alias("l")
-    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    l = _event_time(left, left_ts).withWatermark(left_ts, watermark_delay).alias("l")
+    r = _event_time(right, right_ts).withWatermark(right_ts, watermark_delay).alias("r")
     lts = F.col(f"l.{left_ts}")
     rts = F.col(f"r.{right_ts}")
     return l.join(

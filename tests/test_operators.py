@@ -621,6 +621,47 @@ def test_bracket_percentiles_equal_exact_agg(spark, sf_dir):
             assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)
 
 
+def test_sortrank_percentiles_equal_exact_agg(spark, sf_dir):
+    """The distributed sort-rank algorithm (the registered driver path)
+    must equal the exact percentile aggregate bit-for-bit on real data
+    and adversarial shapes: duplicates/skew (all mass in few range
+    partitions), tiny n (ranks at partition edges), single value,
+    empty column, and NULLs interleaved."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        exact_percentiles_sortrank,
+    )
+
+    ps = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    cases = [
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_extendedprice").alias("x")
+        ),
+        spark.range(2000).select(
+            F.when(F.col("id") % 10 != 0, 0.0)
+            .otherwise(F.col("id").cast("double")).alias("x")
+        ),
+        spark.range(3).select(F.col("id").cast("double").alias("x")),
+        spark.range(1).select(F.lit(42.0).alias("x")),
+        # NULLs interleaved — must be excluded from ranks like the agg
+        spark.range(100).select(
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.col("id").cast("double")).alias("x")
+        ),
+    ]
+    for df in cases:
+        truth = df.agg(
+            F.percentile("x", F.array(*[F.lit(p) for p in ps]))
+        ).collect()[0][0]
+        got = exact_percentiles_sortrank(df, "x", ps)
+        for p, t in zip(ps, truth):
+            assert got[p] == pytest.approx(t, abs=1e-9), (p, got[p], t)
+    # empty column → all None
+    empty = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    assert all(
+        v is None for v in exact_percentiles_sortrank(empty, "x", ps).values()
+    )
+
+
 def test_bracket_percentiles_ties_do_not_collect_column(spark):
     """Regression (review finding): a bracket landing on a 90%-duplicated
     value must count the tied mass, not collect it — values are exact

@@ -1,12 +1,17 @@
 """Registry-surface invariants the driver contract depends on.
 
-Round 1's driver verified only the FIRST 50 entries of ``queries()`` in
-iteration order (VERDICT.md r1), so ordering is part of the contract:
-the 37 core reference ops plus the highest-value LLM-pipeline /
-event-window queries must land inside that window.
+The driver verifies only the FIRST 50 entries of ``queries()`` in
+iteration order (VERDICT.md r1/r2), so ordering is part of the
+contract: each round the window rotates to the entries with the weakest
+driver provenance. Round 3's window = the 35 never-checked
+oracle-bearing entries + 13 stale-r1 entries + 2 rows-only plans
+(queries/__init__.py:_PRIORITY).
 """
 
 from __future__ import annotations
+
+import json
+import pathlib
 
 from etl_airbnb_mex_spark.queries import (
     REGISTRY,
@@ -16,24 +21,43 @@ from etl_airbnb_mex_spark.queries import (
     all_queries,
 )
 
+_REPO = pathlib.Path(__file__).resolve().parent.parent
 
-def test_priority_ops_inside_driver_window():
+
+def test_priority_ops_fill_driver_window_exactly():
     names = list(all_queries())
-    window = set(names[:50])
-    missing = [n for n in _PRIORITY if n not in window]
-    assert not missing, f"priority ops outside first-50 window: {missing}"
+    assert len(_PRIORITY) == 50
+    assert names[:50] == list(_PRIORITY)
 
 
-def test_core_ops_lead_the_ordering():
-    names = list(all_queries())
-    n_core = sum(
-        1 for s in REGISTRY.values() if s.spark.__module__.endswith(".core")
-    )
-    core_names = {
-        s.name for s in REGISTRY.values()
-        if s.spark.__module__.endswith(".core")
-    }
-    assert set(names[:n_core]) == core_names
+def test_window_covers_all_unverified_oracle_entries():
+    """After this round's driver run, every oracle-bearing entry must
+    have a CORRECTNESS row in some round — the r2 verdict's top gap."""
+    checked: set[str] = set()
+    for f in _REPO.glob("CORRECTNESS_r*.json"):
+        checked |= set(json.loads(f.read_text()))
+    window = set(list(all_queries())[:50])
+    unverified = [
+        n for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in checked and n not in window
+    ]
+    assert not unverified, f"oracle entries never driver-checked and outside window: {unverified}"
+
+
+def test_every_query_survives_analysis(spark, sf_dir):
+    """Analysis-time smoke over the WHOLE registry (no execution): build
+    each query's DataFrame and force analysis via ``.schema``. This is
+    the cheap guard that would have caught both pyspark-4.1 TIMESTAMP_NTZ
+    breakages (unix_micros rejection, withWatermark rejection) without
+    running a single job (VERDICT.md r2, "Next round" #5)."""
+    failures = []
+    for name, fn in all_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            _ = df.schema
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "analysis-time failures:\n" + "\n".join(failures)
 
 
 def test_ordering_is_complete_and_stable():
