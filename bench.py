@@ -56,6 +56,10 @@ HEADLINE = [
     "sequence_pack",
     "join_range_binned",
     "interval_occupancy",
+    "funnel_conversion",
+    "sessionize_ids",
+    "vocab_prune",
+    "sample_weighted",
 ]
 
 

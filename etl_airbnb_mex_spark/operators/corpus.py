@@ -78,3 +78,48 @@ def bigram_topn(docs: DataFrame, text_col: str, n: int = 20) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(n)
     )
+
+
+def vocab_prune(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_frac: float = 0.8,
+) -> DataFrame:
+    """C4-style boilerplate-token pruning: drop every token whose
+    DOCUMENT frequency exceeds ``df_frac`` of the corpus (ubiquitous
+    tokens carry no training signal), preserving the order of the
+    surviving tokens. Returns (id, pruned_text, n_removed).
+
+    Plan: one distinct-token explode + hash agg finds the hot set; by
+    construction it is tiny (tokens present in > df_frac of ALL
+    documents — bounded by 1/df_frac times the per-doc vocabulary, not
+    by corpus size), so it collects to the driver and inlines into a
+    per-row array filter: the second pass is a pure in-row expression
+    with NO shuffle and no join. At a df_frac low enough to make the
+    hot set large, switch to the posexplode + broadcast-anti-join +
+    re-assemble form instead of lifting the list into the plan.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_docs = docs.count()
+    hot_rows = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .filter(F.col("dc") > df_frac * n_docs)
+        .collect()
+    )
+    hot = sorted(r["tok"] for r in hot_rows)
+    if not hot:
+        return docs.select(
+            id_col,
+            F.col(text_col).alias("pruned_text"),
+            F.lit(0).cast("long").alias("n_removed"),
+        )
+    hot_arr = F.array(*[F.lit(t) for t in hot])
+    kept = F.filter(toks, lambda t: ~F.array_contains(hot_arr, t))
+    return docs.select(
+        id_col,
+        F.array_join(kept, " ").alias("pruned_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

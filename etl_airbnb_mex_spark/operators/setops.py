@@ -20,8 +20,8 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)
 
 
-def hash_bucket_100(key: str, salt: int = 2654435761):
-    """Bucket in [0, 100): (k·salt) mod 2³² mod 100, computed without
+def hash_bucket(key: str, m: int, salt: int = 2654435761):
+    """Bucket in [0, m): (k·salt) mod 2³² mod m, computed without
     int64 overflow — reduce the key to 32 bits first, then split
     k = hi·2¹⁶ + lo so every intermediate stays < 2⁴⁹
     ((a·c) mod m == ((a mod m)·c) mod m keeps it exact).
@@ -40,7 +40,55 @@ def hash_bucket_100(key: str, salt: int = 2654435761):
         + lo * F.lit(salt),
         F.lit(2 ** 32),
     )
-    return F.pmod(h, F.lit(100))
+    return F.pmod(h, F.lit(m))
+
+
+def hash_bucket_100(key: str, salt: int = 2654435761):
+    """Percent-granularity bucket — see :func:`hash_bucket`."""
+    return hash_bucket(key, 100, salt)
+
+
+def weighted_sample_hash(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    rate_scale: float = 1.0,
+    salt: int = 2654435761,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: row i is kept with
+    probability ``rate_scale · w_i / max(w)`` (clamped to 1), decided by
+    pure integer arithmetic — keep iff
+    ``hash_bucket(key, granularity) < floor(p_i · granularity)``.
+
+    Training-data use: importance-sample a corpus by a quality score —
+    the inclusion decision is stable across runs, engines, and
+    partitioning (unlike ``sample()``'s partition-seeded RNG), and a
+    kept row stays kept when the corpus grows (as long as max(w) is
+    pinned), so experiment cohorts stay comparable.
+
+    Plan: ONE aggregate for max(w) joined back as a broadcast scalar
+    (1-row BroadcastNestedLoopJoin — the scalar pattern, not a data
+    cross join), then a pure per-row filter: no shuffle of data rows at
+    all. The probability product ``w/maxw·granularity`` uses only IEEE
+    double ×,÷ and floor — all exactly specified, so every engine
+    computes the identical threshold.
+    """
+    from pyspark.sql import functions as F
+
+    mx = df.agg(F.max(weight_col).alias("__maxw"))
+    thresh = F.floor(
+        F.least(
+            F.col(weight_col) * F.lit(rate_scale) / F.col("__maxw"),
+            F.lit(1.0),
+        )
+        * F.lit(granularity)
+    )
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(hash_bucket(key, granularity, salt) < thresh)
+        .drop("__maxw")
+    )
 
 
 def stratified_sample_hash(

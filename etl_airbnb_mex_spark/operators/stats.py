@@ -213,6 +213,73 @@ def exact_percentiles_bracket(
     return out
 
 
+def feature_scale(
+    df: DataFrame, cols: tuple[str, ...], keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """ML-prep feature scaling: per column, min-max to [0,1] and
+    z-score (sample stddev), appended as ``<col>_minmax`` /
+    ``<col>_z``. Constant columns yield NULL (0/0 guard via nullif)
+    rather than NaN so sinks and oracles agree.
+
+    Plan: ONE aggregate pass computes all 4·len(cols) statistics
+    (partial + final hash agg), joined back as a broadcast 1-row scalar;
+    the scaling itself is a pure projection — no shuffle of data rows.
+    Float policy: round to 6 dp (same as describe_stats — absorbs the
+    ~1e-12 summation-order variance of avg/stddev across engines).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.avg(c).alias(f"__mu_{c}"),
+            F.stddev_samp(c).alias(f"__sd_{c}"),
+        ]
+    stats_row = df.agg(*aggs)
+    scaled = []
+    for c in cols:
+        rng = F.nullif(F.col(f"__mx_{c}") - F.col(f"__mn_{c}"), F.lit(0.0))
+        sd = F.nullif(F.col(f"__sd_{c}"), F.lit(0.0))
+        scaled += [
+            _r((F.col(c) - F.col(f"__mn_{c}")) / rng).alias(f"{c}_minmax"),
+            _r((F.col(c) - F.col(f"__mu_{c}")) / sd).alias(f"{c}_z"),
+        ]
+    return df.crossJoin(F.broadcast(stats_row)).select(
+        *keep, *cols, *scaled
+    )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    id_cols: tuple[str, ...],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Grouped z-score anomaly screen: rows whose value deviates more
+    than ``threshold`` sample standard deviations from their group mean.
+    The grouped generalization of A15's IQR outlier gate.
+
+    Plan: group stats are ONE hash agg over (group_cols) — a frame with
+    one row per group, broadcast back onto the stream (the group domain
+    is small by assumption; for high-cardinality groups the join flips
+    to a shuffle join automatically by size). Filter + projection only
+    after the join: no second shuffle. The threshold compares the
+    ROUNDED z (6 dp) so both engines gate on the identical value.
+    """
+    stats_df = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = _r((F.col(value_col) - F.col("__mu"))
+           / F.nullif(F.col("__sd"), F.lit(0.0)))
+    return (
+        df.join(F.broadcast(stats_df), list(group_cols))
+        .select(*id_cols, *group_cols, F.col(value_col), z.alias("z"))
+        .filter(F.abs(F.col("z")) > threshold)
+    )
+
+
 def exact_percentiles_sortrank(
     df: DataFrame, col: str, ps: tuple[float, ...],
     num_partitions: int | None = None,

@@ -2210,3 +2210,226 @@ def dq_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return equidepth_histogram(c, "c_acctbal", k=10, tiebreak="c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Round-3 extensions: behavior analytics, corpus hygiene, ML-prep.
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_signup,
+           (SELECT count(*) FROM s2) AS n_view,
+           (SELECT count(*) FROM s3) AS n_purchase,
+           round((SELECT count(*) FROM s2)
+                 / nullif((SELECT count(*) FROM s1), 0), 6) AS rate_signup_view,
+           round((SELECT count(*) FROM s3)
+                 / nullif((SELECT count(*) FROM s2), 0), 6) AS rate_view_purchase
+    """,
+    "Ordered funnel (signup -> view -> purchase): per-stage distinct-user "
+    "counts where stage i+1 requires an event at/after the user's first "
+    "stage-i event. Per stage: type filter pushed to the scan, "
+    "groupBy(user) min(ts), join to the previous frontier on user_id — "
+    "every shuffle keys on user_id so the exchanges co-partition "
+    "(operators/behavior.py:funnel_conversion).",
+)
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.behavior import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(ev, stages=("signup", "view", "purchase"))
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH fu AS (
+      SELECT user_id, date_trunc('week', CAST(min(ts) AS DATE)) AS cw
+      FROM events GROUP BY user_id)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort,
+           CAST(datediff('day', cw, date_trunc('week', CAST(e.ts AS DATE))) // 7
+                AS INTEGER) AS period_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN fu USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "Weekly cohort retention grid: users bucketed by the Monday-start "
+    "week of their first event; per (cohort, week-offset) the distinct "
+    "cohort users active. One groupBy(user) pass + one user_id join + "
+    "one (cohort, offset) hash agg; exact countDistinct for oracle "
+    "parity with the approx_count_distinct swap documented "
+    "(operators/behavior.py:cohort_retention).",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.behavior import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")
+
+
+@register(
+    "sessionize_ids",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_idx
+    FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events)
+    ORDER BY event_id
+    """,
+    "Per-event session labeling (30-min gap): the event-granularity "
+    "companion of session_window (which only aggregates). ONE shuffle on "
+    "user_id serves both the lag and the running-sum window (shared "
+    "partitioning + sort, ties broken by event_id); gap arithmetic in "
+    "integer microseconds matches epoch_us exactly "
+    "(operators/behavior.py:sessionize).",
+)
+def sessionize_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.behavior import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30).orderBy("event_id")
+
+
+@register(
+    "vocab_prune",
+    """
+    WITH n AS (SELECT count(*) AS c FROM documents),
+    dfreq AS (
+      SELECT tok, count(DISTINCT doc_id) AS dc
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok),
+    hotlist AS (
+      SELECT coalesce(list(tok ORDER BY tok), []) AS hl
+      FROM dfreq, n WHERE dc > 0.8 * c)
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       t -> NOT list_contains(hl, t)),
+                           ' ') AS pruned_text,
+           CAST(len(string_split(text, ' '))
+                - len(list_filter(string_split(text, ' '),
+                                  t -> NOT list_contains(hl, t)))
+             AS BIGINT) AS n_removed
+    FROM documents, hotlist ORDER BY doc_id
+    """,
+    "C4-style boilerplate-token pruning: tokens present in > 80% of "
+    "documents are removed, order-preserving. The hot set is bounded by "
+    "construction (<= per-doc vocabulary / df_frac), so it inlines into "
+    "a pure in-row array filter — second pass has NO shuffle and no "
+    "join (operators/corpus.py:vocab_prune; the broadcast-anti-join "
+    "form is documented for low df_frac).",
+)
+def vocab_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import vocab_prune
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_prune(d, "doc_id", "text", df_frac=0.8).orderBy("doc_id")
+
+
+@register(
+    "feature_scale",
+    """
+    WITH s AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+             avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd
+      FROM orders)
+    SELECT o_orderkey, o_totalprice,
+           round((o_totalprice - mn) / nullif(mx - mn, 0), 6)
+             AS o_totalprice_minmax,
+           round((o_totalprice - mu) / nullif(sd, 0), 6) AS o_totalprice_z
+    FROM orders, s ORDER BY o_orderkey
+    """,
+    "ML-prep feature scaling (min-max + z-score) for o_totalprice: ONE "
+    "aggregate pass for all statistics, broadcast back as a 1-row "
+    "scalar, then a pure projection — no data-row shuffle "
+    "(operators/stats.py:feature_scale). 6-dp rounding absorbs "
+    "summation-order variance (describe_stats policy).",
+)
+def feature_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import feature_scale
+
+    o = load_table(spark, sf_dir, "orders")
+    return feature_scale(
+        o, cols=("o_totalprice",), keep=("o_orderkey",)
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "sample_weighted",
+    """
+    WITH mx AS (SELECT max(o_totalprice) AS maxw FROM orders),
+    k AS (
+      SELECT o_orderkey, o_totalprice, maxw,
+             ((o_orderkey % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM orders, mx),
+    b AS (
+      SELECT o_orderkey, o_totalprice, maxw,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 1000000 AS bucket
+      FROM k)
+    SELECT o_orderkey, o_totalprice
+    FROM b
+    WHERE bucket < floor(least(o_totalprice / maxw, 1.0) * 1000000)
+    ORDER BY o_orderkey
+    """,
+    "Deterministic weighted Bernoulli sample: keep probability "
+    "proportional to o_totalprice (p = w/max(w)), decided by the "
+    "overflow-safe multiplicative hash at 1e-6 granularity — membership "
+    "is stable across runs/engines/partitioning, and the threshold uses "
+    "only IEEE-exact x,/,floor so both engines compute it identically "
+    "(operators/setops.py:weighted_sample_hash). max(w) broadcast as a "
+    "1-row scalar; the sample itself is a pure filter, no shuffle.",
+)
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import weighted_sample_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        weighted_sample_hash(o, "o_orderkey", "o_totalprice")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+           round((value - mu) / nullif(sd, 0), 6) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs(round((value - mu) / nullif(sd, 0), 6)) > 3.0
+    ORDER BY event_id
+    """,
+    "Grouped z-score anomaly screen (|z| > 3 within event_type): group "
+    "stats are one hash agg broadcast back onto the stream; filter + "
+    "projection after the join, no second shuffle. Gate compares the "
+    "ROUNDED z so both engines make the identical cut "
+    "(operators/stats.py:anomaly_zscore).",
+)
+def anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return anomaly_zscore(
+        ev, "value", group_cols=("event_type",), id_cols=("event_id",)
+    ).orderBy("event_id")

@@ -1238,3 +1238,120 @@ def test_equidepth_histogram_exact_ranks(spark):
     # bins are ordered, non-overlapping value ranges
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 behavior / corpus / sampling operators
+# ---------------------------------------------------------------------------
+
+def test_funnel_monotone_and_ordering_enforced(spark):
+    """Stage counts must be monotone non-increasing, and a user whose
+    purchase PRECEDES their first view must not count as converted."""
+    from etl_airbnb_mex_spark.operators.behavior import funnel_conversion
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # u2: purchase BEFORE view -> reaches view stage only
+        (2, "signup", "2024-01-01 09:00:00"),
+        (2, "purchase", "2024-01-01 09:30:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # u3: never signed up -> counted nowhere
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 08:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = funnel_conversion(ev).collect()[0]
+    assert (got["n_signup"], got["n_view"], got["n_purchase"]) == (2, 2, 1)
+    assert got["rate_signup_view"] == 1.0
+    assert got["rate_view_purchase"] == 0.5
+
+
+def test_sessionize_matches_session_window_count(spark, sf_dir):
+    """The number of (user, session) labels must equal the number of
+    session_window groups — same gap, same data, two formulations."""
+    from etl_airbnb_mex_spark.operators.behavior import sessionize
+    from etl_airbnb_mex_spark.operators.timeseries import session_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    n_labeled = (
+        sessionize(ev, gap_minutes=30)
+        .select("user_id", "session_idx")
+        .distinct()
+        .count()
+    )
+    n_windows = session_window_agg(
+        ev, ts_col="ts", key="user_id", gap="30 minutes"
+    ).count()
+    assert n_labeled == n_windows
+
+
+def test_vocab_prune_no_hot_tokens_is_identity(spark):
+    from etl_airbnb_mex_spark.operators.corpus import vocab_prune
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in vocab_prune(docs, "doc_id", "text").collect()}
+    assert out[1]["pruned_text"] == "alpha beta"
+    assert all(r["n_removed"] == 0 for r in out.values())
+
+
+def test_vocab_prune_removes_only_hot_preserving_order(spark):
+    from etl_airbnb_mex_spark.operators.corpus import vocab_prune
+
+    docs = spark.createDataFrame(
+        [(1, "the quick the fox"), (2, "the lazy dog"), (3, "the end")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           vocab_prune(docs, "doc_id", "text", df_frac=0.5).collect()}
+    assert out[1]["pruned_text"] == "quick fox"
+    assert out[1]["n_removed"] == 2
+    assert out[3]["pruned_text"] == "end"
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    """Same input -> identical membership across calls; zero-weight rows
+    never sampled; the max-weight row always sampled (p=1 and
+    hash < granularity except measure-zero); inclusion is stable under
+    repartitioning."""
+    from etl_airbnb_mex_spark.operators.setops import weighted_sample_hash
+
+    o = load_table(spark, sf_dir, "orders")
+    a = {r["o_orderkey"] for r in
+         weighted_sample_hash(o, "o_orderkey", "o_totalprice").collect()}
+    b = {r["o_orderkey"] for r in
+         weighted_sample_hash(o.repartition(17), "o_orderkey",
+                              "o_totalprice").collect()}
+    assert a == b and 0 < len(a) < o.count()
+    # empirical size tracks sum(p_i) within sampling noise
+    maxw = o.agg(F.max("o_totalprice")).collect()[0][0]
+    expected = o.agg(
+        F.sum(F.least(F.col("o_totalprice") / F.lit(maxw), F.lit(1.0)))
+    ).collect()[0][0]
+    assert abs(len(a) - expected) <= 4 * math.sqrt(expected)
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark):
+    from etl_airbnb_mex_spark.operators.stats import anomaly_zscore
+
+    rows = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(100)]
+    rows.append((100, "a", 10_000.0))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = anomaly_zscore(df, "value", ("event_type",), ("event_id",)).collect()
+    assert [r["event_id"] for r in got] == [100]
+
+
+def test_feature_scale_constant_column_yields_null(spark):
+    from etl_airbnb_mex_spark.operators.stats import feature_scale
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "k long, v double")
+    got = feature_scale(df, cols=("v",), keep=("k",)).collect()
+    assert all(r["v_minmax"] is None and r["v_z"] is None for r in got)
