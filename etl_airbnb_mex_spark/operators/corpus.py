@@ -80,6 +80,42 @@ def bigram_topn(docs: DataFrame, text_col: str, n: int = 20) -> DataFrame:
     )
 
 
+def dup_ngram_fraction(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of a
+    document's word n-grams that are duplicates (1 − distinct/total).
+    High values flag template/boilerplate spam a quality gate drops.
+    Complements ``repetition_ratio`` (token-level) with phrase-level
+    evidence. Returns (id, n_ngrams, dup_ngram_frac).
+
+    Plan: built ENTIRELY in-row — n-grams via transform over a position
+    sequence with array slices, the fraction via array_distinct — one
+    codegen'd projection, no explode, no shuffle at all.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    ngs = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = F.size(ngs)
+    frac = F.when(
+        cnt > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(ngs)) / cnt, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        id_col,
+        cnt.cast("long").alias("n_ngrams"),
+        frac.alias("dup_ngram_frac"),
+    )
+
+
 def vocab_prune(
     docs: DataFrame,
     id_col: str,

@@ -174,6 +174,59 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def bloom_prefilter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Runtime-filter join: hash the build side's distinct keys into an
+    m-bit bloom bitmap (k=1 hash), prefilter the probe side against the
+    bitmap, THEN run the exact join — the result is byte-identical to
+    ``probe.join(build, key, how)`` (bloom false positives only let
+    extra rows through to the exact join; nothing true is lost).
+
+    The 100 TB case: a selective dim filter leaves build-side keys that
+    are few but too many to broadcast as a hash-join build; shipping a
+    fixed-size bitmap (m/8 bytes regardless of key count) lets the
+    probe side drop non-matching rows BEFORE its shuffle — the same
+    idea as Spark's own runtime bloom pushdown
+    (spark.sql.optimizer.runtime.bloomFilter), expressed as a plan.
+
+    Plan: distinct build keys → (word, bit) hash agg into m/64 bitmap
+    words; the probe joins the bitmap on word via broadcast hash join
+    (the bitmap is m/64 rows — 16 K rows at the default 1 Mbit — far
+    under any broadcast threshold), keeps rows whose bit is set, then
+    exact-joins. Supported ``how``: inner / left_semi (the prefilter
+    would break outer semantics on the probe side, so others raise).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, got {how!r} "
+            "(the prefilter drops probe rows, which breaks outer joins)"
+        )
+    pos = F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits))
+    word = F.floor(pos / 64).cast("long").alias("__word")
+    # shiftleft with a column amount needs the SQL form (the pyspark
+    # wrapper only takes a literal int amount).
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__bit AS INT))")
+    bitmap = (
+        build.select(F.col(key)).distinct()
+        .select(word, F.pmod(pos, F.lit(64)).cast("int").alias("__bit"))
+        .groupBy("__word")
+        .agg(F.bit_or(mask).alias("__bits"))
+    )
+    probed = (
+        probe.withColumn("__word", F.floor(pos / 64).cast("long"))
+        .withColumn("__bit", F.pmod(pos, F.lit(64)).cast("int"))
+        .join(F.broadcast(bitmap), "__word")
+        .filter(F.col("__bits").bitwiseAND(mask) != 0)
+        .drop("__word", "__bit", "__bits")
+    )
+    return probed.join(build, key, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

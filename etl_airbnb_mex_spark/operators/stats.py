@@ -213,6 +213,27 @@ def exact_percentiles_bracket(
     return out
 
 
+def mad_robust(df: DataFrame, col: str) -> DataFrame:
+    """Robust location/scale: median and MAD (median absolute deviation)
+    — the outlier-resistant alternative to mean/stddev for skewed
+    distributions (A15's IQR cousin). One row: (median, mad).
+
+    Plan: two chained median aggregates in ONE lazy plan — the first
+    median broadcasts back as a 1-row scalar, deviations are a pure
+    projection, the second median aggregates them. Exact medians for
+    oracle parity; at 100 TB swap both for ``percentile_approx`` (or
+    the sortrank path) — shape unchanged.
+    """
+    med = df.agg(F.median(col).alias("__med"))
+    return (
+        df.crossJoin(F.broadcast(med))
+        .agg(
+            _r(F.first("__med")).alias("median"),
+            _r(F.median(F.abs(F.col(col) - F.col("__med")))).alias("mad"),
+        )
+    )
+
+
 def feature_scale(
     df: DataFrame, cols: tuple[str, ...], keep: tuple[str, ...] = (),
 ) -> DataFrame:

@@ -26,6 +26,68 @@ def monthly_counts(df: DataFrame, ts_col: str) -> DataFrame:
     )
 
 
+def monthly_counts_gapfill(df: DataFrame, ts_col: str) -> DataFrame:
+    """A11 extension — monthly counts over a COMPLETE month spine:
+    months with no rows appear with cnt=0 (the gap-filling every
+    time-series chart/SLA report needs; a groupBy alone silently skips
+    empty months).
+
+    Plan: the spine generates from the 1-row min/max aggregate via
+    ``sequence`` + explode — its size is the number of months in the
+    data's range (metadata-scale, never data-scale), so the explode and
+    the left join against the monthly aggregate are both tiny; the only
+    data-sized work is the same single hash agg monthly_counts runs.
+    """
+    mdate = F.date_trunc("month", F.col(ts_col)).cast("date")
+    bounds = df.agg(
+        F.min(mdate).alias("__mn"), F.max(mdate).alias("__mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr("INTERVAL 1 MONTH"))
+        ).alias("__m")
+    )
+    counts = df.groupBy(mdate.alias("__m")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        spine.join(counts, "__m", "left")
+        .select(
+            F.date_format("__m", "yyyy-MM-dd").alias("month"),
+            F.coalesce("__cnt", F.lit(0)).alias("cnt"),
+        )
+        .orderBy("month")
+    )
+
+
+def monthly_cumulative(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Running (year-to-date-style) totals per month: monthly count and
+    decimal-exact value sum plus their cumulative sums.
+
+    Plan: one data-sized hash agg by month; the cumulative window runs
+    over the AGGREGATED month axis (tiny), so the unpartitioned ordered
+    window is bounded by the number of months, never by input rows —
+    the same aggregate-then-window pattern as interval_occupancy.
+    """
+    monthly = df.groupBy(
+        F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(20,4)")).alias("__s"),
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "cnt",
+        F.col("__s").cast("double").alias("sum_value"),
+        F.sum("cnt").over(w).alias("cum_cnt"),
+        F.sum("__s").over(w).cast("double").alias("cum_value"),
+    ).orderBy("month")
+
+
 def date_range(df: DataFrame, ts_col: str) -> DataFrame:
     """A12 — min/max over a date column (nb:cell10:22-24)."""
     return df.agg(

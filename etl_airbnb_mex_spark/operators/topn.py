@@ -44,3 +44,22 @@ def mode(df: DataFrame, key: str) -> DataFrame:
     """A2 variant — most frequent value (nb:cell14:40-45), deterministic
     tie-break by key."""
     return topn_by_count(df, key, 1)
+
+
+def mode_by_group(df: DataFrame, group: str, key: str) -> DataFrame:
+    """Per-group mode: the most frequent ``key`` within each ``group``
+    (ties break by key asc). The grouped generalization of :func:`mode`.
+
+    Plan: one (group, key) hash agg, then one window partitioned by
+    group ranking by count — both stages shuffle on group-prefixed keys
+    so the window reuses the aggregation's partitioning pattern; no
+    global sort, no collect.
+    """
+    counts = df.groupBy(group, key).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group).orderBy(F.desc("cnt"), F.asc(key))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(group, key, "cnt")
+        .orderBy(group)
+    )

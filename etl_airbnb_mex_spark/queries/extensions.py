@@ -2433,3 +2433,167 @@ def anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_zscore(
         ev, "value", group_cols=("event_type",), id_cols=("event_id",)
     ).orderBy("event_id")
+
+
+@register(
+    "dup_ngram_frac",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ng AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+      FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_ngrams,
+             round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS f
+      FROM ng GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           coalesce(f, 0.0) AS dup_ngram_frac
+    FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+    """,
+    "Gopher-style within-document repetition: fraction of word bigrams "
+    "that are duplicates. Built ENTIRELY in-row (transform over a "
+    "position sequence + array_distinct) — one codegen'd projection, no "
+    "explode, no shuffle (operators/corpus.py:dup_ngram_fraction).",
+)
+def dup_ngram_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import dup_ngram_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_ngram_fraction(d, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    "Runtime bloom-filter join: the build side's (filtered) distinct "
+    "keys hash into a fixed-size bitmap broadcast onto the probe, which "
+    "drops non-matching rows BEFORE its shuffle; the exact join then "
+    "guarantees a byte-identical result (false positives only pass "
+    "extra rows to the exact join). The oracle is the plain join — "
+    "equivalence IS the contract "
+    "(operators/joins.py:bloom_prefilter_join).",
+)
+def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"))
+    )
+    return bloom_prefilter_join(li, o, "okey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "monthly_gapfill",
+    """
+    WITH b AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS mn,
+             date_trunc('month', max(o_orderdate)) AS mx
+      FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m FROM b),
+    c AS (
+      SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt
+      FROM orders GROUP BY 1)
+    SELECT strftime(spine.m, '%Y-%m-%d') AS month,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+    FROM spine LEFT JOIN c ON spine.m = c.m ORDER BY month
+    """,
+    "A11 extension — monthly counts over a COMPLETE month spine (empty "
+    "months appear as 0). Spine explodes from the 1-row min/max "
+    "aggregate (metadata-scale); the only data-sized work is the same "
+    "hash agg monthly_counts runs "
+    "(operators/timeseries.py:monthly_counts_gapfill).",
+)
+def monthly_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import monthly_counts_gapfill
+
+    o = load_table(spark, sf_dir, "orders")
+    return monthly_counts_gapfill(o, "o_orderdate")
+
+
+@register(
+    "monthly_cumulative",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             count(*) AS cnt,
+             sum(CAST(o_totalprice AS DECIMAL(20,4))) AS s
+      FROM orders GROUP BY 1)
+    SELECT month, cnt,
+           CAST(s AS DOUBLE) AS sum_value,
+           CAST(sum(cnt) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cnt,
+           CAST(sum(s) OVER (ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_value
+    FROM m ORDER BY month
+    """,
+    "Running YTD-style totals per month: decimal-exact monthly sums, "
+    "cumulative window over the AGGREGATED month axis (bounded by "
+    "months, never input rows — the aggregate-then-window pattern) "
+    "(operators/timeseries.py:monthly_cumulative).",
+)
+def monthly_cumulative_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import monthly_cumulative
+
+    o = load_table(spark, sf_dir, "orders")
+    return monthly_cumulative(o, "o_orderdate", "o_totalprice")
+
+
+@register(
+    "mad_robust",
+    """
+    WITH m AS (SELECT median(l_extendedprice) AS med FROM lineitem)
+    SELECT round(max(med), 6) AS median,
+           round(median(abs(l_extendedprice - med)), 6) AS mad
+    FROM lineitem, m
+    """,
+    "Robust location/scale: median + MAD — two chained median "
+    "aggregates in ONE lazy plan (first broadcasts back as a 1-row "
+    "scalar); exact for parity, approx/sortrank swap documented "
+    "(operators/stats.py:mad_robust).",
+)
+def mad_robust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import mad_robust
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mad_robust(li, "l_extendedprice")
+
+
+@register(
+    "mode_by_group",
+    """
+    SELECT lang, source, cnt FROM (
+      SELECT lang, source, count(*) AS cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, source ASC) AS rn
+      FROM documents GROUP BY lang, source)
+    WHERE rn = 1 ORDER BY lang
+    """,
+    "Per-group mode (most frequent source per lang, ties by source "
+    "asc): one (group,key) hash agg + one group-partitioned window — "
+    "no global sort (operators/topn.py:mode_by_group).",
+)
+def mode_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topn import mode_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return mode_by_group(d, "lang", "source")

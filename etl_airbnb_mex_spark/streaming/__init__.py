@@ -9,6 +9,7 @@ are oracle-checked; the streaming variants here add watermarks and state.
 from .ops import (
     stream_dedup_within_watermark,
     stream_interval_join,
+    stream_merge_upsert_sink,
     stream_session_agg,
     stream_sliding_agg,
     stream_tumbling_agg,
@@ -18,6 +19,7 @@ from .ops import (
 __all__ = [
     "stream_dedup_within_watermark",
     "stream_interval_join",
+    "stream_merge_upsert_sink",
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_tumbling_agg",

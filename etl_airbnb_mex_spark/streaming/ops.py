@@ -207,6 +207,55 @@ def streaming_counter_state(
     )
 
 
+def stream_merge_upsert_sink(
+    sdf: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    order_col: str | None = None,
+):
+    """CDC apply loop: keep a parquet snapshot current from a change
+    stream by MERGE-upserting every micro-batch via ``foreachBatch`` —
+    the serving-table pattern when no table format (Delta/Iceberg) is
+    available. Returns a ``DataStreamWriter``; the caller sets
+    trigger/checkpoint and starts it.
+
+    Each batch: read the current snapshot, overlay the batch with
+    :func:`~etl_airbnb_mex_spark.operators.setops.merge_upsert`
+    (last-write-wins within the batch when ``order_col`` is given),
+    write to ``<snapshot_dir>.tmp`` — which MATERIALIZES the merge
+    before the old snapshot is touched — then swap directories. The
+    swap is not crash-atomic (a failure between remove and rename
+    loses the old dir, the checkpoint replays the batch); production
+    uses a table format's atomic commit instead — the batch logic is
+    identical there (MERGE INTO).
+
+    Scale: the merge shuffles both sides once on the key (what any
+    MERGE pays); foreachBatch reuses the batch engine so AQE applies
+    per micro-batch.
+    """
+    import os
+    import shutil
+
+    from ..operators.setops import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+        else:
+            base = spark.createDataFrame([], batch_df.schema)
+        merged = merge_upsert(
+            base, batch_df, key, updates_order_col=order_col
+        )
+        tmp = snapshot_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    return sdf.writeStream.foreachBatch(_apply).outputMode("append")
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

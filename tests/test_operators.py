@@ -1355,3 +1355,57 @@ def test_feature_scale_constant_column_yields_null(spark):
     df = spark.createDataFrame([(1, 5.0), (2, 5.0)], "k long, v double")
     got = feature_scale(df, cols=("v",), keep=("k",)).collect()
     assert all(r["v_minmax"] is None and r["v_z"] is None for r in got)
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
+    """Bloom prefilter + exact join must be byte-identical to the plain
+    join — even with a tiny bitmap (64 bits → heavy false positives,
+    which only means less pruning, never wrong rows)."""
+    from etl_airbnb_mex_spark.operators.joins import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("okey"), "o_totalprice")
+        if "okey" in load_table(spark, sf_dir, "orders").columns
+        else load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    expected = sorted(
+        map(tuple, li.join(o, "okey").collect())
+    )
+    for m_bits in (1 << 20, 64):
+        got = sorted(
+            map(tuple, bloom_prefilter_join(li, o, "okey", m_bits=m_bits).collect())
+        )
+        assert got == expected, f"m_bits={m_bits}"
+    # left_semi supported too
+    semi_expected = sorted(map(tuple, li.join(o, "okey", "left_semi").collect()))
+    semi_got = sorted(
+        map(tuple, bloom_prefilter_join(li, o, "okey", how="left_semi").collect())
+    )
+    assert semi_got == semi_expected
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prefilter_join(li, o, "okey", how="left")
+
+
+def test_dup_ngram_fraction_short_docs(spark):
+    from etl_airbnb_mex_spark.operators.corpus import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "one"), (3, "x y z"), (4, "t t t t")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dup_ngram_fraction(docs, "doc_id", "text", n=2).collect()}
+    # doc1 bigrams: [a b, b a, a b, b a] -> 2 distinct of 4 -> 0.5
+    assert out[1]["n_ngrams"] == 4 and out[1]["dup_ngram_frac"] == 0.5
+    # single-token doc: no bigrams, frac 0
+    assert out[2]["n_ngrams"] == 0 and out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == 0.0
+    # doc4 bigrams: [t t] x3 -> 1 distinct of 3
+    assert out[4]["dup_ngram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)

@@ -42,6 +42,12 @@ _QUEUED_FOR_NEXT_ROTATION = {
     "feature_scale",
     "sample_weighted",
     "anomaly_zscore",
+    "dup_ngram_frac",
+    "join_bloom_prefilter",
+    "monthly_gapfill",
+    "monthly_cumulative",
+    "mad_robust",
+    "mode_by_group",
 }
 
 

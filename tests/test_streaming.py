@@ -269,3 +269,43 @@ def test_stream_interval_join_matches_batch(spark, events_dir):
         for r in spark.sql("SELECT * FROM interval_join").collect()
     }
     assert got == expect
+
+
+def test_stream_merge_upsert_sink_cdc_apply(spark, tmp_path_factory):
+    """foreachBatch CDC apply: a change stream keeps a parquet snapshot
+    current across restarts — batch 1 seeds, batch 2 (after restart with
+    the same checkpoint) updates one key and inserts another; the final
+    snapshot shows last-write-wins per key with carried-over rows."""
+    from etl_airbnb_mex_spark.streaming import stream_merge_upsert_sink
+
+    root = tmp_path_factory.mktemp("cdc")
+    changes_dir = str(root / "changes")
+    snapshot_dir = str(root / "snapshot")
+    ckpt = str(root / "ckpt")
+    schema = "k long, v string, seq long"
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(changes_dir)
+        q = (
+            stream_merge_upsert_sink(sdf, snapshot_dir, "k", order_col="seq")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two inserts, including two versions of k=1 (LWW in-batch)
+    spark.createDataFrame(
+        [(1, "a0", 1), (1, "a1", 2), (2, "b0", 1)], schema
+    ).write.mode("append").parquet(changes_dir)
+    run_once()
+    snap1 = {r["k"]: r["v"] for r in spark.read.parquet(snapshot_dir).collect()}
+    assert snap1 == {1: "a1", 2: "b0"}
+
+    # batch 2: update k=2, insert k=3; k=1 must carry over untouched
+    spark.createDataFrame([(2, "b1", 2), (3, "c0", 1)], schema).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    run_once()
+    snap2 = {r["k"]: r["v"] for r in spark.read.parquet(snapshot_dir).collect()}
+    assert snap2 == {1: "a1", 2: "b1", 3: "c0"}
