@@ -60,6 +60,7 @@ HEADLINE = [
     "sessionize_ids",
     "vocab_prune",
     "sample_weighted",
+    "corpus_pipeline",
 ]
 
 

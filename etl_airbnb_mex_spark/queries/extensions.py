@@ -2597,3 +2597,23 @@ def mode_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mode_by_group(d, "lang", "source")
+
+
+@register(
+    "corpus_pipeline",
+    None,  # MinHash stage (xxhash64 LSH) is not DuckDB-expressible — rows-only
+    "End-to-end LLM hygiene pipeline (plans/corpus.py): quality gate -> "
+    "PII scrub -> exact dedup -> MinHash near-dedup -> decontamination "
+    "vs an eval slice, composed as ONE lazy plan. Text never enters a "
+    "shuffle (md5 / band-hash / gram keys only). Rows-only because the "
+    "LSH stage has no SQL oracle; every component stage is itself "
+    "oracle-checked (quality_filter, pii_scrub, dedup_text_exact, "
+    "decontaminate).",
+)
+def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.corpus import corpus_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+    return corpus_pipeline(corpus, eval_set).orderBy("doc_id")

@@ -1409,3 +1409,20 @@ def test_dup_ngram_fraction_short_docs(spark):
     assert out[3]["dup_ngram_frac"] == 0.0
     # doc4 bigrams: [t t] x3 -> 1 distinct of 3
     assert out[4]["dup_ngram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+
+
+def test_bloom_prefilter_bitmap_is_broadcast(spark, sf_dir):
+    """Plan shape: the bitmap join must be a BroadcastHashJoin (the
+    bitmap is m/64 rows — metadata-sized) and the final join a separate
+    join on the key; the probe scan reads only the needed columns."""
+    from etl_airbnb_mex_spark.operators.joins import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    plan = _formatted_plan(bloom_prefilter_join(li, o, "okey"))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") >= 2

@@ -447,3 +447,47 @@ def test_pipeline_partitioned_write(spark, tmp_path_factory):
     out_dir = str(tmp / "out" / "raw_reviews_transformado")
     years = [d for d in os.listdir(out_dir) if d.startswith("año=")]
     assert len(years) == 3
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir):
+    """The composed hygiene chain: stage counts monotone non-increasing,
+    survivors carry no exact duplicate texts, PII is scrubbed, and every
+    survivor clears the quality gates."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.plans.corpus import (
+        corpus_pipeline,
+        corpus_pipeline_report,
+    )
+    from etl_airbnb_mex_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+
+    report = corpus_pipeline_report(corpus, eval_set)
+    vals = list(report.values())
+    assert vals == sorted(vals, reverse=True), report
+    cleaned = corpus_pipeline(corpus, eval_set)
+    rows = cleaned.collect()
+    assert len(rows) == vals[-1]
+    texts = [r["clean_text"] for r in rows]
+    assert len(set(texts)) == len(texts), "exact dups survived"
+    assert all(r["n_tokens"] >= 5 for r in rows)
+    assert not any("@" in t for t in texts if t)
+
+
+def test_corpus_pipeline_scrubs_planted_pii(spark):
+    from etl_airbnb_mex_spark.plans.corpus import corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com for the data set please"),
+            (2, "server at 10.1.2.3 answered with the records we need"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"]
+           for r in corpus_pipeline(docs, min_tokens=3).collect()}
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
+    assert "<IP>" in got[2] and "10.1.2.3" not in got[2]
