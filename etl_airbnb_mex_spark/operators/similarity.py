@@ -366,3 +366,56 @@ def embedding_centroids(
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: dict[int, list[float]] | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment — the k-means E-step / IVF coarse
+    quantization: each vector gets the label of its closest centroid
+    (squared-L2), ties broken by label asc. Returns
+    (id, assigned_label, dist_sq).
+
+    ``centroids`` ({label: vector}) defaults to the per-label means via
+    :func:`embedding_centroids` — an eager METADATA-scale collect
+    (k·dim doubles), the same bounded-lift pattern as vocab_prune's hot
+    list. The assignment itself is then one in-row projection: centroid
+    literals fold into the plan, distances compute via zip_with/
+    aggregate, and the argmin is ``array_min`` over (dist, label)
+    structs — NO join, NO shuffle, NO k-fold row blowup.
+
+    Cross-engine determinism: centroids are rounded to 6 dp (by
+    embedding_centroids) and the argmin compares the ROUNDED distance
+    with the label tie-break, so an oracle replaying the same arithmetic
+    picks the identical centroid even when raw float sums differ in the
+    last ulp.
+    """
+    if centroids is None:
+        by_label: dict[int, dict[int, float]] = {}
+        for r in embedding_centroids(emb, label_col, vec_col).collect():
+            by_label.setdefault(r[label_col], {})[r["pos"]] = r["mean_v"]
+        centroids = {
+            lab: [m[p] for p in sorted(m)] for lab, m in by_label.items()
+        }
+    vec = F.col(vec_col).cast("array<double>")
+    candidates = []
+    for lab in sorted(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in centroids[lab]])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        candidates.append(
+            F.struct(F.round(d, 6).alias("d"), F.lit(lab).alias("l"))
+        )
+    best = F.array_min(F.array(*candidates))
+    return emb.select(
+        id_col,
+        best["l"].alias("assigned_label"),
+        best["d"].alias("dist_sq"),
+    )

@@ -46,6 +46,40 @@ def mode(df: DataFrame, key: str) -> DataFrame:
     return topn_by_count(df, key, 1)
 
 
+def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
+    """Heavy-hitter profile for a join/aggregation key: the top-k keys
+    with row count, percent of total, and cumulative percent — the
+    diagnostic you run BEFORE picking a skew strategy (salt factor,
+    AQE skew-join thresholds, broadcast candidates). A key holding >20%
+    of rows is the 45.9%-hot-neighbourhood case the reference's data
+    exhibits (SURVEY.md §4.3).
+
+    Plan: one hash agg by key, top-k via TakeOrderedAndProject (never a
+    global sort), the total as a broadcast 1-row scalar (NOT a window
+    over the counts axis — distinct keys can be billions at 100 TB),
+    and the cumulative window runs over the k surviving rows only.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return top.select(
+        key,
+        "cnt",
+        F.round(F.col("cnt") / F.col("__total") * 100, 4).alias("pct"),
+        F.round(
+            F.sum("cnt").over(w) / F.col("__total") * 100, 4
+        ).alias("cum_pct"),
+    ).orderBy(F.desc("cnt"), F.asc(key))
+
+
 def mode_by_group(df: DataFrame, group: str, key: str) -> DataFrame:
     """Per-group mode: the most frequent ``key`` within each ``group``
     (ties break by key asc). The grouped generalization of :func:`mode`.

@@ -2617,3 +2617,70 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
     return corpus_pipeline(corpus, eval_set).orderBy("doc_id")
+
+
+@register(
+    "centroid_assign",
+    """
+    WITH ev AS (
+      SELECT vec_id, label, i - 1 AS pos, CAST(v AS DOUBLE) AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)),
+    c AS (
+      SELECT label AS clabel, pos, round(avg(v), 6) AS mv
+      FROM ev GROUP BY label, pos),
+    d AS (
+      SELECT ev.vec_id, c.clabel,
+             round(sum((ev.v - c.mv) * (ev.v - c.mv)), 6) AS dist_sq
+      FROM ev JOIN c ON ev.pos = c.pos
+      GROUP BY ev.vec_id, c.clabel),
+    r AS (
+      SELECT vec_id, clabel AS assigned_label, dist_sq,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist_sq, clabel) AS rn
+      FROM d)
+    SELECT vec_id, assigned_label, dist_sq
+    FROM r WHERE rn = 1 ORDER BY vec_id
+    """,
+    "Nearest-centroid assignment (k-means E-step / IVF coarse "
+    "quantizer): per-label 6dp-rounded centroids lift into the plan as "
+    "literals (metadata-scale collect, vocab_prune pattern); the "
+    "assignment is ONE in-row projection — zip_with distances + "
+    "array_min over (rounded dist, label) structs, no join, no "
+    "shuffle, no k-fold blowup. Argmin on the ROUNDED distance with "
+    "label tie-break keeps both engines' picks identical "
+    "(operators/similarity.py:centroid_assign).",
+)
+def centroid_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return centroid_assign(e).orderBy("vec_id")
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+      ORDER BY cnt DESC, o_custkey ASC LIMIT 10),
+    t AS (SELECT count(*) AS total FROM orders)
+    SELECT o_custkey, cnt,
+           round(cnt * 100.0 / total, 4) AS pct,
+           round(sum(cnt) OVER (ORDER BY cnt DESC, o_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 100.0 / total, 4) AS cum_pct
+    FROM c, t ORDER BY cnt DESC, o_custkey ASC
+    """,
+    "Join-key skew diagnostic: top-10 heavy keys with share and "
+    "cumulative share of rows. Hash agg + TakeOrderedAndProject; the "
+    "total is a broadcast 1-row scalar, NOT a window over the distinct "
+    "keys axis (billions at 100 TB); the cumulative window covers only "
+    "the k survivors (operators/topn.py:key_skew_profile).",
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topn import key_skew_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_skew_profile(o, "o_custkey", k=10)

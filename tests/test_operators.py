@@ -1426,3 +1426,63 @@ def test_bloom_prefilter_bitmap_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(bloom_prefilter_join(li, o, "okey"))
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") >= 2
+
+
+def test_centroid_assign_planted_clusters(spark):
+    """Vectors planted near two centroids must assign to the near one;
+    an exactly-equidistant vector breaks ties to the lower label."""
+    from etl_airbnb_mex_spark.operators.similarity import centroid_assign
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [0.1, 0.0]),
+            (2, 0, [-0.1, 0.0]),
+            (3, 5, [10.1, 0.0]),
+            (4, 5, [9.9, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["assigned_label"]
+           for r in centroid_assign(emb).collect()}
+    assert got == {1: 0, 2: 0, 3: 5, 4: 5}
+    # explicit centroids + exact midpoint -> lower label wins
+    mid = spark.createDataFrame(
+        [(9, 0, [5.0, 0.0])], "vec_id long, label int, embedding array<float>"
+    )
+    r = centroid_assign(
+        mid, centroids={0: [0.0, 0.0], 7: [10.0, 0.0]}
+    ).collect()[0]
+    assert r["assigned_label"] == 0 and r["dist_sq"] == 25.0
+
+
+def test_key_skew_profile_flags_planted_hot_key(spark):
+    from etl_airbnb_mex_spark.operators.topn import key_skew_profile
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 459, 7).otherwise(F.col("id")).alias("k")
+    )
+    got = key_skew_profile(df, "k", k=3).collect()
+    assert got[0]["k"] == 7 and got[0]["cnt"] == 459
+    assert got[0]["pct"] == pytest.approx(45.9, abs=0.01)
+    assert got[-1]["cum_pct"] >= got[0]["pct"]
+
+
+@given(
+    key=st.integers(min_value=-(2**62), max_value=2**62),
+    m=st.sampled_from([2, 100, 1_000, 1_000_000]),
+)
+@HSETTINGS
+def test_hash_bucket_range_and_python_parity(spark, key, m):
+    """hash_bucket(key, m) stays in [0, m) for any int64 key and matches
+    the pure-Python reference of the documented formula — the
+    engine-portability contract every oracle SQL replica relies on."""
+    from etl_airbnb_mex_spark.operators.setops import hash_bucket
+
+    df = spark.createDataFrame([(key,)], "k long")
+    got = df.select(hash_bucket("k", m).alias("b")).collect()[0]["b"]
+    kk = key % 2**32
+    expected = (
+        ((kk // 65536) * 2654435761 % 2**32 * 65536 + (kk % 65536) * 2654435761)
+        % 2**32 % m
+    )
+    assert got == expected and 0 <= got < m

@@ -48,6 +48,8 @@ _QUEUED_FOR_NEXT_ROTATION = {
     "monthly_cumulative",
     "mad_robust",
     "mode_by_group",
+    "centroid_assign",
+    "key_skew_profile",
 }
 
 
