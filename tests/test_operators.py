@@ -1486,3 +1486,25 @@ def test_hash_bucket_range_and_python_parity(spark, key, m):
         % 2**32 % m
     )
     assert got == expected and 0 <= got < m
+
+
+def test_pagerank_known_graphs(spark):
+    """Hand-checkable fixpoints: a 2-node cycle is uniform; in a star
+    a->{b,c,d} the leaves tie and outrank nothing; ranks always sum
+    to 1 (dangling mass conserved)."""
+    from etl_airbnb_mex_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(cycle, max_iter=20).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-4)
+    assert got[2] == pytest.approx(0.5, abs=1e-4)
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(star, max_iter=20).collect()}
+    assert ranks[2] == ranks[3] == ranks[4]
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-3)
+    # leaves are dangling: their mass cycles back, so the hub holds less
+    # than the leaves' combined share but more than base rank
+    assert ranks[1] > (1 - 0.85) / 4
