@@ -2708,3 +2708,83 @@ def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "mom_growth",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             count(*) AS cnt
+      FROM orders GROUP BY 1)
+    SELECT month, cnt,
+           round((cnt - lag(cnt) OVER (ORDER BY month)) * 100.0
+                 / nullif(lag(cnt) OVER (ORDER BY month), 0), 4)
+             AS mom_pct
+    FROM m ORDER BY month
+    """,
+    "Month-over-month growth: lag window over the AGGREGATED month axis "
+    "(bounded by months, never rows); first month NULL. Same "
+    "aggregate-then-window shape as monthly_cumulative.",
+)
+def mom_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("month")
+    prev = F.lag("cnt").over(w)
+    return monthly.select(
+        "month",
+        "cnt",
+        F.round((F.col("cnt") - prev) * 100.0 / F.nullif(prev, F.lit(0)), 4)
+        .alias("mom_pct"),
+    ).orderBy("month")
+
+
+@register(
+    "chi_square_assoc",
+    """
+    WITH o AS (
+      SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, sum(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, sum(obs) AS ct FROM o GROUP BY source),
+    t AS (SELECT sum(obs) AS n FROM o)
+    SELECT round(sum((obs - rt * ct * 1.0 / n) * (obs - rt * ct * 1.0 / n)
+                     / (rt * ct * 1.0 / n)), 6) AS chi2,
+           CAST((SELECT count(*) FROM r) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM c) - 1 AS BIGINT) AS dof
+    FROM o JOIN r USING (lang) JOIN c USING (source), t
+    """,
+    "Chi-square association between two categoricals (lang x source) — "
+    "the categorical complement of corr_matrix. All math runs on the "
+    "AGGREGATED contingency axis: one (lang,source) hash agg over the "
+    "data, then margins/expected/statistic over that tiny frame "
+    "(broadcast joins); observed-only cells (TPC-H-style dense "
+    "contingency) keep both engines' sums aligned.",
+)
+def chi_square_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    t = o.agg(F.sum("obs").alias("n"))
+    joined = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    dof_r = r.agg((F.count(F.lit(1)) - 1).alias("dr"))
+    dof_c = c.agg((F.count(F.lit(1)) - 1).alias("dc"))
+    return (
+        joined.agg(
+            F.round(
+                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(dof_r))
+        .crossJoin(F.broadcast(dof_c))
+        .select("chi2", (F.col("dr") * F.col("dc")).cast("long").alias("dof"))
+    )

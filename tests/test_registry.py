@@ -50,6 +50,8 @@ _QUEUED_FOR_NEXT_ROTATION = {
     "mode_by_group",
     "centroid_assign",
     "key_skew_profile",
+    "mom_growth",
+    "chi_square_assoc",
 }
 
 
