@@ -54,6 +54,38 @@ def write_parquet_overwrite(
     writer.parquet(path)
 
 
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    num_files: int | None = None,
+) -> None:
+    """Range-cluster rows across files so parquet min/max footer stats
+    (zone maps) actually prune: ``repartitionByRange`` on the cluster
+    key(s) makes file value-ranges disjoint, ``sortWithinPartitions``
+    tightens row-group stats inside each file. A point/range filter on
+    the leading cluster key then skips every non-overlapping file at
+    PLANNING time (parquet row-group/file skipping) — the 100 TB layout
+    decision that turns a full scan into a touch of a few files.
+    Unlike ``partitionBy`` (one DIRECTORY per value — wrong for
+    high-cardinality numeric keys), clustering keeps file count fixed
+    and bounded.
+
+    ``num_files`` defaults to the session's shuffle parallelism.
+    """
+    if num_files is None:
+        num_files = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = [F.col(c) for c in cluster_by]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_excel_report(
     df: DataFrame, path: str, max_rows: int = 100_000
 ) -> dict[str, Any]:

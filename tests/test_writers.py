@@ -89,3 +89,45 @@ def test_normalize_and_drop_id(spark):
     dtypes = dict(out.dtypes)
     assert dtypes["arr"] == "string" and dtypes["m"] == "string"
     assert dtypes["x"] == "int"  # scalars keep their types (S9 refined)
+
+
+def test_clustered_write_produces_disjoint_zone_maps(spark, sf_dir, tmp_path):
+    """After range-clustering on o_custkey, per-file [min,max] key ranges
+    must be (near-)disjoint — the property parquet zone-map skipping
+    needs. An unclustered write of the same data has massively
+    overlapping ranges; we assert the clustered total overlap is at
+    least 10x smaller, and that a point filter's matching files shrink
+    to 1-2."""
+    from etl_airbnb_mex_spark.sources.writers import write_clustered_parquet
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_clustered_parquet(o, clustered, ("o_custkey",), num_files=8)
+    o.repartition(8).write.mode("overwrite").parquet(plain)
+
+    def ranges(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+            .collect()
+        )
+
+    def total_overlap(rs):
+        tot = 0
+        for i, a in enumerate(rs):
+            for b in rs[i + 1:]:
+                tot += max(0, min(a["hi"], b["hi"]) - max(a["lo"], b["lo"]))
+        return tot
+
+    rc, rp = ranges(clustered), ranges(plain)
+    assert len(rc) >= 4
+    assert total_overlap(rc) * 10 <= total_overlap(rp), (
+        total_overlap(rc), total_overlap(rp)
+    )
+    # a point lookup overlaps at most 2 clustered files (range boundary)
+    probe = rc[len(rc) // 2]
+    key = (probe["lo"] + probe["hi"]) // 2
+    matching = [r for r in rc if r["lo"] <= key <= r["hi"]]
+    assert len(matching) <= 2, matching
