@@ -88,6 +88,84 @@ def monthly_cumulative(
     ).orderBy("month")
 
 
+def _event_us(ts_col: str):
+    """Integer event-time microseconds (NTZ-safe: cast first — the
+    session TZ is pinned UTC so the cast is value-preserving)."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def twap_by_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP): per key, the mean of ``value``
+    weighted by how long it was the current observation (financial /
+    sensor semantics — a value that held for an hour counts 60× one
+    that held a minute; the plain avg treats them equally). The last
+    observation per key has no duration and is excluded.
+
+    Plan: ONE shuffle on key serves the lead() window; the weighted sum
+    accumulates DECIMAL(value)·µs so it is exact and
+    partition-order-independent, divided as IEEE doubles at the end
+    (same float policy as the decimal revenue sums). Ties on ts break
+    by id for a deterministic interval chain.
+    """
+    us = _event_us(ts_col)
+    w = Window.partitionBy(key).orderBy(us.asc(), F.col(id_col).asc())
+    t = df.select(
+        F.col(key),
+        F.col(value_col).cast("decimal(20,6)").alias("__v"),
+        us.alias("__us"),
+        F.lead(us).over(w).alias("__nxt"),
+    )
+    dt = F.col("__nxt") - F.col("__us")
+    return (
+        t.filter(F.col("__nxt").isNotNull())
+        .groupBy(key)
+        .agg(
+            F.round(
+                F.sum(F.col("__v") * dt).cast("double") / F.sum(dt), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy(key)
+    )
+
+
+def ffill_by_key(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col,
+    id_col: str,
+    out_col: str = "v_filled",
+) -> DataFrame:
+    """Forward-fill (pandas ``ffill`` per group): each row carries the
+    most recent non-NULL value at or before it within its key, in event
+    time — the gap-repair step before resampling sensor/price series.
+
+    Plan: one key shuffle, one ordered window with
+    ``last(ignorenulls)`` over an unbounded-preceding frame — the
+    running-carry pattern shared with the as-of join. Rows before the
+    first non-NULL stay NULL (nothing to carry).
+    """
+    us = _event_us(ts_col)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    value = value_col if not isinstance(value_col, str) else F.col(value_col)
+    return df.select(
+        id_col,
+        key,
+        F.last(value, ignorenulls=True).over(w).alias(out_col),
+    )
+
+
 def date_range(df: DataFrame, ts_col: str) -> DataFrame:
     """A12 — min/max over a date column (nb:cell10:22-24)."""
     return df.agg(

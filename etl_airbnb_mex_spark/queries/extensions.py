@@ -2788,3 +2788,57 @@ def chi_square_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof_c))
         .select("chi2", (F.col("dr") * F.col("dc")).cast("long").alias("dof"))
     )
+
+
+@register(
+    "twap_by_user",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(value AS DECIMAL(20,6)) AS v, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events)
+    SELECT user_id,
+           round(CAST(sum(v * (nxt - us)) AS DOUBLE) / sum(nxt - us), 6)
+             AS twap,
+           count(*) AS n_intervals
+    FROM t WHERE nxt IS NOT NULL GROUP BY user_id ORDER BY user_id
+    """,
+    "Time-weighted average per user (financial/sensor semantics): ONE "
+    "key shuffle serves the lead() window; the weighted sum accumulates "
+    "DECIMAL(value)*microseconds so it is exact and partition-order-"
+    "independent; final division in IEEE doubles "
+    "(operators/timeseries.py:twap_by_key).",
+)
+def twap_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import twap_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return twap_by_key(ev, "user_id", "ts", "value", "event_id")
+
+
+@register(
+    "ffill_timeseries",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS v_filled
+    FROM events ORDER BY event_id
+    """,
+    "Forward-fill per key (pandas ffill): error readings are masked "
+    "NULL, then each row carries the most recent valid value — one key "
+    "shuffle, one last(ignorenulls) window (the as-of carry pattern). "
+    "Rows before the first valid value stay NULL "
+    "(operators/timeseries.py:ffill_by_key).",
+)
+def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ffill_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return ffill_by_key(
+        ev, "user_id", "ts", masked, "event_id"
+    ).orderBy("event_id")

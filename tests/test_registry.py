@@ -52,6 +52,8 @@ _QUEUED_FOR_NEXT_ROTATION = {
     "key_skew_profile",
     "mom_growth",
     "chi_square_assoc",
+    "twap_by_user",
+    "ffill_timeseries",
 }
 
 
