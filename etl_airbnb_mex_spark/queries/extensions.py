@@ -2842,3 +2842,87 @@ def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ffill_by_key(
         ev, "user_id", "ts", masked, "event_id"
     ).orderBy("event_id")
+
+
+@register(
+    "copurchase_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
+    """,
+    "Market-basket co-occurrence: top part pairs ordered together. "
+    "Self-join ON the order key (co-partitioned equi-join, AQE-sized) "
+    "with the a<b guard; pair fan-out is bounded by items-per-order "
+    "squared (~tens), never corpus-squared; then one pair hash agg + "
+    "TakeOrderedAndProject. The 100 TB form pre-aggregates "
+    "distinct (order, part) first — done here via the join dedup "
+    "semantics of the key pair.",
+)
+def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "monthly_active_users",
+    """
+    WITH fm AS (
+      SELECT user_id,
+             strftime(date_trunc('month', min(ts)), '%Y-%m-%d') AS first_m
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+             e.user_id
+      FROM events e GROUP BY 1, 2)
+    SELECT act.month,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN fm.first_m = act.month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN fm.first_m <> act.month THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM act JOIN fm USING (user_id)
+    GROUP BY act.month ORDER BY act.month
+    """,
+    "Monthly active / new / returning users: distinct (month,user) "
+    "hash agg, first-seen month per user (one user agg), join on "
+    "user_id, final month agg — every shuffle keys on user or month, "
+    "exact distinct via the pre-agg (no countDistinct buffer).",
+)
+def monthly_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd")
+    fm = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("month", F.min("ts")), "yyyy-MM-dd")
+        .alias("first_m")
+    )
+    act = ev.select(month.alias("month"), "user_id").distinct()
+    return (
+        act.join(fm, "user_id")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("first_m") == F.col("month")).cast("long"))
+            .alias("n_new"),
+            F.sum((F.col("first_m") != F.col("month")).cast("long"))
+            .alias("n_returning"),
+        )
+        .orderBy("month")
+    )

@@ -54,6 +54,8 @@ _QUEUED_FOR_NEXT_ROTATION = {
     "chi_square_assoc",
     "twap_by_user",
     "ffill_timeseries",
+    "copurchase_pairs",
+    "monthly_active_users",
 }
 
 
