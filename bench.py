@@ -248,6 +248,19 @@ def main() -> None:
     )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The oracle-timing dict goes to a sidecar file + stderr, NOT the
+    # headline JSON line: in round 3 it grew the line past the driver's
+    # tail-capture buffer and truncated the artifact to "parsed": null
+    # (VERDICT.md r3 "What's wrong" #2). The headline line must be the
+    # LAST stdout line, compact, and small.
+    sidecar = {"oracle": oracle_timings, "pipeline": pipeline}
+    print("# sidecar: " + json.dumps(sidecar, separators=(",", ":")),
+          file=sys.stderr)
+    try:
+        with open("BENCH_SIDECAR.json", "w") as f:
+            json.dump(sidecar, f, separators=(",", ":"))
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -255,10 +268,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "oracle": oracle_timings,
-                "pipeline": pipeline,
+                "pipeline_rows_per_sec": pipeline["rows_per_sec"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -348,6 +348,83 @@ def knn_cosine_ivf(
     )
 
 
+def cosine_near_dup_bucketed(
+    df: DataFrame,
+    planes: list[list[float]],
+    bits_per_table: int = 4,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 1000,
+    dp: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: candidates come
+    from an LSH-bucket EQUI-join (never an all-pairs theta join), exact
+    cosine runs only on the candidates.
+
+    Plan (the 100 TB shape — no BroadcastNestedLoopJoin anywhere):
+    1. Each vector emits one (table, bucket) row per LSH table
+       (:func:`lsh_table_signatures` — random-hyperplane sign bits,
+       pure Column expressions, whole-stage codegen).
+    2. Hot-bucket guard: buckets holding > ``max_bucket`` vectors are
+       dropped (a window count over (table, bucket) on the already-
+       shuffled data) — the same degenerate-bucket bound as MinHash LSH
+       (operators/dedup.py). Shuffle is O(n · n_tables), candidate work
+       is Σ bucket², bounded by max_bucket².
+    3. Self-EQUI-join on (table, bucket) with the id_a < id_b guard,
+       pair-dedup (a pair can collide in several tables), then exact
+       cosine ≥ threshold as the residual filter.
+
+    Semantics are deterministic given ``planes`` (ship deterministic
+    planes, e.g. seeded LCG — the oracle twin replays the identical
+    sign-bit buckets in SQL). Recall is the standard multi-table LSH
+    bound 1-(1-p^b)^L with p = 1-θ/π: raise the table count L for
+    recall, bits-per-table b for selectivity. The O(n²) exact form
+    (:func:`cosine_near_dup_pairs`) is the pytest oracle on gated
+    inputs; THIS form is the one to run on a corpus.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sigs = (
+        base.select(
+            "id",
+            "v",
+            F.posexplode(
+                lsh_table_signatures(F.col("v"), planes, bits_per_table)
+            ).alias("__pos", "__sig"),
+        )
+        .select(
+            "id", "v",
+            F.col("__sig.table").alias("t"),
+            F.col("__sig.bucket").alias("b"),
+        )
+    )
+    guard = Window.partitionBy("t", "b")
+    sigs = (
+        sigs.withColumn("__bn", F.count(F.lit(1)).over(guard))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+    a = sigs.select("t", "b", F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    c = sigs.select("t", "b", F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    return (
+        a.join(c, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), dp).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -357,8 +434,9 @@ def cosine_near_dup_pairs(
     dp: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥
-    threshold). O(n²) exact form — gate with max_ids in tests; at scale
-    run within LSH buckets (join on bucket id first)."""
+    threshold). O(n²) exact form — the TEST ORACLE for
+    :func:`cosine_near_dup_bucketed`, gated with max_ids; never run
+    this on a corpus (the self-theta-join is a BNLJ)."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -282,11 +282,15 @@ def anomaly_zscore(
     The grouped generalization of A15's IQR outlier gate.
 
     Plan: group stats are ONE hash agg over (group_cols) — a frame with
-    one row per group, broadcast back onto the stream (the group domain
-    is small by assumption; for high-cardinality groups the join flips
-    to a shuffle join automatically by size). Filter + projection only
-    after the join: no second shuffle. The threshold compares the
-    ROUNDED z (6 dp) so both engines gate on the identical value.
+    one row per group, joined back onto the stream with NO forced
+    broadcast hint: the stats side's size is the group cardinality,
+    which can be billions of rows at 100 TB, so the strategy is left to
+    AQE — it broadcasts when the agg output is actually small and falls
+    back to a shuffle join when it isn't (a forced ``F.broadcast``
+    would OOM the driver on high-cardinality groups). Filter +
+    projection only after the join: no second shuffle. The threshold
+    compares the ROUNDED z (6 dp) so both engines gate on the identical
+    value.
     """
     stats_df = df.groupBy(*group_cols).agg(
         F.avg(value_col).alias("__mu"),
@@ -295,7 +299,7 @@ def anomaly_zscore(
     z = _r((F.col(value_col) - F.col("__mu"))
            / F.nullif(F.col("__sd"), F.lit(0.0)))
     return (
-        df.join(F.broadcast(stats_df), list(group_cols))
+        df.join(stats_df, list(group_cols))
         .select(*id_cols, *group_cols, F.col(value_col), z.alias("z"))
         .filter(F.abs(F.col("z")) > threshold)
     )
@@ -321,9 +325,16 @@ def exact_percentiles_sortrank(
        partition) → driver-side prefix sum gives each partition's global
        rank offset and the total n.
     3. The ≤ 2·len(ps) needed global ranks map to (partition, local
-       rank) pairs; one partition-local ``row_number`` window (no
-       further shuffle of data rows) filters exactly those rows —
-       a ≤ 2·len(ps)-row collect — and the driver interpolates.
+       rank) pairs; a ``row_number`` window over ``pid`` filters
+       exactly those rows — a ≤ 2·len(ps)-row collect — and the driver
+       interpolates. NOTE the pid-window is NOT shuffle-free:
+       ``Window.partitionBy("pid")`` hash-partitions on pid, which does
+       not match the range partitioning, so job 3 pays one exchange of
+       the single projected column. That exchange is the same volume as
+       the original range shuffle (one numeric column), so it is a
+       constant-factor cost, not a scale hazard — but it IS a third
+       pass over the column, which is why the checkpoint in step 1
+       matters.
 
     Same rank semantics as DuckDB ``quantile_cont`` / pandas
     ``quantile``: value at fractional rank k=(n−1)·p interpolated

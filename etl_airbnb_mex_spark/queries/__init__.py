@@ -42,66 +42,62 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
 #: rotate to the entries with the weakest driver provenance (VERDICT.md
-#: round 2, "Next round" #2/#4). Round-3 window = the 35 oracle-bearing
-#: entries NEVER driver-checked (CORRECTNESS_r01 ∪ r02, incl.
-#: join_salted_skew per ADVICE.md) + the 13 entries whose r1 green rows
-#: went stale when operators/joins.py / setops / windows changed + the 2
-#: highest-value rows-only entries, = exactly 50. The 63 already-green
-#: r1/r2 rows follow in registration order; gated O(n²) demos stay last.
+#: round 3, "Next round" #1/#4). Round-4 window = the 21 oracle-bearing
+#: round-3 additions never driver-checked + the 10 r2-green stats/topn/
+#: core entries whose files changed in r3 + cosine_near_dup (rewritten
+#: this round to the bucketed scale-safe form) + the scale-critical
+#: rows-only plans (corpus_pipeline, pagerank_parts, knn_cosine_ivf,
+#: knn_cosine_lsh, near_dup_components, doc_winnowing,
+#: ngram_jaccard_verified, approx_distinct, percentiles_approx) + new
+#: round-4 entries. Already-green r1-r3 rows follow in registration
+#: order; gated O(n²) demos stay last.
 _PRIORITY: tuple[str, ...] = (
-    # -- 35 oracle-bearing, never driver-checked --
-    "window_range_frame",       # freshly fixed (NTZ cast) — verify first
-    "join_salted_skew",
-    "group_collect",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_dense_rank",
-    "window_first_last",
-    "window_ntile",
-    "window_cume_dist",
-    "json_extract",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
+    # -- 21 oracle-bearing round-3 additions, never driver-checked --
+    "funnel_conversion",
+    "cohort_retention",
+    "sessionize_ids",
+    "vocab_prune",
+    "feature_scale",
+    "sample_weighted",
+    "anomaly_zscore",
+    "dup_ngram_frac",
+    "join_bloom_prefilter",
+    "monthly_gapfill",
+    "monthly_cumulative",
+    "mad_robust",
+    "mode_by_group",
+    "centroid_assign",
+    "key_skew_profile",
+    "mom_growth",
+    "chi_square_assoc",
+    "twap_by_user",
+    "ffill_timeseries",
+    "copurchase_pairs",
+    "monthly_active_users",
+    # -- 10 r2-green entries whose files changed in r3 (stale rows) --
+    "percentiles",
+    "describe_stats",
+    "outliers_iqr",
+    "null_profile",
+    "corr_matrix",
+    "histogram",
+    "topn_by_count",
+    "mode_value",
+    "pct_of_total",
+    "scalar_stats",
+    # -- rewritten this round: bucketed LSH form, no BNLJ --
     "cosine_near_dup",
-    "pii_scrub",
-    "repetition_ratio",
-    "tfidf_topk",
-    "bigram_topn",
-    "sample_stratified",
-    "decontaminate",
-    "embedding_centroids",
-    "join_multiway_revenue",
-    "subquery_above_avg",
-    "merge_upsert_snapshot",
-    "unpivot_metrics",
-    "linreg_by_group",
-    "percentile_by_group",
-    "sequence_pack",
-    "join_range_binned",
-    "interval_occupancy",
-    "join_asof_forward",
-    "scd2_intervals",
-    "dq_checks",
-    "histogram_equidepth",
-    # -- 13 stale-r1 entries (code changed after their green rows) --
-    "join_inner_fk",
-    "join_broadcast_dim",
-    "join_left_semi",
-    "join_left_anti",
-    "join_range_theta",
-    "join_asof",
-    "set_union_by_name",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "window_rank_topn",
-    "window_moving_avg",
-    "window_lag_delta",
-    # -- 2 rows-only entries with the most scale-critical plans --
-    "dedup_minhash",
-    "near_dedup_corpus",
+    # -- scale-critical rows-only plans (driver records rows/err) --
+    "corpus_pipeline",
+    "pagerank_parts",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "near_dup_components",
+    "doc_winnowing",
+    "ngram_jaccard_verified",
+    "approx_distinct",
+    "percentiles_approx",
+    # -- round-4 additions (appended as they are registered) --
 )
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")

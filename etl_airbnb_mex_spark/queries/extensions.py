@@ -35,7 +35,6 @@ from ..operators.joins import (
     semi_join,
 )
 from ..operators.similarity import (
-    cosine_near_dup_pairs,
     knn_cosine,
     knn_cosine_lsh,
 )
@@ -1246,26 +1245,71 @@ def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine_ivf(e, e.filter(F.col("vec_id") == 0), k=10)
 
 
+def _bucketed_near_dup_sql(
+    planes: list[list[float]], bits_per_table: int, threshold: float,
+    max_bucket: int,
+) -> str:
+    """DuckDB twin of cosine_near_dup_bucketed: the planes are
+    deterministic literals, so the oracle replays the IDENTICAL
+    sign-bit buckets (one CASE per plane, 2^i weights), the same
+    hot-bucket guard (QUALIFY window count), the same (table, bucket)
+    equi-join + pair-dedup, and the same rounded-cosine residual —
+    exact semantic parity, not an approximation check."""
+    n_tables = len(planes) // bits_per_table
+    table_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            lits = ",".join(repr(x) for x in plane)
+            bits.append(
+                f"(CASE WHEN list_dot_product(e, CAST([{lits}] AS DOUBLE[]))"
+                f" >= 0 THEN {2 ** i} ELSE 0 END)"
+            )
+        table_exprs.append(
+            f"SELECT vec_id, e, {t} AS t, ({' + '.join(bits)}) AS b FROM v"
+        )
+    union = "\n    UNION ALL\n    ".join(table_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, e, t, b FROM ({union})
+      QUALIFY count(*) OVER (PARTITION BY t, b) <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM sig a JOIN sig c
+        ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(x.e, y.e), 6) AS cosine_sim
+    FROM cand
+    JOIN v x ON cand.id_a = x.vec_id
+    JOIN v y ON cand.id_b = y.vec_id
+    WHERE round(list_cosine_similarity(x.e, y.e), 6) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "cosine_near_dup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(
-             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-             AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 300 AND b.vec_id < 300
-      AND round(list_cosine_similarity(
-            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
-    ORDER BY id_a, id_b
-    """,
-    "§2.11 — embedding-cosine near-dup pairs (gated to vec_id < 300; at "
-    "scale runs inside LSH buckets).",
+    _bucketed_near_dup_sql(
+        _fixed_planes(n=8), bits_per_table=4, threshold=0.3, max_bucket=1000,
+    ),
+    "§2.11 — embedding-cosine near-dup pairs via the SCALE form: "
+    "2-table random-hyperplane LSH bucket equi-join (no BNLJ, no "
+    "all-pairs), hot-bucket guard, exact rounded cosine ≥ 0.3 as the "
+    "residual filter. Deterministic planes → the oracle replays the "
+    "identical buckets, so this is hash-checked despite being an LSH "
+    "plan. The O(n²) exact form survives only as the pytest oracle "
+    "(operators/similarity.py:cosine_near_dup_pairs).",
 )
 def cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_near_dup_pairs(
+    from ..operators.similarity import cosine_near_dup_bucketed
+
+    return cosine_near_dup_bucketed(
         load_table(spark, sf_dir, "embeddings"),
-        threshold=0.3, max_ids=300,
+        planes=_fixed_planes(n=8), bits_per_table=4,
+        threshold=0.3, max_bucket=1000,
     )
 
 
@@ -2847,23 +2891,30 @@ def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "copurchase_pairs",
     """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            count(*) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM op a JOIN op b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
     """,
-    "Market-basket co-occurrence: top part pairs ordered together. "
-    "Self-join ON the order key (co-partitioned equi-join, AQE-sized) "
-    "with the a<b guard; pair fan-out is bounded by items-per-order "
+    "Market-basket co-occurrence: top part pairs ordered together, "
+    "counted per ORDER. Distinct (order, part) pre-agg FIRST — an "
+    "order listing the same part on two lineitems contributes each "
+    "pair once, so n_orders really counts orders — then self-join ON "
+    "the order key (co-partitioned equi-join, AQE-sized) with the a<b "
+    "guard; pair fan-out is bounded by distinct items-per-order "
     "squared (~tens), never corpus-squared; then one pair hash agg + "
-    "TakeOrderedAndProject. The 100 TB form pre-aggregates "
-    "distinct (order, part) first — done here via the join dedup "
-    "semantics of the key pair.",
+    "TakeOrderedAndProject.",
 )
 def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
         b,

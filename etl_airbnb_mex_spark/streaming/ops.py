@@ -223,11 +223,16 @@ def stream_merge_upsert_sink(
     :func:`~etl_airbnb_mex_spark.operators.setops.merge_upsert`
     (last-write-wins within the batch when ``order_col`` is given),
     write to ``<snapshot_dir>.tmp`` — which MATERIALIZES the merge
-    before the old snapshot is touched — then swap directories. The
-    swap is not crash-atomic (a failure between remove and rename
-    loses the old dir, the checkpoint replays the batch); production
-    uses a table format's atomic commit instead — the batch logic is
-    identical there (MERGE INTO).
+    before the old snapshot is touched — then swap via RENAME-ASIDE
+    (snapshot → ``.old``, ``.tmp`` → snapshot, delete ``.old``). Each
+    rename is atomic, so no crash window loses the merged state: a
+    crash mid-swap leaves either the prior snapshot in ``.old`` or the
+    fully-merged result in ``.tmp``, and the recovery pass at the start
+    of the next batch completes whichever half-finished swap it finds
+    before merging (the checkpoint then replays the batch; the upsert
+    is idempotent on the key, so re-merging is safe). Production with a
+    table format (Delta/Iceberg) gets this from the format's atomic
+    commit — the batch logic is identical there (MERGE INTO).
 
     Scale: the merge shuffles both sides once on the key (what any
     MERGE pays); foreachBatch reuses the batch engine so AQE applies
@@ -238,8 +243,29 @@ def stream_merge_upsert_sink(
 
     from ..operators.setops import merge_upsert
 
+    tmp = snapshot_dir.rstrip("/") + ".tmp"
+    old = snapshot_dir.rstrip("/") + ".old"
+
+    def _recover() -> None:
+        # Complete a swap a previous run crashed in the middle of.
+        if not os.path.isdir(snapshot_dir):
+            if os.path.isdir(tmp):
+                # Crash after snapshot→.old but before .tmp→snapshot:
+                # .tmp holds the complete merged result — promote it.
+                os.rename(tmp, snapshot_dir)
+            elif os.path.isdir(old):
+                # .tmp never finished (or was promoted then lost):
+                # roll back to the prior snapshot.
+                os.rename(old, snapshot_dir)
+        if os.path.isdir(old):
+            # Crash after promotion but before cleanup.
+            shutil.rmtree(old)
+        # A leftover .tmp alongside a live snapshot is a stale partial
+        # write; mode("overwrite") below replaces it.
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         if os.path.isdir(snapshot_dir):
             base = spark.read.parquet(snapshot_dir)
         else:
@@ -247,11 +273,12 @@ def stream_merge_upsert_sink(
         merged = merge_upsert(
             base, batch_df, key, updates_order_col=order_col
         )
-        tmp = snapshot_dir.rstrip("/") + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
+            os.rename(snapshot_dir, old)
         os.rename(tmp, snapshot_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     return sdf.writeStream.foreachBatch(_apply).outputMode("append")
 

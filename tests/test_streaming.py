@@ -309,3 +309,31 @@ def test_stream_merge_upsert_sink_cdc_apply(spark, tmp_path_factory):
     run_once()
     snap2 = {r["k"]: r["v"] for r in spark.read.parquet(snapshot_dir).collect()}
     assert snap2 == {1: "a1", 2: "b1", 3: "c0"}
+
+    # --- crash-recovery of the rename-aside swap (ADVICE.md r3) ---
+    # Simulate a crash between `snapshot → .old` and `.tmp → snapshot`:
+    # the prior state sits in .old, the fully-merged result in .tmp,
+    # and no live snapshot exists. The next batch must promote .tmp
+    # (NOT fall back to .old, which would lose the newest merge) and
+    # clean up, then merge its own changes on top.
+    import os
+    import shutil
+
+    os.rename(snapshot_dir, snapshot_dir + ".tmp")
+    old_dir = snapshot_dir + ".old"
+    os.makedirs(old_dir)
+    shutil.copy(
+        next(
+            str(p) for p in (root / "changes").iterdir()
+            if p.name.endswith(".parquet")
+        ),
+        old_dir,
+    )
+    spark.createDataFrame([(3, "c1", 2), (4, "d0", 1)], schema).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    run_once()
+    snap3 = {r["k"]: r["v"] for r in spark.read.parquet(snapshot_dir).collect()}
+    assert snap3 == {1: "a1", 2: "b1", 3: "c1", 4: "d0"}
+    assert not os.path.exists(snapshot_dir + ".old")
+    assert not os.path.exists(snapshot_dir + ".tmp")
