@@ -1,6 +1,8 @@
-"""Multimodal plumbing tests (north star §2.11): schema, Arrow batch
-shape, decode determinism, feature wiring into similarity search, frame
-sampling row expansion, and the codec-stub failure mode."""
+"""Multimodal tests (north star §2.11): schema, Arrow batch shape,
+decode determinism, feature wiring into similarity search, frame
+sampling row expansion — plus the REAL stdlib codecs (PNG/BMP/PNM/WAV
+exact decode, nearest-neighbor resize) and the NotImplementedError
+boundary for formats that need a native library (JPEG)."""
 
 from __future__ import annotations
 
@@ -76,12 +78,208 @@ def test_sample_frames_expands_rows(media):
         assert nos == [0, 2, 4, 6]             # every 2nd of 8 frames
 
 
-def test_codec_stub_raises_on_real_data(spark):
-    """Foreign payloads hit the clearly-marked NotImplementedError —
-    the documented stub boundary, not silent garbage."""
+def test_codec_raises_on_formats_needing_native_libs(spark):
+    """Payloads in formats that genuinely need a native codec (JPEG
+    magic here) hit the clearly-marked NotImplementedError — the
+    documented codec boundary, not silent garbage."""
     df = spark.createDataFrame(
-        [(99, "image", b"\x89PNG\r\n...", (1, 1, None, 1, "png"))],
+        [(99, "image", b"\xff\xd8\xff\xe0jfif-ish", (1, 1, None, 1, "jpg"))],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="(?i)real media decoding"):
+    with pytest.raises(Exception, match="(?i)no codec"):
         decode_media(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs (multimodal/codecs.py): exact decode, no PIL/libav
+# ---------------------------------------------------------------------------
+
+
+def _checker(h, w, c):
+    import numpy as np
+
+    img = np.zeros((h, w, c), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = [(y * 31 + x * 7 + ch * 13) % 256 for ch in range(c)]
+    return img
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_exact(channels):
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import png_decode, png_encode
+
+    img = _checker(13, 7, channels)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def test_png_decode_all_filter_types():
+    """Decode a PNG whose scanlines use every filter type (0-4),
+    built by applying the spec's filter math to known pixels — the
+    decoder must invert each one exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import _paeth, png_decode
+
+    img = _checker(5, 6, 3)
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(int)
+    raw = b""
+    prev = [0] * stride
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = list(flat[y])
+        enc = []
+        for i in range(stride):
+            left = line[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: _paeth(left, up, ul),
+            }[ftype]
+            enc.append((line[i] - pred) & 0xFF)
+        raw += bytes([ftype]) + bytes(enc)
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(png), img)
+
+
+def test_bmp_decode_matches_reference_layout():
+    """Hand-assemble a 3×2 24-bit bottom-up BMP with row padding; the
+    decoder must return top-down RGB."""
+    import struct
+
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import bmp_decode
+
+    img = _checker(2, 3, 3)
+    row_bytes = (3 * 3 + 3) & ~3  # 12
+    pixel_data = b""
+    for y in (1, 0):  # bottom-up
+        row = b"".join(bytes(img[y, x][::-1]) for x in range(3))  # BGR
+        pixel_data += row + b"\x00" * (row_bytes - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    )
+    assert np.array_equal(bmp_decode(header + pixel_data), img)
+
+
+def test_pnm_roundtrip():
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import pnm_decode
+
+    img = _checker(4, 5, 3)
+    ppm = b"P6\n# comment\n5 4\n255\n" + img.tobytes()
+    assert np.array_equal(pnm_decode(ppm), img)
+    gray = _checker(4, 5, 1)
+    pgm = b"P5 5 4 255\n" + gray.tobytes()
+    assert np.array_equal(pnm_decode(pgm), gray)
+
+
+def test_wav_roundtrip_16bit():
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import wav_decode, wav_encode
+
+    t = np.arange(400) / 400.0
+    sig = 0.5 * np.sin(2 * np.pi * 5 * t)
+    out, rate = wav_decode(wav_encode(sig, sample_rate=8000))
+    assert rate == 8000
+    assert out.shape == (400, 1)
+    assert np.abs(out[:, 0] - sig).max() < 1.0 / 32768
+
+def test_resize_nearest_exact_downscale():
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import resize_nearest
+
+    img = _checker(4, 4, 3)
+    out = resize_nearest(img, 2, 2)
+    assert np.array_equal(out, img[::2, ::2])
+
+
+def test_spark_decode_real_png_payloads(spark):
+    """End-to-end: real PNG bytes flow through the Arrow-batched
+    decode_media and come back as the exact pixel values."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import png_encode
+
+    imgs = {i: _checker(6, 5, 3) + i for i in range(4)}
+    df = spark.createDataFrame(
+        [
+            (i, "image", png_encode(img % 256), (5, 6, None, 1, "png"))
+            for i, img in imgs.items()
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r["pixels"] for r in decode_media(df).collect()}
+    for i, img in imgs.items():
+        assert rows[i] == [float(x) for x in (img % 256).ravel()]
+
+
+def test_spark_resize_real_png_resamples_pixels(spark):
+    """resize_images on a real PNG actually resamples: output payload
+    decodes to the nearest-neighbor grid at the target size."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import (
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
+
+    img = _checker(8, 8, 3)
+    df = spark.createDataFrame(
+        [(7, "image", png_encode(img), (8, 8, None, 1, "png"))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = resize_images(df, 4, 4).collect()
+    assert row["meta"]["width"] == 4 and row["meta"]["height"] == 4
+    assert np.array_equal(
+        png_decode(bytes(row["data"])), resize_nearest(img, 4, 4)
+    )
+
+
+def test_spark_decode_wav_payloads(spark):
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import wav_encode
+
+    sig = np.linspace(-0.9, 0.9, 256)
+    df = spark.createDataFrame(
+        [(11, "audio", wav_encode(sig, 16000), (None, None, 16000, None, "wav"))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = decode_media(df).collect()
+    got = np.asarray(row["pixels"])
+    assert got.shape == (256,)
+    # encode scales by 32767, decode by 1/32768: worst case |x|/32768
+    # quantizer-mismatch bias + 0.5/32768 rounding
+    assert np.abs(got - sig).max() < 2.0 / 32768
