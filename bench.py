@@ -61,6 +61,10 @@ HEADLINE = [
     "vocab_prune",
     "sample_weighted",
     "corpus_pipeline",
+    "cosine_near_dup",
+    "triangle_count",
+    "gopher_quality_signals",
+    "zipf_slope",
 ]
 
 

@@ -159,3 +159,105 @@ def vocab_prune(
         F.array_join(kept, " ").alias("pruned_text"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+#: Stopword list for the Gopher-style signal gates — deterministic and
+#: oracle-expressible (mirrors functions.text.LANG_MARKERS discipline).
+SIGNAL_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in")
+
+
+def quality_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_frac: float = 0.01,
+) -> DataFrame:
+    """Gopher-style per-document quality signals + keep gate (Rae et
+    al. 2021, "Scaling Language Models" §A1.1 heuristics, re-expressed
+    as pure in-row array expressions): word count, mean word length,
+    stopword fraction, unique-word fraction, and the conjunctive
+    ``keep`` flag over the configured gates.
+
+    Scale: NO explode, NO shuffle — every signal is a higher-order
+    function over the token array inside whole-stage codegen, so this
+    runs at scan speed and composes in front of the expensive dedup
+    stages (gate first, shuffle later — the corpus_pipeline ordering).
+    Fractions round to 6 dp; the keep gate compares the ROUNDED values
+    so engine and oracle agree at the bin edges.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n,
+        6,
+    )
+    stop_lits = F.array(*[F.lit(w) for w in SIGNAL_STOPWORDS])
+    stop_frac = F.round(
+        F.size(F.filter(toks, lambda w: F.array_contains(stop_lits, w)))
+        .cast("double") / n,
+        6,
+    )
+    uniq_frac = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n, 6
+    )
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (stop_frac >= min_stopword_frac)
+    )
+    return docs.select(
+        id_col,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"),
+        uniq_frac.alias("unique_word_frac"),
+        keep.alias("keep"),
+    ).orderBy(id_col)
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) for the top-k tokens (natural language sits
+    near −1; a corpus of boilerplate or template spam drifts far off —
+    a cheap corpus-health check).
+
+    Plan: token hash agg (explode + groupBy — the token_topn shape),
+    TakeOrderedAndProject down to the top-k tokens (freq desc, token
+    asc tie-break on BOTH engines), then ``regr_slope`` over the
+    k-row frame with ``row_number`` ranks. The window runs on k rows,
+    not the corpus — top_k bounds it by construction (the vocab_prune
+    bounded-hot-set discipline). Returns one row: (n_tokens_ranked,
+    slope, intercept).
+    """
+    freqs = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = freqs.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__lr"),
+        F.log(F.col("freq").cast("double")).alias("__lf"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens_ranked"),
+        F.round(F.regr_slope("__lf", "__lr"), 6).alias("slope"),
+        F.round(F.regr_intercept("__lf", "__lr"), 6).alias("intercept"),
+    )

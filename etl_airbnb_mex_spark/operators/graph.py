@@ -101,3 +101,62 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count over an undirected graph — the
+    clustering/cohesion scalar (spam link-farms and bot rings show
+    anomalous triangle density).
+
+    Algorithm: DEGREE ORIENTATION — the classic distributed-triangle
+    trick (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+    Curse of the Last Reducer"). Canonicalize edges undirected, then
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one: the oriented graph is acyclic with out-degree
+    O(√m), so enumerating wedges (a→b, b→c) and closing them
+    against oriented edges (a→c) touches each triangle EXACTLY once
+    and the wedge count is bounded by Σ outdeg² = O(m^1.5) — never
+    the Σ deg² blowup a hub vertex causes in the naive plan.
+
+    Every join is an equi-join on a node key (shuffle-partitioned,
+    AQE-sized); nothing driver-side. Returns one row (n_triangles).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("__du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("__dv")
+    )
+    with_deg = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    e1 = oriented.select(F.col("a"), F.col("b"))
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "c")
+    closing = oriented.select(
+        F.col("a"), F.col("b").alias("c")
+    )
+    return wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

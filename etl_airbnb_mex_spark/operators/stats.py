@@ -497,3 +497,147 @@ def histogram(df: DataFrame, col: str, lo: float, width: float) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin")
     )
+
+
+def group_entropy(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Shannon entropy (nats) of the ``value_col`` distribution within
+    each group — the standard data-profiling signal for label/category
+    columns (near-0 = degenerate column, ln(k) = uniform over k values).
+
+    Plan: two chained hash aggs — (group, value) counts, then per-group
+    ``ln n − Σ c·ln c / n`` (the algebraic form that needs only the
+    counts, no per-row probabilities) — both shuffles key on the group,
+    partial aggregation applies, and the second agg's input is one row
+    per distinct (group, value), already corpus-independent. Entropy
+    and n are exact; entropy rounds to 6 dp for cross-engine hashing.
+    """
+    c = F.count(F.lit(1))
+    counts = df.groupBy(group_col, value_col).agg(c.alias("__c"))
+    return (
+        counts.groupBy(group_col)
+        .agg(
+            F.sum("__c").alias("n"),
+            F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clogc"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            group_col,
+            "n",
+            "n_distinct",
+            _r(F.log(F.col("n")) - F.col("__clogc") / F.col("n"))
+            .alias("entropy_nats"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized-mean summary per group: exact [lo, hi] percentile
+    bounds, then the mean of the value CLIPPED to those bounds next to
+    the raw mean — the outlier-robust alternative to plain avg (ML
+    feature prep; the clip twin of anomaly_zscore's screen).
+
+    Plan: ONE ``percentile(col, array(lo, hi))`` buffer per group (the
+    percentile_by_group discipline — never two separate sort buffers),
+    joined back group-to-group (AQE picks broadcast when the group
+    domain is small), then a second group agg over the clipped value.
+    Shuffles: two, both keyed on the group. At 100 TB the documented
+    swap is approx_percentile with identical call shape.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.array(F.lit(lo), F.lit(hi))).alias("__b")
+    ).select(
+        group_col,
+        F.col("__b")[0].alias("__lo"),
+        F.col("__b")[1].alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(bounds, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg(v)).alias("mean_raw"),
+            _r(F.avg(clipped)).alias("mean_winsorized"),
+            _r(F.first("__lo")).alias("p_lo"),
+            _r(F.first("__hi")).alias("p_hi"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Smoothed target encoding: each category maps to
+    ``(Σ target + m · global_mean) / (n + m)`` — the standard
+    high-cardinality categorical encoder (rare categories shrink toward
+    the global mean instead of memorizing noise).
+
+    Plan: one hash agg per category + one SCALAR global agg broadcast
+    onto it (1-row crossJoin — the audited scalar-BNLJ shape, metadata
+    not data). No per-row join: the encoder table is the OUTPUT, sized
+    by category cardinality; applying it to a stream is one AQE-sized
+    equi-join downstream. Exact sums via DECIMAL would be overkill
+    here: 6-dp rounding on the final ratio absorbs double summation
+    order (SURVEY.md §7.4.12 applies to raw sums, not shrunk means).
+    """
+    t = F.col(target_col)
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(t).alias("n"),
+        F.sum(t).alias("__s"),
+    )
+    g = df.agg(F.avg(t).alias("__g"))
+    return (
+        per_cat.crossJoin(F.broadcast(g))
+        .select(
+            cat_col,
+            "n",
+            _r(
+                (F.col("__s") + F.lit(smoothing) * F.col("__g"))
+                / (F.col("n") + F.lit(smoothing))
+            ).alias("encoded"),
+            _r(F.col("__g")).alias("global_mean"),
+        )
+        .orderBy(cat_col)
+    )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_width: float,
+    y_cents_per_bin: int,
+) -> DataFrame:
+    """2-D equi-width histogram over (x, y) — the heatmap twin of A16.
+    The y axis bins on INTEGER CENTS (``floor(round(y·100) / bin)``) so
+    bin edges are exact for money-like doubles: ``0.04 / 0.02`` in
+    binary floating point can land on 1.999…, and a raw floor would put
+    the row in the wrong bin on one engine but not the other.
+
+    Single hash agg on the two bin keys — one shuffle, partial
+    aggregation applies, output is bounded by bin-grid size.
+    """
+    bx = F.floor(F.col(x_col) / F.lit(x_width)).cast("long")
+    by = F.floor(
+        F.round(F.col(y_col) * 100, 0) / F.lit(y_cents_per_bin)
+    ).cast("long")
+    return (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(bx.alias("bin_x"), by.alias("bin_y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin_x", "bin_y")
+    )

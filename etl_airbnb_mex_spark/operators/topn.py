@@ -97,3 +97,31 @@ def mode_by_group(df: DataFrame, group: str, key: str) -> DataFrame:
         .select(group, key, "cnt")
         .orderBy(group)
     )
+
+
+def collapse_rare_labels(
+    df: DataFrame,
+    label_col: str,
+    min_count: int,
+    other: str = "OTHER",
+) -> DataFrame:
+    """Rare-category collapse: labels seen fewer than ``min_count``
+    times fold into ``other`` — the standard cardinality cap before
+    one-hot/target encoding (long-tail categories carry no signal and
+    blow up feature width).
+
+    Plan: label hash agg → in-row CASE on the count → second hash agg
+    over the collapsed label. Both shuffles key on the label, and the
+    second agg's input is one row per DISTINCT original label (already
+    cardinality-, not corpus-, sized). Returns (label, n) sorted by
+    n desc, label asc.
+    """
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__c"))
+    collapsed = F.when(
+        F.col("__c") >= min_count, F.col(label_col)
+    ).otherwise(F.lit(other))
+    return (
+        counts.groupBy(collapsed.alias(label_col))
+        .agg(F.sum("__c").alias("n"))
+        .orderBy(F.desc("n"), F.asc(label_col))
+    )

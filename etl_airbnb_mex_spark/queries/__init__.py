@@ -98,6 +98,15 @@ _PRIORITY: tuple[str, ...] = (
     "approx_distinct",
     "percentiles_approx",
     # -- round-4 additions (appended as they are registered) --
+    "pivot_wide",
+    "entropy_by_group",
+    "winsorize_stats",
+    "rare_label_collapse",
+    "target_encode",
+    "gopher_quality_signals",
+    "zipf_slope",
+    "histogram2d",
+    "triangle_count",
 )
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")

@@ -2977,3 +2977,284 @@ def monthly_active_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# §2.11 round 4: ML-prep encoders, corpus health, graph cohesion
+# --------------------------------------------------------------------------
+
+@register(
+    "pivot_wide",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "§2.5 wide reshape — groupBy().pivot() with the value domain "
+    "PROVIDED (['O','F','P']): Spark skips the extra distinct-values "
+    "job and plans ONE hash agg with pivot output columns (same cost "
+    "as the CASE-sum form the oracle spells out). Missing cells "
+    "coalesce to 0. Unbounded-domain pivot at 100 TB is the documented "
+    "anti-pattern — always pass the column list.",
+)
+def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}")
+            for s in ("O", "F", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "entropy_by_group",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS cnt
+      FROM documents GROUP BY lang, source)
+    SELECT lang,
+           sum(cnt) AS n,
+           count(*) AS n_distinct,
+           round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
+             AS entropy_nats
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    "Data-profiling: Shannon entropy (nats) of the source distribution "
+    "per language — two chained hash aggs using the counts-only "
+    "algebraic form ln n − Σ c·ln c / n; the second agg's input is "
+    "one row per distinct (group, value) "
+    "(operators/stats.py:group_entropy).",
+)
+def entropy_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import group_entropy
+
+    return group_entropy(
+        load_table(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@register(
+    "winsorize_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS grp,
+             quantile_cont(l_extendedprice, 0.05) AS p_lo,
+             quantile_cont(l_extendedprice, 0.95) AS p_hi
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_extendedprice), 6) AS mean_raw,
+           round(avg(least(greatest(l_extendedprice, p_lo), p_hi)), 6)
+             AS mean_winsorized,
+           round(any_value(p_lo), 6) AS p_lo,
+           round(any_value(p_hi), 6) AS p_hi
+    FROM lineitem JOIN b ON l_returnflag = b.grp
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "ML prep — winsorized mean per group: ONE exact percentile(array) "
+    "buffer per group for the [p05, p95] bounds, group-keyed join back "
+    "(AQE-sized), clip + second group agg "
+    "(operators/stats.py:winsorize_summary).",
+)
+def winsorize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import winsorize_summary
+
+    return winsorize_summary(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", lo=0.05, hi=0.95,
+    )
+
+
+@register(
+    "rare_label_collapse",
+    """
+    WITH c AS (
+      SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand)
+    SELECT CASE WHEN cnt >= 75 THEN p_brand ELSE 'OTHER' END AS p_brand,
+           sum(cnt) AS n
+    FROM c GROUP BY 1 ORDER BY n DESC, p_brand ASC
+    """,
+    "ML prep — rare-category collapse (labels with < 75 rows fold into "
+    "OTHER before encoding): label hash agg, in-row CASE on the count, "
+    "second agg over one row per DISTINCT original label "
+    "(operators/topn.py:collapse_rare_labels).",
+)
+def rare_label_collapse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topn import collapse_rare_labels
+
+    return collapse_rare_labels(
+        load_table(spark, sf_dir, "part"), "p_brand", min_count=75
+    )
+
+
+@register(
+    "target_encode",
+    """
+    WITH g AS (SELECT avg(p_retailprice) AS gm FROM part)
+    SELECT p_brand,
+           count(p_retailprice) AS n,
+           round((sum(p_retailprice) + 10.0 * any_value(gm))
+                 / (count(p_retailprice) + 10.0), 6) AS encoded,
+           round(any_value(gm), 6) AS global_mean
+    FROM part, g
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    "ML prep — smoothed target encoding (Σt + m·ḡ)/(n + m): one "
+    "category hash agg + one scalar global agg broadcast on (the "
+    "audited 1-row-crossJoin shape); rare categories shrink toward the "
+    "global mean (operators/stats.py:target_encode).",
+)
+def target_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import target_encode
+
+    return target_encode(
+        load_table(spark, sf_dir, "part"),
+        "p_brand", "p_retailprice", smoothing=10.0,
+    )
+
+
+_TOKS4 = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "gopher_quality_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS4} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             round(list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                   / len(toks), 6) AS mean_word_len,
+             round(len(list_filter(toks,
+                     w -> list_contains(['the','a','of','to','and','in'], w)
+                   ))::DOUBLE / len(toks), 6) AS stopword_frac,
+             round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+               AS unique_word_frac
+      FROM t)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+           stopword_frac, unique_word_frac,
+           (n_words >= 20 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND stopword_frac >= 0.01) AS keep
+    FROM s ORDER BY doc_id
+    """,
+    "§2.11 corpus hygiene — Gopher-style quality gates (word count, "
+    "mean word length, stopword fraction, unique-word fraction) as "
+    "pure in-row array expressions: NO explode, NO shuffle, runs at "
+    "scan speed in front of the dedup stages "
+    "(operators/corpus.py:quality_signals).",
+)
+def gopher_quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import quality_signals
+
+    df = quality_signals(load_table(spark, sf_dir, "documents"))
+    return df.withColumn("n_words", F.col("n_words").cast("int"))
+
+
+@register(
+    "zipf_slope",
+    f"""
+    WITH freqs AS (
+      SELECT token, count(*) AS freq FROM (
+        SELECT unnest({_TOKS4}) AS token FROM documents)
+      GROUP BY token ORDER BY freq DESC, token ASC LIMIT 500),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+                     AS DOUBLE)) AS lr,
+             ln(CAST(freq AS DOUBLE)) AS lf
+      FROM freqs)
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens_ranked,
+           round(regr_slope(lf, lr), 6) AS slope,
+           round(regr_intercept(lf, lr), 6) AS intercept
+    FROM ranked
+    """,
+    "§2.11 corpus health — Zipf's-law fit: OLS slope of ln(freq) on "
+    "ln(rank) over the top-500 tokens (natural text ≈ −1). Token hash "
+    "agg → TakeOrderedAndProject(500) → window + regr_slope on the "
+    "500-row frame only — top_k bounds the non-distributed part by "
+    "construction (operators/corpus.py:zipf_slope).",
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import zipf_slope
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"), top_k=500)
+
+
+@register(
+    "histogram2d",
+    """
+    SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bin_x,
+           CAST(floor(round(l_discount * 100, 0) / 2) AS BIGINT) AS bin_y,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    GROUP BY 1, 2 ORDER BY bin_x, bin_y
+    """,
+    "A16 2-D — equi-width heatmap over (quantity × discount): single "
+    "hash agg on the two bin keys; the money axis bins on integer "
+    "CENTS (floor(round(y·100)/2)) so 0.04/0.02 = 1.999… float edges "
+    "cannot split bins across engines "
+    "(operators/stats.py:histogram2d).",
+)
+def histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import histogram2d
+
+    return histogram2d(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_discount", x_width=10.0, y_cents_per_bin=2,
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    "§2.11 graph — exact triangle count over the co-purchase graph "
+    "(parts ordered together in ≥ 2 orders) via DEGREE ORIENTATION "
+    "(Suri & Vassilvitskii WWW'11): orient edges low→high (degree, id), "
+    "wedge equi-join + closing-edge equi-join — wedge count bounded by "
+    "Σ outdeg² = O(m^1.5), immune to hub vertices; the oracle counts "
+    "the same triangles by id-order (operators/graph.py:triangle_count).",
+)
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)

@@ -273,6 +273,7 @@ _SCALAR_BNLJ_OK = {
     "sentiment_dist",
     "quality_filter",
     "tfidf_topk",
+    "target_encode",  # 1-row global-mean crossJoin
 }
 
 
@@ -1584,3 +1585,133 @@ def test_pagerank_known_graphs(spark):
     # leaves are dangling: their mass cycles back, so the hub holds less
     # than the leaves' combined share but more than base rank
     assert ranks[1] > (1 - 0.85) / 4
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: known-answer unit tests (oracle parity is separate)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles) + pendant edge + duplicate/reversed edges —
+    canonicalization must dedup, orientation must count each triangle
+    exactly once."""
+    from etl_airbnb_mex_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 99), (1, 0), (2, 1)]  # pendant + reversed dups
+    df = spark.createDataFrame(edges, "src long, dst long")
+    (row,) = triangle_count(df).collect()
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    from etl_airbnb_mex_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    assert triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+def test_group_entropy_uniform_and_degenerate(spark):
+    import math
+
+    from etl_airbnb_mex_spark.operators.stats import group_entropy
+
+    rows = [("u", f"v{i % 4}") for i in range(40)] + [("d", "only")] * 7
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r["g"]: r for r in group_entropy(df, "g", "v").collect()}
+    assert out["u"]["entropy_nats"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out["u"]["n_distinct"] == 4
+    assert out["d"]["entropy_nats"] == 0.0
+
+
+def test_winsorize_bounds_and_means(spark):
+    from etl_airbnb_mex_spark.operators.stats import winsorize_summary
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100 in one group
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    (row,) = winsorize_summary(df, "v", "grp", lo=0.10, hi=0.90).collect()
+    # quantile_cont semantics: p10 of 1..100 = 10.9, p90 = 90.1
+    assert row["p_lo"] == pytest.approx(10.9)
+    assert row["p_hi"] == pytest.approx(90.1)
+    assert row["mean_raw"] == pytest.approx(50.5)
+    clipped = [min(max(v, 10.9), 90.1) for v in vals]
+    assert row["mean_winsorized"] == pytest.approx(
+        sum(clipped) / len(clipped), abs=1e-6
+    )
+
+
+def test_collapse_rare_labels_preserves_total(spark):
+    from etl_airbnb_mex_spark.operators.topn import collapse_rare_labels
+
+    rows = [("big",)] * 10 + [("mid",)] * 5 + [("r1",)] * 2 + [("r2",)] * 1
+    df = spark.createDataFrame(rows, "lab string")
+    out = {r["lab"]: r["n"] for r in
+           collapse_rare_labels(df, "lab", min_count=5).collect()}
+    assert out == {"big": 10, "mid": 5, "OTHER": 3}
+
+
+def test_target_encode_shrinks_rare_toward_global(spark):
+    from etl_airbnb_mex_spark.operators.stats import target_encode
+
+    rows = [("common", 10.0)] * 100 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, "cat string, t double")
+    out = {r["cat"]: r for r in
+           target_encode(df, "cat", "t", smoothing=10.0).collect()}
+    g = (100 * 10.0 + 1000.0) / 101
+    assert out["rare"]["encoded"] == pytest.approx(
+        (1000.0 + 10 * g) / 11, abs=1e-6
+    )
+    # rare category pulled from 1000 most of the way toward ~19.8
+    assert out["rare"]["encoded"] < 120
+    assert out["common"]["encoded"] == pytest.approx(
+        (1000.0 + 10 * g) / 110, abs=1e-6
+    )
+
+
+def test_quality_signals_gates(spark):
+    from etl_airbnb_mex_spark.operators.corpus import quality_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the " + "word " * 30 + "end"),      # long enough, keeps
+            (2, "too short a doc"),                   # < 20 words
+            (3, " ".join("xyzzy" for _ in range(40))),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_signals(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 4
+    assert out[3]["keep"] is False and out[3]["stopword_frac"] == 0.0
+    assert out[3]["unique_word_frac"] == pytest.approx(1 / 40, abs=1e-6)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A corpus built so freq(rank) = 420/rank exactly (420 = lcm 1..7):
+    the log-log points are exactly collinear with slope −1."""
+    from etl_airbnb_mex_spark.operators.corpus import zipf_slope
+
+    words = []
+    for rank in range(1, 8):
+        words += [f"w{rank:02d}"] * (420 // rank)
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    (row,) = zipf_slope(docs, top_k=100).collect()
+    assert row["n_tokens_ranked"] == 7
+    assert row["slope"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_histogram2d_cent_edges(spark):
+    """0.04 discount must land in bin_y=2 (cents 4 // 2) even though
+    0.04/0.02 floats to 1.999…."""
+    from etl_airbnb_mex_spark.operators.stats import histogram2d
+
+    df = spark.createDataFrame(
+        [(5.0, 0.04), (5.0, 0.05), (25.0, 0.0), (None, 0.02), (1.0, None)],
+        "q double, d double",
+    )
+    out = {(r["bin_x"], r["bin_y"]): r["cnt"]
+           for r in histogram2d(df, "q", "d", 10.0, 2).collect()}
+    assert out == {(0, 2): 2, (2, 0): 1}
