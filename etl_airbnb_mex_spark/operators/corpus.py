@@ -261,3 +261,53 @@ def zipf_slope(
         F.round(F.regr_slope("__lf", "__lr"), 6).alias("slope"),
         F.round(F.regr_intercept("__lf", "__lr"), 6).alias("intercept"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: each document's mean
+    log-probability under the corpus's OWN unigram distribution,
+    ``score(d) = Σ_t k_t(d) · ln(cnt(t)/N) / len(d)`` — the standard
+    cheap perplexity proxy for quality filtering (low score = tokens
+    the corpus itself finds improbable = gibberish/boilerplate tails).
+
+    Plan: ONE (doc, token) hash agg gives per-doc term counts AND, by
+    a second token-keyed agg over its (already-distinct) output, the
+    corpus frequencies — tokens shuffle, documents never do. Corpus
+    total N joins in as a broadcast 1-row aggregate. The join back of
+    per-doc terms to the frequency table is a token-keyed equi-join;
+    stopword skew on it is exactly what AQE skew-join splitting is
+    for, and the join's probe side is (doc, token, k) triples, not
+    text. Final per-doc hash agg on id.
+
+    Returns (id_col, n_tokens, logprob) — logprob is the per-token
+    mean, ≤ 0, rounded for cross-engine hash parity.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    freq = tf.groupBy("token").agg(F.sum("k").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_corpus"))
+    return (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("k")
+                    * F.log(F.col("cnt") / F.col("n_corpus"))
+                )
+                / F.sum("k"),
+                6,
+            ).alias("logprob"),
+        )
+        .orderBy(id_col)
+    )

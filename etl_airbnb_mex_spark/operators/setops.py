@@ -236,3 +236,55 @@ def merge_upsert(
             for c in base.columns
         ]
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC snapshot diff: classify every key as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, any compare column
+    differs null-safely) or ``unchanged`` — the reconciliation primitive
+    behind incremental loads and data-drift audits.
+
+    ONE full-outer equi-join on the key (both sides hash-shuffle on the
+    same key, AQE-sized), classification is a pure projection over the
+    joined row — no second pass, no collect. Emits (key columns,
+    change) rows; aggregate downstream as needed. At 100 TB both
+    snapshots are key-partitioned parquet, so the join co-locates.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else cond & c
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__ov_{c}").eqNullSafe(
+            F.col(f"__nv_{c}")
+        )
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+    )
+    keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return joined.select(*keys, change.alias("change"))

@@ -9,7 +9,7 @@ an exact percentile would force a global sort (SURVEY.md §4.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ROUND_DP = 6
@@ -640,4 +640,168 @@ def histogram2d(
         .groupBy(bx.alias("bin_x"), by.alias("bin_y"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin_x", "bin_y")
+    )
+
+
+def weighted_median_by_group(
+    df: DataFrame, value_col: str, weight_col: str, group_col: str
+) -> DataFrame:
+    """Weighted median per group: the smallest value v whose cumulative
+    weight over rows with value ≤ v reaches half the group's total
+    weight — the mass-based location estimate (exact median when all
+    weights are 1; survey/importance-weighted data otherwise).
+
+    Plan: ONE group-key shuffle serves everything — the cumulative sum
+    uses the DEFAULT window frame (``ORDER BY value`` ⇒ RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW), which includes ALL ties of the current
+    value, so the cutoff row is a deterministic function of the value
+    alone, never of the arbitrary intra-tie row order; the group-total
+    window on the same partitioning adds no exchange. Final min() per
+    group is a hash agg on the (tiny) crossing rows. Memory is
+    shuffle-partition-bounded — no percentile buffer materializes the
+    column per group.
+    """
+    v, w = F.col(value_col), F.col(weight_col)
+    cum = Window.partitionBy(group_col).orderBy(value_col)
+    whole = Window.partitionBy(group_col)
+    return (
+        df.filter(v.isNotNull() & w.isNotNull())
+        .select(
+            group_col,
+            v.alias("__v"),
+            F.sum(w).over(cum).alias("__cw"),
+            F.sum(w).over(whole).alias("__tw"),
+        )
+        .filter(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(group_col)
+        .agg(_r(F.min("__v")).alias("weighted_median"))
+        .orderBy(group_col)
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    variant: Column,
+    success: Column,
+) -> DataFrame:
+    """A/B-test readout: conversion per variant and the pooled
+    two-proportion z statistic  z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a+1/n_b)).
+
+    Experiment-unit first: rows collapse to one row per ``unit_col``
+    (max of the success flag — "did this user ever convert"), so
+    event-frequency per user cannot bias the rate. Two hash aggs total
+    (unit, then variant) and a 1-row final reduce emitted as a single
+    scalar row — conditional aggregation keeps both variants in one
+    pass, no self-join. Scales as two keyed shuffles regardless of
+    event volume.
+    """
+    per_unit = (
+        df.select(
+            F.col(unit_col).alias("__u"),
+            variant.alias("__variant"),
+            success.cast("int").alias("__s"),
+        )
+        .groupBy("__u", "__variant")
+        .agg(F.max("__s").alias("__conv"))
+    )
+    a_is = F.col("__variant") == F.lit("A")
+    agg = per_unit.agg(
+        F.sum(a_is.cast("long")).alias("n_a"),
+        F.sum((~a_is).cast("long")).alias("n_b"),
+        F.sum(F.when(a_is, F.col("__conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(~a_is, F.col("__conv")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        _r(p_a).alias("rate_a"),
+        _r(p_b).alias("rate_b"),
+        _r((p_a - p_b) / se).alias("z_score"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame, min_col: str, max_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D Pareto skyline: the distinct points not dominated by any
+    other — q dominates p when q.min_col ≤ p.min_col AND
+    q.max_col ≥ p.max_col with at least one strict (e.g. cheaper AND
+    bigger parts).
+
+    Sort-based O(n log n) plan, never the naive O(n²) dominance
+    self-join, and never a single-partition global window:
+
+    1. Hash-agg to one row per distinct ``min_col`` keeping
+       ``max(max_col)`` — within an equal min_col only the largest
+       max_col can survive, so this both dedups and shrinks the input
+       to distinct-key cardinality in one shuffle.
+    2. A point is then on the skyline iff the running max of
+       ``max_col`` over strictly-smaller ``min_col`` is below its own.
+       That cumulative max is computed DISTRIBUTED, the
+       sort-rank-percentile pattern (:func:`exact_percentiles_sortrank`):
+       range-shuffle on min_col + localCheckpoint, per-partition maxes
+       collected (one row per partition — metadata, not data),
+       driver-side exclusive prefix max, folded back per partition via
+       a pid CASE literal over an intra-partition window. No global
+       single-partition sort anywhere; memory is shuffle-bounded.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    reduced = (
+        df.filter(
+            F.col(min_col).isNotNull() & F.col(max_col).isNotNull()
+        )
+        .groupBy(min_col)
+        .agg(F.max(max_col).alias("__m"))
+        .repartitionByRange(num_partitions, min_col)
+        .localCheckpoint()
+    )
+    pmax = {
+        r["pid"]: r["m"]
+        for r in reduced.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.max("__m").alias("m"))
+        .collect()
+    }
+    prefix: dict[int, float | None] = {}
+    best: float | None = None
+    for pid in sorted(pmax):
+        prefix[pid] = best
+        best = pmax[pid] if best is None else max(best, pmax[pid])
+    carry = F.lit(None).cast(reduced.schema["__m"].dataType)
+    for pid, bound in prefix.items():
+        if bound is not None:
+            carry = F.when(F.col("__pid") == pid, F.lit(bound)).otherwise(
+                carry
+            )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(min_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bound = F.greatest(
+        F.coalesce(F.max("__m").over(wloc), carry), carry
+    )
+    return (
+        reduced.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__bound", bound)
+        .filter(
+            F.col("__bound").isNull() | (F.col("__bound") < F.col("__m"))
+        )
+        .select(F.col(min_col), F.col("__m").alias(max_col))
+        .orderBy(min_col)
     )

@@ -252,3 +252,40 @@ def interval_occupancy(
     return agg.select(
         "day", "delta", F.sum("delta").over(w).alias("n_active")
     ).orderBy("day")
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    alpha: float = 0.3,
+    horizon: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, bounded horizon:
+    ``ewma_i = Σ_{k=0..h-1} (1−α)^k · v_{i−k} / Σ (1−α)^k`` over the
+    rows that exist (early rows renormalize over their shorter
+    history, matching pandas ``ewm(alpha, adjust=True)`` restricted to
+    the horizon). With α=0.3, h=8 the dropped tail weight is
+    0.7⁸ ≈ 5.8 % — the truncation that makes the operator
+    DISTRIBUTABLE: the exact recursive EWMA is inherently sequential
+    per key, while the bounded form is a lag-chain on ONE key-shuffled
+    sort, fully whole-stage-codegen'd, no UDF and no iteration. Columns
+    of lag terms, not rows, so cost is O(h) expressions per row.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    v = F.col(value_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(horizon):
+        lagged = F.lag(v, k).over(w) if k else v
+        wk = F.lit((1.0 - alpha) ** k)
+        num = num + F.coalesce(lagged * wk, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wk).otherwise(0.0)
+    return df.select(
+        key_col,
+        order_tiebreak,
+        v.alias("value"),
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -3258,3 +3258,295 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: robust location, experimentation, skyline, LM scoring,
+# smoothing, leakage-safe splits, CDC reconciliation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+    SELECT l_returnflag, round(min(v), 6) AS weighted_median
+    FROM c WHERE cw * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "Weighted median per group — smallest value whose cumulative weight "
+    "reaches half the group total. The DEFAULT window frame with ORDER "
+    "BY (RANGE ..CURRENT ROW) includes all value ties on both engines, "
+    "so the cutoff depends only on the value, never intra-tie row "
+    "order. One key shuffle, shuffle-bounded memory "
+    "(operators/stats.py:weighted_median_by_group).",
+)
+def weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import weighted_median_by_group
+
+    return weighted_median_by_group(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice", "l_quantity", "l_returnflag",
+    )
+
+
+@register(
+    "ab_test_ztest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a / n_a, 6) AS rate_a,
+           round(conv_b / n_b, 6) AS rate_b,
+           round((conv_a / n_a - conv_b / n_b)
+                 / sqrt((conv_a + conv_b) / (n_a + n_b)
+                        * (1 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM s
+    """,
+    "A/B experiment readout: per-user conversion (unit-level max, so "
+    "event frequency cannot bias the rate), then the pooled "
+    "two-proportion z statistic in one conditional agg — two keyed "
+    "shuffles total regardless of event volume "
+    "(operators/stats.py:two_proportion_ztest).",
+)
+def ab_test_ztest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import two_proportion_ztest
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_proportion_ztest(
+        ev,
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+        F.col("event_type") == "purchase",
+    )
+
+
+@register(
+    "skyline_pareto",
+    """
+    WITH r AS (
+      SELECT p_retailprice, max(p_size) AS p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      GROUP BY p_retailprice),
+    s AS (
+      SELECT p_retailprice, p_size,
+             max(p_size) OVER (ORDER BY p_retailprice
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS bound
+      FROM r)
+    SELECT p_retailprice, p_size FROM s
+    WHERE bound IS NULL OR bound < p_size
+    ORDER BY p_retailprice
+    """,
+    "2-D Pareto skyline (cheapest-AND-biggest parts): sort-based "
+    "O(n log n), never the O(n²) dominance self-join — per-price max "
+    "agg, then a DISTRIBUTED cumulative max (range shuffle + "
+    "per-partition maxes + driver prefix over one row per partition, "
+    "the sort-rank-percentile pattern; no single-partition global "
+    "window) (operators/stats.py:skyline_2d).",
+)
+def skyline_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import skyline_2d
+
+    return skyline_2d(
+        load_table(spark, sf_dir, "part"), "p_retailprice", "p_size"
+    )
+
+
+@register(
+    "unigram_logprob",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS k FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY doc_id, token),
+    freq AS (SELECT token, sum(k) AS cnt FROM tf GROUP BY token),
+    tot AS (SELECT sum(cnt) AS n_corpus FROM freq)
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           round(sum(k * ln(cnt / n_corpus)) / sum(k), 6) AS logprob
+    FROM tf JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "CCNet-style unigram LM quality score: mean per-token "
+    "log-probability under the corpus's own unigram distribution — the "
+    "cheap perplexity proxy for gibberish/boilerplate filtering. "
+    "Tokens shuffle, documents never do; corpus total is a broadcast "
+    "scalar (operators/corpus.py:unigram_logprob).",
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import unigram_logprob
+
+    return unigram_logprob(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _ewma_oracle_sql(alpha: float = 0.3, horizon: int = 8) -> str:
+    """Generate the lag-chain EWMA oracle with the SAME weight literals
+    (repr of the CPython double (1−α)^k) and the SAME left-associative
+    accumulation order as the Spark expression tree in
+    ``operators/timeseries.py:ewma_bounded`` — float-exact parity by
+    construction, not by tolerance."""
+    lags, nums, dens = [], [], []
+    for k in range(horizon):
+        w = repr((1.0 - alpha) ** k)
+        src = "value" if k == 0 else f"l{k}"
+        if k:
+            lags.append(f"lag(value, {k}) OVER w AS l{k}")
+        nums.append(f"coalesce({src} * {w}, 0.0)")
+        dens.append(f"CASE WHEN {src} IS NOT NULL THEN {w} ELSE 0.0 END")
+    lag_sql = ",\n             ".join(lags)
+    num_sql = "\n                  + ".join(nums)
+    den_sql = "\n                    + ".join(dens)
+    return f"""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             {lag_sql}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, value,
+           round((0.0 + {num_sql})
+                 / (0.0 + {den_sql}), 6) AS ewma
+    FROM o ORDER BY event_id
+    """
+
+
+@register(
+    "ewma_smooth",
+    _ewma_oracle_sql(),
+    "Bounded-horizon EWMA per user (α=0.3, h=8; dropped tail weight "
+    "0.7⁸ ≈ 5.8 %): the truncation that turns the inherently-sequential "
+    "recursive EWMA into a lag-chain over ONE key-shuffled sort — "
+    "whole-stage-codegen'd columns, no UDF, no iteration "
+    "(operators/timeseries.py:ewma_bounded).",
+)
+def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_bounded
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_bounded(
+        ev, "user_id", "ts", "value", "event_id", alpha=0.3, horizon=8
+    ).orderBy("event_id").select("user_id", "event_id", "value", "ewma")
+
+
+@register(
+    "grouped_split",
+    """
+    WITH k AS (
+      SELECT user_id,
+             ((user_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM events),
+    b AS (
+      SELECT user_id,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 100 AS bucket
+      FROM k),
+    s AS (
+      SELECT user_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+    g AS (SELECT split, user_id, count(*) AS n FROM s GROUP BY 1, 2)
+    SELECT split,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM g GROUP BY split ORDER BY split
+    """,
+    "Leakage-safe train/val/test split: the split is a pure "
+    "deterministic function of the GROUP key (user), so all of a "
+    "user's events land in one split by construction — no join, no "
+    "state, rows never migrate as the corpus grows. Exact user counts "
+    "via (split, user) pre-agg, no countDistinct buffer "
+    "(operators/setops.py:split_by_hash).",
+)
+def grouped_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import split_by_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        split_by_hash(
+            ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .groupBy("split", "user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("split")
+        .agg(
+            F.sum("__n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 89 <> 0),
+    d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT change, count(*) AS cnt FROM d GROUP BY change ORDER BY change
+    """,
+    "CDC snapshot reconciliation: added/removed/changed/unchanged "
+    "classification of two table versions (simulated deterministically "
+    "from orders: %97 deletes in old, %89 deletes in new, +1.0 price "
+    "drift on %13) — ONE full-outer equi-join on the key, "
+    "classification as pure projection, null-safe value compare "
+    "(operators/setops.py:snapshot_diff).",
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return (
+        snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("change")
+    )

@@ -1715,3 +1715,181 @@ def test_histogram2d_cent_edges(spark):
     out = {(r["bin_x"], r["bin_y"]): r["cnt"]
            for r in histogram2d(df, "q", "d", 10.0, 2).collect()}
     assert out == {(0, 2): 2, (2, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: weighted median, z-test, skyline, LM scoring, EWMA,
+# grouped split, snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_unit_weights_is_median(spark):
+    """With all weights 1 the weighted median must be the smallest value
+    whose cumulative count reaches half of n — the classic lower
+    weighted median."""
+    from etl_airbnb_mex_spark.operators.stats import weighted_median_by_group
+
+    rows = [Row(g="a", v=float(x), w=1.0) for x in [1, 2, 3, 4, 5]]
+    rows += [Row(g="b", v=float(x), w=1.0) for x in [10, 20, 30, 40]]
+    out = {
+        r["g"]: r["weighted_median"]
+        for r in weighted_median_by_group(
+            spark.createDataFrame(rows), "v", "w", "g"
+        ).collect()
+    }
+    assert out == {"a": 3.0, "b": 20.0}
+
+
+def test_weighted_median_mass_dominates(spark):
+    """A single heavy row (> half the total weight) IS the weighted
+    median regardless of the other values."""
+    from etl_airbnb_mex_spark.operators.stats import weighted_median_by_group
+
+    rows = [
+        Row(g="g", v=1.0, w=1.0),
+        Row(g="g", v=2.0, w=10.0),
+        Row(g="g", v=100.0, w=1.0),
+    ]
+    [r] = weighted_median_by_group(
+        spark.createDataFrame(rows), "v", "w", "g"
+    ).collect()
+    assert r["weighted_median"] == 2.0
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Sort-based distributed skyline == O(n²) dominance brute force on
+    a deterministic pseudo-random point set (the same
+    exact-form-as-test-oracle discipline as cosine_near_dup)."""
+    from etl_airbnb_mex_spark.operators.stats import skyline_2d
+
+    pts = [((i * 37) % 101 / 2.0, (i * 59) % 83) for i in range(200)]
+    distinct = set(pts)
+    brute = sorted(
+        p for p in distinct
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in distinct
+        )
+    )
+    df = spark.createDataFrame(
+        [Row(price=p, size=s) for p, s in pts]
+    )
+    got = [
+        (r["price"], r["size"])
+        for r in skyline_2d(df, "price", "size").collect()
+    ]
+    assert got == brute
+
+
+def test_two_proportion_ztest_known_value(spark):
+    """Hand-checked z: 30/100 vs 20/100 → z = 1.6329932…; also the
+    unit-level dedup (a user with many purchase events counts once)."""
+    from etl_airbnb_mex_spark.operators.stats import two_proportion_ztest
+
+    rows = []
+    for u in range(100):
+        conv = u < 30
+        rows.append(Row(uid=u, grp="A", et="purchase" if conv else "view"))
+        if conv:  # duplicate conversion events must not double-count
+            rows.append(Row(uid=u, grp="A", et="purchase"))
+    for u in range(100, 200):
+        rows.append(Row(uid=u, grp="B", et="purchase" if u < 120 else "view"))
+    [r] = two_proportion_ztest(
+        spark.createDataFrame(rows),
+        "uid",
+        F.col("grp"),
+        F.col("et") == "purchase",
+    ).collect()
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (100, 100, 30, 20)
+    p = 50 / 200
+    expect = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r["z_score"] - round(expect, 6)) < 1e-9
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    """Every token equally frequent → every doc scores ln(1/V)."""
+    from etl_airbnb_mex_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb"), Row(doc_id=2, text="cc dd")]
+    )
+    out = unigram_logprob(docs, "doc_id", "text").collect()
+    for r in out:
+        assert r["n_tokens"] == 2
+        assert abs(r["logprob"] - round(math.log(0.25), 6)) < 1e-9
+
+
+def test_unigram_logprob_rare_token_scores_lower(spark):
+    from etl_airbnb_mex_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the the"),
+            Row(doc_id=2, text="the the the zyzzyva"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(docs, "doc_id", "text").collect()
+    }
+    assert out[2] < out[1]
+
+
+def test_ewma_bounded_matches_reference(spark):
+    """Exact per-row check against a Python re-implementation of the
+    truncated adjust=True EWMA (same weights, same renormalization)."""
+    from etl_airbnb_mex_spark.operators.timeseries import ewma_bounded
+
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, None, 4.0, 9.0, 0.5, 7.0]
+    rows = [
+        Row(k=1, ts=i, oid=i, value=v) for i, v in enumerate(vals)
+    ]
+    out = {
+        r["oid"]: r["ewma"]
+        for r in ewma_bounded(
+            spark.createDataFrame(rows), "k", "ts", "value", "oid",
+            alpha=0.3, horizon=8,
+        ).collect()
+    }
+    for i in range(len(vals)):
+        num = den = 0.0
+        for k in range(8):
+            j = i - k
+            if j < 0 or vals[j] is None:
+                continue
+            w = 0.7 ** k
+            num += vals[j] * w
+            den += w
+        expect = round(num / den, 6) if den else None
+        assert out[i] == expect, f"row {i}: {out[i]} != {expect}"
+
+
+def test_grouped_split_no_user_straddles_splits(spark, sf_dir):
+    """Leakage property: the split is a pure function of user_id, so no
+    user may appear in two splits."""
+    from etl_airbnb_mex_spark.operators.setops import split_by_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    n_multi = (
+        split_by_hash(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_multi == 0
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from etl_airbnb_mex_spark.operators.setops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=None)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v=21.0), Row(k=3, v=None), Row(k=4, v=40.0)]
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # NULL == NULL must classify as unchanged (null-safe compare)
+    assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}

@@ -37,7 +37,16 @@ def test_priority_ops_fill_driver_window_exactly():
 #: _PRIORITY while slots remain). Keep in sync when adding queries;
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
-_QUEUED_FOR_NEXT_ROTATION: set[str] = set()
+_QUEUED_FOR_NEXT_ROTATION: set[str] = {
+    # round-4 batch 2 — registered after the 50-slot r4 window filled
+    "weighted_median",
+    "ab_test_ztest",
+    "skyline_pareto",
+    "unigram_logprob",
+    "ewma_smooth",
+    "grouped_split",
+    "snapshot_diff",
+}
 
 
 def test_window_covers_all_unverified_oracle_entries():
@@ -99,6 +108,8 @@ _SCALAR_BNLJ_OK: set[str] = {
     "pagerank_parts", "knn_cosine_ivf", "target_encode", "filter_quantile",
     "dup_fullrow_count", "knn_cosine", "tfidf_topk", "subquery_above_avg",
     "ngram_jaccard",
+    # r4 batch 2: corpus-total 1-row broadcast onto the tf-join output
+    "unigram_logprob",
 }
 
 
