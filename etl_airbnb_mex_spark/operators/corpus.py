@@ -311,3 +311,106 @@ def unigram_logprob(
         )
         .orderBy(id_col)
     )
+
+
+def corpus_kl_divergence(
+    docs: DataFrame,
+    text_col: str,
+    is_p,
+) -> DataFrame:
+    """Distribution shift between two corpus slices — symmetric pair of
+    smoothed unigram KL divergences, the monitoring statistic a
+    training-data pipeline runs when a new crawl/source lands (is the
+    new slice's token distribution drifting from the reference?).
+
+    ``is_p`` is a boolean Column splitting the corpus (P = rows where
+    true, Q = the rest). Add-one smoothing over the UNION vocabulary:
+    P(w) = (c_p(w)+1)/(N_p+V), likewise Q; KL(P‖Q) = Σ P·ln(P/Q).
+
+    Plan shape: ONE explode → ONE (token) hash agg producing both
+    sides' counts as conditional sums (map-side partial combine — the
+    shuffle carries token keys, never documents), then the three totals
+    (N_p, N_q, V) reduce to a broadcast 1-row scalar and the Σ is a
+    final scalar agg. Two shuffles total, both over the vocabulary
+    axis, which is the only conceptually-global state and stays
+    distributed.
+
+    Determinism: every per-token term is computed from exact integer
+    counts (identical on both engines); only the final Σ of ~V doubles
+    is order-dependent, and the 6-dp rounding swallows the ~1e-15
+    accumulation slack.
+    """
+    tok = docs.select(
+        is_p.alias("is_p"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_p"), 1).otherwise(0)).alias("cq"),
+    )
+    totals = counts.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("cp") + F.lit(1.0)) / (F.col("np") + F.col("v"))
+    q = (F.col("cq") + F.lit(1.0)) / (F.col("nq") + F.col("v"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("v").alias("v"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_pq"),
+            F.round(F.sum(q * F.log(q / p)), 6).alias("kl_qp"),
+        )
+        .select(
+            F.col("v").cast("long").alias("n_vocab"),
+            "kl_pq",
+            "kl_qp",
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Token → posting-list index over the corpus: document frequency
+    plus the first ``max_postings`` doc ids (sorted) per token — the
+    retrieval-side complement of TF-IDF, and the lookup structure
+    behind decontamination / provenance queries.
+
+    Plan: explode → DISTINCT (token, doc_id) hash agg (map-side
+    combine removes within-doc repeats before the shuffle) → one
+    token-keyed agg building count + sorted, CAPPED posting array.
+
+    Scale: the cap is the load-bearing choice — an uncapped posting
+    list for a stopword IS the corpus (a single 100 GB array in one
+    aggregation buffer). Production layouts shard the full list by
+    (token, doc_id bucket) into fixed-size segments — same equi-join
+    shape, bounded rows; the capped head here is the driver-hashable
+    stand-in, and df_docs is always the full count. Postings emit as a
+    joined STRING because the driver's canonicalizer cannot hash array
+    cells.
+    """
+    posting = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        posting.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df_docs"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_list("doc_id")), 1, max_postings
+                ).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+    )

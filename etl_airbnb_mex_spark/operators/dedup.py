@@ -575,3 +575,54 @@ def near_dedup_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(victims, on=id_col, how="left_anti")
+
+
+def levenshtein_pairs(
+    vocab: DataFrame,
+    col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy string pairs within edit distance ``max_dist`` over a
+    DISTINCT vocabulary frame — spell-variant / near-key discovery —
+    without the O(v²) cross join, via length-band blocking.
+
+    ``levenshtein(a, b) <= d`` requires ``|len(a) - len(b)| <= d``
+    (each edit changes length by at most 1), so candidates reduce to an
+    **equi-join**: side A explodes to the 2d+1 length keys
+    ``len(a)-d .. len(a)+d`` and joins side B on ``len(b)``; the
+    ``a < b`` guard dedups (each surviving pair matches exactly one
+    offset) and the exact ``levenshtein`` residual runs only on the
+    banded candidates.
+
+    Scale: the shuffle keys on string length — candidates are bounded
+    by Σ_len v_len · (v in the ±d band), a huge cut over v² for any
+    real length distribution. For corpus-scale vocabularies the
+    standard refinement is an extra q-gram-prefix blocking key next to
+    the length key (same equi-join shape, finer buckets); length alone
+    is the right first cut at dictionary scale. The vocabulary frame
+    itself is metadata-scale by construction (distinct tokens, not
+    corpus rows).
+
+    Output: (word_a, word_b, dist), dist integer — exact on both
+    engines (dynamic-programming edit distance has one answer).
+    """
+    d = int(max_dist)
+    va = vocab.select(F.col(col).alias("word_a")).select(
+        "word_a",
+        F.explode(
+            F.array(*[F.length("word_a") + F.lit(k) for k in range(-d, d + 1)])
+        ).alias("band"),
+    )
+    vb = vocab.select(
+        F.col(col).alias("word_b"), F.length(col).alias("band")
+    )
+    return (
+        va.join(vb, "band")
+        .where(F.col("word_a") < F.col("word_b"))
+        .where(F.levenshtein("word_a", "word_b") <= d)
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").cast("long").alias("dist"),
+        )
+    )

@@ -296,3 +296,91 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in right_value_cols],
     )
+
+
+def grid_distance_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All point pairs within Euclidean ``radius`` — the 2-D spatial
+    self-join — WITHOUT the O(n²) cross join, via grid-cell blocking
+    (the same bin-equi-join idea as :func:`range_bin_join`, lifted to
+    two dimensions; geohash joins are this with curve-encoded cells).
+
+    Each point lands in cell ``(floor(x/r), floor(y/r))``. Any pair
+    within ``r`` of each other lies in the same or an adjacent cell, so
+    the candidate set is an **equi-join** of side A exploded to its 3×3
+    cell neighborhood against side B on the cell key, followed by the
+    exact distance residual. Each qualifying ``(a, b)`` pair survives
+    exactly once: b's cell is fixed, and exactly one of a's nine
+    offsets equals it; ``id_a < id_b`` halves the pairs.
+
+    Scale: the shuffle keys on the cell id — O(n) cells, candidate
+    volume is density-bounded (9 × points-per-cell per probe), never
+    n². A pathologically hot cell (everything in one place) bounds a
+    task; the mitigations are a finer grid (smaller r at the blocking
+    stage only, with a >1-ring neighborhood) or salting the cell key —
+    standard skew medicine, not needed for dispersed data. Candidate
+    pair count ~ n · π r² · density, so choose r at the query's
+    semantic scale, not larger.
+
+    Output: (id_a, id_b, dist) with dist rounded to 4 dp, which both
+    engines compute identically (same IEEE sqrt over same operands).
+    """
+    r = float(radius)
+    pts = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.floor(F.col(x_col).cast("double") / F.lit(r)).alias("cx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(r)).alias("cy"),
+    )
+    neighborhood = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = (
+        pts.select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            "cx",
+            "cy",
+            F.explode(neighborhood).alias("o"),
+        )
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            (F.col("cx") + F.col("o.dx")).alias("kx"),
+            (F.col("cy") + F.col("o.dy")).alias("ky"),
+        )
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    # dx*dx, not POWER(dx, 2): libm pow is not guaranteed bit-identical
+    # to plain multiplication across engines; the product is.
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    return (
+        a.join(b, ["kx", "ky"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(d2 <= F.lit(r * r))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+    )

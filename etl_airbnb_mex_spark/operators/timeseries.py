@@ -289,3 +289,155 @@ def ewma_bounded(
         v.alias("value"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def multigrain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hypertable-style multi-grain time rollup: day, ISO-week and
+    month aggregates of the same measure in ONE scan via GROUPING SETS
+    — the continuous-aggregate ladder a metrics store maintains,
+    without re-reading the fact table per grain.
+
+    Plan: three derived truncation columns, one
+    ``groupingSets`` aggregation (Spark expands to a single
+    shuffle with grouping-id; partial aggregation still applies
+    map-side), then a CASE over ``grouping_id`` labels the grain and
+    coalesces the bucket label. Versus three separate groupBys this
+    reads and shuffles the fact table once — at 100 TB the scan is the
+    cost, so one pass at 3× key width beats three passes.
+
+    Sums go through DECIMAL so they are exact and
+    partition-order-independent.
+    """
+    base = df.select(
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+        .alias("g_day"),
+        F.date_format(F.date_trunc("week", F.col(ts_col)), "yyyy-MM-dd")
+        .alias("g_week"),
+        F.date_format(F.date_trunc("month", F.col(ts_col)), "yyyy-MM-dd")
+        .alias("g_month"),
+        F.col(value_col).cast("decimal(18,2)").alias("v"),
+    )
+    rolled = base.groupingSets(
+        [["g_day"], ["g_week"], ["g_month"]],
+        "g_day", "g_week", "g_month",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.grouping_id().alias("_gid"),
+    )
+    # grouping_id bit order follows the column list: day,week,month.
+    grain = (
+        F.when(F.col("_gid") == 3, "day")      # 011: week,month null
+        .when(F.col("_gid") == 5, "week")      # 101: day,month null
+        .otherwise("month")                    # 110
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        F.coalesce("g_day", "g_week", "g_month").alias("bucket"),
+        "n_events",
+        "total_value",
+    )
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Re-aggregatable distinct counting: daily HyperLogLog sketches of
+    ``key_col`` unioned into monthly estimates WITHOUT rescanning the
+    fact table — the mergeable-sketch pattern (Apache DataSketches,
+    exposed as ``hll_sketch_agg``/``hll_union_agg``) that makes
+    distinct-count rollups incremental at 100 TB: the expensive pass
+    happens once at the finest grain, every coarser grain is a cheap
+    union of kilobyte sketches. An exact rollup can NOT do this
+    (distinct counts don't add); the sketch trades ~2 % relative error
+    for re-aggregatability.
+
+    Rows-only by design: DuckDB's approx_distinct is a different HLL
+    implementation with different estimates. The pytest twin bounds the
+    estimate against the exact count instead.
+    """
+    daily = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(key_col).alias("k"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+    )
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("month", "day"), "yyyy-MM-dd")
+            .alias("month")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .alias("approx_distinct")
+        )
+        .orderBy("month")
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal
+    disjoint spans — the interval-union operator behind uptime
+    coverage, ad-break stitching and genomic region merging. Distinct
+    from gap-based sessionization: inputs are arbitrary [start, end)
+    spans, not points.
+
+    Sweep plan: ONE shuffle on the key, then two windows sharing that
+    partitioning — (1) the running max of ``end`` over strictly
+    preceding rows (start-ordered); a row opens a NEW span iff its
+    start exceeds that max; (2) a running sum of the open flags labels
+    each row with its span id. One final (key, span) hash agg emits
+    min(start), max(end). Linear in input, shuffle-bounded memory —
+    never the O(n²) overlap self-join.
+    """
+    w = Window.partitionBy("k").orderBy(F.asc("s"), F.asc("e"))
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Two projections: a window expression cannot nest inside another
+    # window's argument. Both windows share one partitioning — the key
+    # shuffle happens once.
+    flagged = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+    ).select(
+        "k",
+        "s",
+        "e",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("opens"),
+    )
+    labeled = flagged.select(
+        "k",
+        "s",
+        "e",
+        F.sum("opens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("span"),
+    )
+    return (
+        labeled.groupBy("k", "span")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            F.col("k").alias(key_col),
+            "span_start",
+            "span_end",
+        )
+    )

@@ -143,4 +143,5 @@ def _load() -> None:
     if not _loaded:
         from . import core  # noqa: F401
         from . import extensions  # noqa: F401
+        from . import advanced  # noqa: F401
         _loaded = True

@@ -1,0 +1,572 @@
+"""Round-4 extension queries (SURVEY.md §2.11): decision-support
+subquery patterns (correlated scalar / HAVING-join / NOT EXISTS), the
+2-D grid-blocked spatial join, fuzzy vocabulary matching, corpus
+distribution-shift monitoring, the inverted index, the multi-grain time
+rollup, and the mergeable-sketch distinct rollup.
+
+The reference implements none of these (its engine has zero joins or
+subqueries); they are engine capabilities mandated by the north star.
+Each oracle is the plain ANSI-SQL statement of the same semantics;
+where Catalyst's decorrelation/grouping-sets machinery is the point,
+the Spark side is deliberately written in the declarative form that
+exercises it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.corpus import corpus_kl_divergence, inverted_index
+from ..operators.dedup import levenshtein_pairs
+from ..operators.joins import anti_join, grid_distance_join
+from ..operators.timeseries import hll_distinct_rollup, multigrain_rollup
+from ..tables import load_table
+from . import register
+
+
+# --------------------------------------------------------------------------
+# Decision-support subquery patterns (TPC-H Q17 / Q18 / Q22 shapes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "subquery_correlated_qty",
+    """
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "TPC-H Q17 shape: revenue from small-quantity lineitems of one "
+    "brand, threshold = half the per-part average — a CORRELATED "
+    "scalar subquery, written as such on the Spark side so Catalyst's "
+    "decorrelation rewrites it to the per-part aggregate + equi-join "
+    "(one lineitem scan per side, no per-row re-execution; verified "
+    "via explain: the plan is Aggregate+Join, no nested loop). "
+    "Determinism: l_quantity is integer-valued, so sum/avg are exact "
+    "in double on both engines and the strict < cut is identical; "
+    "revenue sums through DECIMAL.",
+)
+def subquery_correlated_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "adv_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("adv_part")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_small,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM adv_lineitem l JOIN adv_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM adv_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "having_join_bigorders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+    """,
+    "TPC-H Q18 shape (large-volume orders): HAVING filter on the "
+    "order-level quantity aggregate, then join back to orders + "
+    "customer. Plan: ONE lineitem hash agg (map-side partials) FIRST — "
+    "the >300 cut drops ~99.5 % of orders before any join — then two "
+    "equi-joins on the tiny survivor set (AQE broadcasts it) and a "
+    "TakeOrderedAndProject. The orderkey tiebreak makes the LIMIT a "
+    "total order, so both engines pick identical rows. Quantities are "
+    "integer-valued doubles: the sum is exact, the BIGINT cast lossless.",
+)
+def having_join_bigorders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "antijoin_wealthy_inactive",
+    """
+    WITH thr AS (SELECT round(avg(c_acctbal), 2) AS a
+                 FROM customer WHERE c_acctbal > 0)
+    SELECT n.n_name AS nation,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, thr, nation n
+    WHERE c.c_acctbal > thr.a
+      AND n.n_nationkey = c.c_nationkey
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+    "TPC-H Q22 shape (promising inactive accounts): customers above "
+    "the average positive balance with NO urgent-priority order, per "
+    "nation. Plan: scalar threshold as a broadcast 1-row aggregate "
+    "(the audited BNLJ-crossJoin pattern), NOT EXISTS as a LEFT ANTI "
+    "equi-join on custkey (never a per-row probe), nation name via "
+    "broadcast dim join, one final hash agg. The threshold is ROUNDED "
+    "to 2 dp on both engines before the cut so the float avg's "
+    "order-dependent ULP cannot flip membership; balances sum through "
+    "DECIMAL.",
+)
+def antijoin_wealthy_inactive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("a"))
+    )
+    urgent = orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    wealthy = cust.crossJoin(F.broadcast(thr)).where(
+        F.col("c_acctbal") > F.col("a")
+    )
+    inactive = anti_join(wealthy, urgent, "c_custkey", "o_custkey")
+    return (
+        inactive.join(
+            F.broadcast(nation),
+            inactive.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocked similarity joins (2-D spatial grid, edit-distance band)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_spatial_grid",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x,
+             CAST(c_custkey % 1000 AS DOUBLE) AS y
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4)
+             AS dist
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500.0
+    ORDER BY id_a, id_b
+    """,
+    "2-D distance self-join (points within radius 50) via grid-cell "
+    "blocking: explode side A to its 3x3 cell neighborhood, EQUI-join "
+    "on the cell key, exact residual — candidates are density-bounded, "
+    "never n² (operators/joins.py:grid_distance_join). The oracle "
+    "states the O(n²) theta-join semantics directly; the engine plan "
+    "must produce the identical pair set from the blocked form. "
+    "Deterministic: same IEEE subtract/multiply/sqrt operands on both "
+    "engines, 4-dp round.",
+)
+def join_spatial_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").cast("double").alias("x"),
+        (F.col("c_custkey") % 1000).cast("double").alias("y"),
+    )
+    return grid_distance_join(pts, "id", "x", "y", 50.0).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "fuzzy_vocab_pairs",
+    """
+    WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+    SELECT a.w AS word_a, b.w AS word_b,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM v a JOIN v b
+      ON a.w < b.w
+     AND abs(length(a.w) - length(b.w)) <= 2
+     AND levenshtein(a.w, b.w) <= 2
+    ORDER BY word_a, word_b
+    """,
+    "Fuzzy vocabulary pairs (edit distance <= 2) — spell-variant / "
+    "near-key discovery — via LENGTH-BAND blocking: |len(a)-len(b)| "
+    "<= d is necessary for lev <= d, so side A explodes to 2d+1 "
+    "length keys and EQUI-joins side B on its length; the exact "
+    "levenshtein residual runs only on banded candidates "
+    "(operators/dedup.py:levenshtein_pairs). The vocabulary frame is "
+    "metadata-scale (distinct tokens), the blocking keeps the join "
+    "off the v² cliff as the vocabulary grows.",
+)
+def fuzzy_vocab_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    return levenshtein_pairs(vocab, "w", max_dist=2).orderBy(
+        "word_a", "word_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics (distribution shift, inverted index)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_divergence",
+    """
+    WITH tok AS (
+      SELECT (lang = 'en') AS is_p, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    c AS (
+      SELECT w,
+             sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS cp,
+             sum(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS cq
+      FROM tok GROUP BY w),
+    t AS (SELECT CAST(sum(cp) AS DOUBLE) AS np,
+                 CAST(sum(cq) AS DOUBLE) AS nq,
+                 count(*) AS v FROM c)
+    SELECT CAST(t.v AS BIGINT) AS n_vocab,
+           round(sum(((cp+1.0)/(np+v))
+                 * ln(((cp+1.0)/(np+v)) / ((cq+1.0)/(nq+v)))), 6) AS kl_pq,
+           round(sum(((cq+1.0)/(nq+v))
+                 * ln(((cq+1.0)/(nq+v)) / ((cp+1.0)/(np+v)))), 6) AS kl_qp
+    FROM c, t
+    GROUP BY t.v
+    """,
+    "Corpus distribution shift: smoothed unigram KL(P||Q) and KL(Q||P) "
+    "between the English slice and the rest — the drift statistic a "
+    "training-data pipeline computes when a new source lands. One "
+    "explode + ONE token hash agg carrying both sides' counts as "
+    "conditional sums, totals as a broadcast 1-row scalar, final "
+    "scalar agg (operators/corpus.py:corpus_kl_divergence). Per-term "
+    "math is over exact integer counts; the 6-dp round swallows the "
+    "final sum's order slack.",
+)
+def corpus_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_kl_divergence(docs, "text", F.col("lang") == "en")
+
+
+@register(
+    "inverted_index",
+    """
+    WITH d AS (
+      SELECT DISTINCT w AS token, doc_id
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents))
+    SELECT token, count(*) AS df_docs,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+    FROM d GROUP BY token ORDER BY token
+    """,
+    "Token -> posting-list inverted index: document frequency + the "
+    "first 20 sorted doc ids per token (operators/corpus.py:"
+    "inverted_index). The cap is the load-bearing scale choice — an "
+    "uncapped stopword posting list IS the corpus; production shards "
+    "full lists into fixed-size (token, bucket) segments. Postings "
+    "emit as a joined string (driver cannot hash array cells).",
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", max_postings=20).orderBy(
+        "token"
+    )
+
+
+# --------------------------------------------------------------------------
+# Time rollups (multi-grain grouping sets, mergeable HLL sketches)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_rollup_multigrain",
+    """
+    WITH e AS (SELECT ts, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+    SELECT 'day' AS grain,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS total_value
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 'week', strftime(date_trunc('week', ts), '%Y-%m-%d'),
+           count(*), CAST(sum(v) AS DOUBLE)
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d'),
+           count(*), CAST(sum(v) AS DOUBLE)
+    FROM e GROUP BY 2
+    ORDER BY grain, bucket
+    """,
+    "Hypertable-style multi-grain rollup: day/week/month aggregates of "
+    "the same measure in ONE scan via GROUPING SETS (operators/"
+    "timeseries.py:multigrain_rollup). The oracle states the semantics "
+    "as three grouped scans UNION ALL'd; the engine reads and shuffles "
+    "the fact table once — at 100 TB the scan is the cost. DECIMAL "
+    "sums; both engines truncate weeks to Monday.",
+)
+def time_rollup_multigrain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return multigrain_rollup(ev, "ts", "value").orderBy("grain", "bucket")
+
+
+@register(
+    "hll_distinct_rollup",
+    None,  # DuckDB's approx_distinct is a different HLL; rows-only.
+    "Mergeable-sketch distinct rollup: daily HyperLogLog sketches of "
+    "user_id unioned into monthly estimates without rescanning the "
+    "fact table (operators/timeseries.py:hll_distinct_rollup) — the "
+    "DataSketches pattern that makes distinct-count rollups "
+    "incremental at 100 TB. Rows-only by design; the pytest twin "
+    "bounds each month's estimate against the exact distinct count.",
+)
+def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_rollup(ev, "ts", "user_id")
+
+
+# --------------------------------------------------------------------------
+# Interval algebra, mergeable aggregation state, audience overlap,
+# weighted reservoir
+# --------------------------------------------------------------------------
+
+
+@register(
+    "intervals_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+      FROM events),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+                  THEN 1 ELSE 0 END AS opens
+      FROM iv
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    g AS (
+      SELECT user_id, s, e,
+             sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      FROM f)
+    SELECT user_id, min(s) AS span_start, max(e) AS span_end
+    FROM g GROUP BY user_id, span
+    ORDER BY user_id, span_start
+    """,
+    "Interval union per user: each event opens a [ts, ts + value "
+    "minutes) span; overlapping spans merge into maximal disjoint "
+    "intervals (operators/timeseries.py:merge_intervals) — the "
+    "uptime/coverage operator, distinct from gap sessionization. "
+    "Sweep plan: one user_id shuffle, two windows sharing it (running "
+    "max of end -> open flags -> running span id), one (user,span) "
+    "hash agg. Linear, never the O(n²) overlap self-join. Times stay "
+    "in integer microseconds (floor'd explicitly: DuckDB CASTs "
+    "double->BIGINT by rounding, Spark by truncation).",
+)
+def intervals_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import _event_us, merge_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        _event_us("ts").alias("s"),
+        (
+            _event_us("ts")
+            + F.floor(F.col("value") * 60000000.0).cast("long")
+        ).alias("e"),
+    )
+    return merge_intervals(ev, "user_id", "s", "e").orderBy(
+        "user_id", "span_start"
+    )
+
+
+@register(
+    "agg_incremental_merge",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "Incremental aggregate maintenance: per-user count/sum/min/max "
+    "kept as MERGEABLE partial state — the base slice (80 % of "
+    "events) aggregates once, the delta slice aggregates separately, "
+    "and the merge is an agg over the UNION of the two partial frames "
+    "(counts add, sums add, min/max fold). The oracle recomputes from "
+    "scratch; equality proves the merge law, which is what lets a "
+    "100 TB metrics store absorb a new day WITHOUT rescanning history "
+    "(same property the HLL rollup gives approx distinct). DECIMAL "
+    "sums make the add exact and order-free.",
+)
+def agg_incremental_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("v"),
+        F.col("value").cast("decimal(18,2)").alias("vd"),
+    )
+
+    def partial(sl: DataFrame) -> DataFrame:
+        return sl.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vd").alias("total"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+
+    base = partial(ev.where(F.col("event_id") % 5 != 0))
+    delta = partial(ev.where(F.col("event_id") % 5 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total").cast("double").alias("total"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "segment_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both,
+           round(count(*) / (sa.n + sb.n - count(*)), 4) AS jaccard
+    FROM tu a
+    JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sz sa ON sa.event_type = a.event_type
+    JOIN sz sb ON sb.event_type = b.event_type
+    GROUP BY 1, 2, sa.n, sb.n
+    ORDER BY 1, 2
+    """,
+    "Audience segment overlap: for every pair of event types, how many "
+    "users do both, plus the Jaccard overlap — the set-intersection "
+    "matrix behind audience analytics, WITHOUT materializing per-type "
+    "user sets. Plan: distinct (type,user) pre-agg (map-side combine), "
+    "self-join ON user_id (co-partitioned equi-join; fan-out bounded "
+    "by types-per-user², never users²), broadcast of the tiny per-type "
+    "size frame, one pair hash agg. Segment sizes are exact integers "
+    "on both engines; the 4-dp round covers the final division.",
+)
+def segment_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    pairs = a.join(b, "user_id").where(F.col("type_a") < F.col("type_b"))
+    sa = F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                               F.col("n").alias("na")))
+    sb = F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                               F.col("n").alias("nb")))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "sample_weighted_topk",
+    """
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_chars,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 1000000 AS bucket
+      FROM k),
+    e AS (
+      SELECT doc_id, n_chars,
+             round(ln((bucket + 0.5) / 1000000.0) / n_chars, 9) AS es_key
+      FROM b)
+    SELECT doc_id, n_chars, es_key
+    FROM e ORDER BY es_key DESC, doc_id ASC LIMIT 50
+    """,
+    "Weighted sampling WITHOUT replacement, top-k form (Efraimidis–"
+    "Spirakis A-ES): each row draws u from the deterministic "
+    "multiplicative hash (engine-portable, run-stable) and ranks by "
+    "ln(u)/w — the top k by that key are a weighted k-sample without "
+    "replacement, which Bernoulli sampling (sample_weighted) cannot "
+    "give (it can't hit an exact k). Plan: pure per-row projection + "
+    "TakeOrderedAndProject — no shuffle of data rows, O(k) driver "
+    "memory. The doc_id tiebreak makes the LIMIT a total order.",
+)
+def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    u = (hash_bucket("doc_id", 1_000_000) + F.lit(0.5)) / F.lit(1_000_000.0)
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(50)
+    )

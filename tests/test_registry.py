@@ -46,6 +46,22 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "ewma_smooth",
     "grouped_split",
     "snapshot_diff",
+    # round-4 batch 3 (queries/advanced.py) — subquery patterns,
+    # blocked similarity joins, corpus stats, multi-grain rollup
+    "subquery_correlated_qty",
+    "having_join_bigorders",
+    "antijoin_wealthy_inactive",
+    "join_spatial_grid",
+    "fuzzy_vocab_pairs",
+    "corpus_divergence",
+    "inverted_index",
+    "time_rollup_multigrain",
+    # round-4 batch 4 — interval algebra, mergeable agg state,
+    # audience overlap, weighted reservoir
+    "intervals_merge",
+    "agg_incremental_merge",
+    "segment_overlap",
+    "sample_weighted_topk",
 }
 
 
@@ -110,6 +126,9 @@ _SCALAR_BNLJ_OK: set[str] = {
     "ngram_jaccard",
     # r4 batch 2: corpus-total 1-row broadcast onto the tf-join output
     "unigram_logprob",
+    # r4 batch 3: 1-row scalar broadcasts (token totals / avg threshold)
+    "corpus_divergence",
+    "antijoin_wealthy_inactive",
 }
 
 
