@@ -420,8 +420,6 @@ def cosine_near_dup_bucketed(
     (:func:`cosine_near_dup_pairs`) is the pytest oracle on gated
     inputs; THIS form is the one to run on a corpus.
     """
-    from pyspark.sql import Window
-
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -439,12 +437,23 @@ def cosine_near_dup_bucketed(
             F.col("__sig.bucket").alias("b"),
         )
     )
-    guard = Window.partitionBy("t", "b")
-    sigs = (
-        sigs.withColumn("__bn", F.count(F.lit(1)).over(guard))
+    # Hot-bucket guard as a hash agg + BROADCAST semi-join, not a
+    # window: bucket cardinality is at most L * 2^bits rows (metadata
+    # scale), so the ok-bucket list broadcasts for free and the
+    # signature rows never pay a within-partition sort.
+    ok_buckets = (
+        sigs.groupBy("t", "b")
+        .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
+        .select("t", "b")
     )
+    sigs = sigs.join(F.broadcast(ok_buckets), ["t", "b"])
+    # The guarded signature frame is (id, t, b) triples — ids only,
+    # O(n * L) rows. Materialize it once so the self-join's two sides
+    # reuse one computation instead of re-running the sign-bit explode
+    # and the guard per side (the same invariant-frame discipline as
+    # PageRank's edge checkpoint).
+    sigs = sigs.localCheckpoint(eager=False)
     a = sigs.select("t", "b", F.col("id").alias("id_a"))
     c = sigs.select("t", "b", F.col("id").alias("id_b"))
     cand = (
