@@ -65,6 +65,14 @@ HEADLINE = [
     "triangle_count",
     "gopher_quality_signals",
     "zipf_slope",
+    # round-4 batch 3-5 scale-pattern queries
+    "join_spatial_grid",
+    "subquery_correlated_qty",
+    "time_rollup_multigrain",
+    "corpus_divergence",
+    "intervals_merge",
+    "segment_overlap",
+    "embedding_quantize",
 ]
 
 

@@ -601,3 +601,86 @@ def centroid_assign(
         best["l"].alias("assigned_label"),
         best["d"].alias("dist_sq"),
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-dimension
+    min/max over the corpus → each value maps to
+    ``floor((v - min_d) / scale_d + 0.5)`` in [0, 255] with
+    ``scale_d = (max_d - min_d)/255`` — the 4× memory cut that lets an
+    ANN index at 100 TB keep vectors in RAM (IVF/HNSW deployments
+    quantize exactly like this; the residual error is what reranking
+    with full-precision vectors corrects).
+
+    Plan: one posexplode → per-dimension (pos) hash agg for min/max —
+    the ONLY shuffle, keyed on dimension index (d keys, metadata
+    scale) — folded to a single row of (min[], scale[]) arrays and
+    broadcast back (the audited scalar-BNLJ crossJoin pattern);
+    quantization itself is a pure in-row zip_with projection, no
+    second pass over the data. Emits the quantized vector as a joined
+    string (driver cannot hash arrays) plus the per-vector
+    reconstruction MSE.
+
+    Determinism: min/max over DOUBLE-cast values pick exact floats;
+    scale/quantize use only IEEE −, ÷, +, floor (never round(), whose
+    half-way rule differs across engines), so both engines compute
+    identical codes. The MSE sum is per-vector (~d terms) and rounds
+    at ``dp``.
+    """
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    stats = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    packed = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("s")
+    ).select(
+        F.transform("s", lambda r: r["mn"]).alias("mins"),
+        F.transform(
+            "s", lambda r: (r["mx"] - r["mn"]) / F.lit(255.0)
+        ).alias("scales"),
+    )
+    diff = F.zip_with("v", "mins", lambda x, m: x - m)
+    q = F.zip_with(
+        diff,
+        F.col("scales"),
+        lambda d, s: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(F.lit(0.0), F.floor(d / s + F.lit(0.5))),
+            )
+        ),
+    )
+    recon_err = F.zip_with(
+        diff,
+        F.zip_with(F.col("__q"), F.col("scales"), lambda a, b: a * b),
+        lambda d, r: (d - r) * (d - r),
+    )
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .withColumn("__q", q)
+        .select(
+            F.col("vid").alias(id_col),
+            F.array_join(
+                F.col("__q").cast("array<int>").cast("array<string>"), ","
+            ).alias("qvec"),
+            F.round(
+                F.aggregate(
+                    recon_err, F.lit(0.0), lambda acc, e: acc + e
+                )
+                / F.size("v"),
+                dp,
+            ).alias("recon_mse"),
+        )
+    )

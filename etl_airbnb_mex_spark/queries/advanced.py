@@ -570,3 +570,160 @@ def sample_weighted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding quantization, per-group deterministic sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             unnest(range(1, array_length(embedding) + 1)) AS pos
+      FROM embeddings),
+    s AS (
+      SELECT pos, min(v) AS mn, (max(v) - min(v)) / 255.0 AS sc
+      FROM e GROUP BY pos),
+    q AS (
+      SELECT e.vec_id, e.pos, e.v, s.mn, s.sc,
+             CASE WHEN s.sc = 0 THEN 0.0
+                  ELSE least(255.0, greatest(0.0,
+                       floor((e.v - s.mn) / s.sc + 0.5)))
+             END AS qv
+      FROM e JOIN s USING (pos))
+    SELECT vec_id,
+           array_to_string(list(CAST(qv AS INTEGER) ORDER BY pos), ',')
+             AS qvec,
+           round(sum(((v - mn) - qv * sc) * ((v - mn) - qv * sc))
+                 / count(*), 6) AS recon_mse
+    FROM q GROUP BY vec_id ORDER BY vec_id
+    """,
+    "Scalar int8 quantization of the embedding column with per-vector "
+    "reconstruction MSE (operators/similarity.py:"
+    "quantize_embeddings_int8) — the 4x memory cut ANN serving "
+    "applies before indexing. One dimension-keyed hash agg for "
+    "min/max (d keys, metadata scale) broadcast back as a 1-row "
+    "(min[], scale[]) frame; quantization is a pure in-row zip_with "
+    "projection — the corpus is scanned once and never reshuffled. "
+    "floor(x+0.5) everywhere, never round(): engines disagree on "
+    "round's halfway rule, floor is exactly specified.",
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(emb, "embedding", "vec_id").orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "sample_k_per_group",
+    """
+    WITH k AS (
+      SELECT lang, doc_id,
+             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM documents),
+    b AS (
+      SELECT lang, doc_id,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 1048576 AS bucket
+      FROM k),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY bucket, doc_id) AS rn
+      FROM b)
+    SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+    "Deterministic k-per-group sample (20 docs per language): rank "
+    "rows inside each group by the engine-portable multiplicative "
+    "hash and keep the first k — a uniform within-group sample whose "
+    "membership is stable across runs/engines/partitioning (what "
+    "sampleBy cannot promise), the stratified eval-slice builder. "
+    "Plan: ONE group-keyed shuffle for the rank window; the hash is "
+    "in-row. The doc_id tiebreak makes the rank a total order.",
+)
+def sample_k_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.setops import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id", 1_048_576), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "rolling_median",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, day, v,
+             datediff('day', DATE '2024-01-01', day) AS dn
+      FROM d)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           round(median(v) OVER (PARTITION BY event_type ORDER BY dn
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS med7
+    FROM n ORDER BY event_type, day
+    """,
+    "7-day rolling median of daily totals per event type — the "
+    "robust-smoothing twin of window_moving_avg (median shrugs off "
+    "the spike days a mean chases). Plan: ONE (type, day) hash agg "
+    "first — the rolling window then runs over the AGGREGATED day "
+    "axis (365 rows/type/year, metadata scale), never over raw "
+    "events; RANGE frame on the day number handles gaps correctly "
+    "(6 calendar days back, not 6 rows). Spark refuses median() over "
+    "a framed window, so the frame's ≤7 values collect in-row and an "
+    "array_sort + interpolation computes the identical statistic — "
+    "bounded by the frame width, not the data. Daily sums go through "
+    "DECIMAL so both engines interpolate the same exact operands.",
+)
+def rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+        .withColumn("dn", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rangeBetween(-6, 0)
+    )
+    win = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(win)
+    lo = F.element_at(win, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(win, (n / 2 + 1).cast("int"))
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round((lo + hi) / 2.0, 6).alias("med7"),
+        )
+        .orderBy("event_type", "day")
+    )

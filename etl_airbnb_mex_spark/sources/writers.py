@@ -14,7 +14,7 @@ import os
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -213,3 +213,85 @@ def write_json_report(report: dict[str, Any], path: str) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as fh:
         json.dump(report, fh, indent=2, default=str)
+
+
+def zorder_key(
+    x: Column,
+    y: Column,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) curve key for two numeric columns: quantize
+    each to ``bits`` bits over its [min, max] range, then interleave
+    the bits — points close on the curve are close in BOTH dimensions,
+    which is what lets one sort order serve filters on either key.
+    Pure integer Column arithmetic (shifts/masks), whole-stage codegen.
+    """
+    def quant(c: Column, lo: float, hi: float) -> Column:
+        span = (hi - lo) or 1.0
+        q = F.floor(
+            (c.cast("double") - F.lit(lo)) / F.lit(span)
+            * F.lit(float(2 ** bits - 1))
+        ).cast("long")
+        return F.least(F.lit(2 ** bits - 1), F.greatest(F.lit(0), q))
+
+    qx, qy = quant(x, x_min, x_max), quant(y, y_min, y_max)
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(qx, i).bitwiseAND(1), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(qy, i).bitwiseAND(1), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: tuple[str, str],
+    num_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Multi-dimensional clustering: range-cluster files along the
+    Z-ORDER curve of two keys so parquet zone maps prune point/range
+    filters on EITHER key — what ``write_clustered_parquet`` (1-D
+    range clustering) cannot give: sorting by x makes y's per-file
+    ranges full-width, so any y filter scans every file. Along the
+    Morton curve each file covers a compact 2-D tile, so both
+    dimensions' per-file ranges stay narrow (a point filter touches
+    O(√n_files) tiles instead of all of them). This is the layout
+    behind Delta/Iceberg OPTIMIZE ZORDER BY, expressed as plain
+    repartitionByRange + sort.
+
+    The quantization ranges come from ONE min/max aggregate (4 scalars
+    — metadata, same discipline as the centroid literals). Write-side
+    utility: eager by nature.
+    """
+    xc, yc = zorder_by
+    lim = df.agg(
+        F.min(F.col(xc).cast("double")),
+        F.max(F.col(xc).cast("double")),
+        F.min(F.col(yc).cast("double")),
+        F.max(F.col(yc).cast("double")),
+    ).collect()[0]
+    zk = zorder_key(
+        F.col(xc), F.col(yc), lim[0], lim[1], lim[2], lim[3], bits
+    )
+    if num_files is None:
+        num_files = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    (
+        df.withColumn("__zk", zk)
+        .repartitionByRange(num_files, F.col("__zk"))
+        .sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -316,3 +316,38 @@ def stream_interval_join(
         & (rts >= lts - F.expr(f"INTERVAL {lookback}")),
         "inner",
     )
+
+
+def stream_static_enrich(
+    sdf: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    dim_cols: tuple[str, ...],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch of the
+    stream against a STATIC dimension frame — the standard lookup step
+    (user profile, catalog row, geo table) a streaming pipeline applies
+    before aggregating.
+
+    Spark handles stream-static joins natively and stateless-ly: the
+    static side is planned per micro-batch, so a broadcast hint on a
+    small dimension makes every batch a broadcast hash join — no
+    shuffle of the stream, no state store, and the watermark (if any)
+    passes through untouched. Re-reading the static plan per batch also
+    means a dimension REFRESH (overwritten parquet) is picked up on the
+    next batch without restarting the query — the poor-man's
+    slowly-refreshing dimension. Inner and left joins are supported by
+    Spark for stream-static; right/full (state-requiring) are not, and
+    this helper rejects them up front.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports inner/left, got {how!r}"
+        )
+    d = dim.select(
+        F.col(dim_key).alias(key),
+        *[F.col(c) for c in dim_cols],
+    )
+    return sdf.join(F.broadcast(d), key, how)

@@ -62,6 +62,11 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "agg_incremental_merge",
     "segment_overlap",
     "sample_weighted_topk",
+    # round-4 batch 5 — embedding quantization, per-group sampling,
+    # robust rolling statistics
+    "embedding_quantize",
+    "sample_k_per_group",
+    "rolling_median",
 }
 
 
@@ -129,6 +134,8 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r4 batch 3: 1-row scalar broadcasts (token totals / avg threshold)
     "corpus_divergence",
     "antijoin_wealthy_inactive",
+    # r4 batch 5: 1-row (min[], scale[]) broadcast onto the corpus scan
+    "embedding_quantize",
 }
 
 

@@ -337,3 +337,47 @@ def test_stream_merge_upsert_sink_cdc_apply(spark, tmp_path_factory):
     assert snap3 == {1: "a1", 2: "b1", 3: "c1", 4: "d0"}
     assert not os.path.exists(snapshot_dir + ".old")
     assert not os.path.exists(snapshot_dir + ".tmp")
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment: every micro-batch joins the
+    static dimension; streamed result == the batch join, and the plan
+    needs no state store (stateless join)."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.streaming.ops import stream_static_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen"))
+    )
+    got = _run_stream(
+        spark, events_dir,
+        lambda s: stream_static_enrich(
+            s, dim, "user_id", "user_id", ("first_seen",)
+        ).select("event_id", "user_id", "first_seen"),
+        "enrich",
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "first_seen")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_static_enrich_rejects_stateful_sides(spark, sf_dir,
+                                                     events_dir):
+    import pytest as _pytest
+
+    from etl_airbnb_mex_spark.streaming.ops import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "nation")
+    schema = spark.read.parquet(events_dir).schema
+    sdf = spark.readStream.schema(schema).parquet(events_dir)
+    with _pytest.raises(ValueError):
+        stream_static_enrich(sdf, dim, "user_id", "n_nationkey",
+                             ("n_name",), how="full")

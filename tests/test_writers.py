@@ -131,3 +131,53 @@ def test_clustered_write_produces_disjoint_zone_maps(spark, sf_dir, tmp_path):
     key = (probe["lo"] + probe["hi"]) // 2
     matching = [r for r in rc if r["lo"] <= key <= r["hi"]]
     assert len(matching) <= 2, matching
+
+
+def test_zordered_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must keep BOTH keys' per-file ranges narrow:
+    a point filter on either dimension matches a strict subset of
+    files, while 1-D range clustering on x leaves y unprunable (every
+    file matches any y probe)."""
+    from etl_airbnb_mex_spark.sources.writers import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    write_zordered_parquet(o, zpath, ("o_custkey", "o_totalprice"),
+                           num_files=16)
+    write_clustered_parquet(o, xpath, ("o_custkey",), num_files=16)
+
+    def ranges(path, col):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+
+    def matching(rs, key):
+        return sum(1 for r in rs if r["lo"] <= key <= r["hi"])
+
+    # mid-domain probes
+    med = o.agg(
+        F.expr("percentile(o_custkey, 0.5)"),
+        F.expr("percentile(o_totalprice, 0.5)"),
+    ).collect()[0]
+    ckey, pkey = med[0], med[1]
+
+    zc, zp = ranges(zpath, "o_custkey"), ranges(zpath, "o_totalprice")
+    xc, xp = ranges(xpath, "o_custkey"), ranges(xpath, "o_totalprice")
+    n = len(zc)
+    assert n >= 8
+    # 1-D layout: x prunes hard (<=2 files), y not at all (all files)
+    assert matching(xc, ckey) <= 2
+    assert matching(xp, pkey) >= n - 1
+    # z-order: BOTH dimensions prune to a strict subset
+    assert matching(zc, ckey) <= n * 3 // 4
+    assert matching(zp, pkey) <= n * 3 // 4
+    # and the x-dimension pruning is not catastrophically worse than 1-D
+    assert matching(zc, ckey) < n
