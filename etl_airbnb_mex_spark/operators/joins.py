@@ -245,6 +245,13 @@ def asof_join(
     (key, ts), no range-join blow-up. Right rows are then dropped.
     Ties (equal timestamps) resolve right-row-first, i.e. a right row at
     exactly left_ts matches.
+
+    NULL hazard: each value column is carried INDEPENDENTLY with
+    last/first(ignorenulls), so a right column that is legitimately
+    NULL in the matched row gets replaced by an older row's value. To
+    carry nullable columns, pack them in one struct
+    (``F.struct(...)``) — NULLs inside a non-null struct survive the
+    carry (see the ``pit_lookup`` registration).
     """
     lcols = left.columns
     # Left rows are tagged __side=1. Right rows sort BEFORE left at equal

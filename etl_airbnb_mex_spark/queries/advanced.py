@@ -727,3 +727,120 @@ def rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "quality_gate_by_group",
+    """
+    WITH thr AS (
+      SELECT lang, round(quantile_cont(n_chars, 0.10), 6) AS p10
+      FROM documents GROUP BY lang)
+    SELECT d.lang, thr.p10,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN d.n_chars >= thr.p10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents d JOIN thr USING (lang)
+    GROUP BY d.lang, thr.p10 ORDER BY d.lang
+    """,
+    "Per-group adaptive quality gate: keep documents above their OWN "
+    "language's 10th-percentile length — the grouped-threshold filter "
+    "real corpus pipelines use instead of one global cutoff (a global "
+    "floor tuned on English silently deletes whole low-resource "
+    "languages). Plan: one per-lang percentile agg (group cardinality "
+    "= #languages, metadata scale) joined back BROADCAST onto the "
+    "corpus scan; the gate itself is a pure in-row comparison. The "
+    "threshold rounds to 6 dp on both engines before the cut.",
+)
+def quality_gate_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    thr = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", 0.10), 6).alias("p10")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "p10")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("n_chars") >= F.col("p10"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "pit_lookup",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ), iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    ), p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT iv.state, count(*) AS n_purchases
+    FROM p JOIN iv ON iv.user_id = p.user_id
+                  AND iv.valid_from <= p.ts
+                  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Point-in-time dimension lookup (feature-store PIT join): each "
+    "purchase reads the user's state AS OF purchase time from the "
+    "SCD2 validity intervals — the leakage-free temporal join ML "
+    "feature pipelines must get right (training rows may only see "
+    "dimension values that existed at event time). The oracle states "
+    "interval-containment directly; the engine NEVER runs that range "
+    "join — it reuses the as-of machinery (union + one (user, ts) "
+    "shuffle + ordered carry-forward window, linear in input) and "
+    "applies the valid_to residual in-row. Ties: an interval opening "
+    "exactly at purchase ts matches, [valid_from, valid_to).",
+)
+def pit_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+    from ..operators.windows import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        ev.where(F.col("event_type") != "purchase"),
+        key="user_id", ts_col="ts", state_col="event_type",
+        tiebreak="event_id",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    # Carry ONE struct column: the as-of machinery forwards each value
+    # column independently with last(ignorenulls), which would replace
+    # the open interval's legitimately-NULL valid_to with the previous
+    # interval's bound; a NULL inside a non-null struct survives.
+    looked = asof_join(
+        facts,
+        iv.select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            F.struct("state", "valid_to").alias("sv"),
+        ),
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["sv"],
+    )
+    return (
+        looked.where(
+            F.col("asof_sv").isNotNull()
+            & (
+                F.col("asof_sv.valid_to").isNull()
+                | (F.col("ts") < F.col("asof_sv.valid_to"))
+            )
+        )
+        .groupBy(F.col("asof_sv.state").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("state")
+    )

@@ -140,6 +140,37 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV reader with explicit schema and PERMISSIVE bad-record
+    capture: malformed lines land intact in ``corrupt_col`` instead of
+    failing the job or being silently dropped — the quarantine-column
+    pattern (filter ``corrupt_col IS NOT NULL`` into a reject sink,
+    proceed with the rest). An explicit schema is required: schema
+    inference is an extra full pass over the data AND types drift run
+    to run — both wrong at 100 TB.
+
+    Note Spark's documented caveat: a query that selects ONLY the
+    corrupt column sees no parse attempt (nothing forces one) — keep at
+    least one data column in the projection when auditing rejects.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
 def read_mongo_or_parquet(
     spark: SparkSession,
     collection: str,

@@ -148,3 +148,42 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_intervals_invariants(spark):
+    """Property check over a fixed batch of pseudo-random interval sets:
+    merged spans are disjoint and non-touching, cover exactly the union
+    of the inputs, and every input interval is contained in a span."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for key in range(6):
+        for _ in range(rng.randint(1, 40)):
+            s = rng.randint(0, 500)
+            rows.append((key, s, s + rng.randint(1, 60)))
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+
+    from etl_airbnb_mex_spark.operators.timeseries import merge_intervals
+
+    spans = merge_intervals(df, "k", "s", "e").collect()
+    by_key: dict[int, list] = {}
+    for r in spans:
+        by_key.setdefault(r.k, []).append((r.span_start, r.span_end))
+    for key, sp in by_key.items():
+        sp.sort()
+        # disjoint, strictly separated
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert e1 < s2
+        # coverage equals the brute-force union of input points
+        inputs = [(s, e) for (k, s, e) in rows if k == key]
+        want = set()
+        for s, e in inputs:
+            want.update(range(s, e + 1))
+        got = set()
+        for s, e in sp:
+            got.update(range(s, e + 1))
+        assert got == want
+        # containment
+        for s, e in inputs:
+            assert any(ss <= s and e <= ee for ss, ee in sp)

@@ -144,3 +144,30 @@ def test_mongo_source_branch_selects_connector(spark, monkeypatch):
 
     with pytest.raises(Exception, match="(?i)mongodb"):
         read_mongo_or_parquet(spark, "reviews", parquet_path="/nonexistent")
+
+
+def test_read_csv_quarantines_corrupt_records(spark, tmp_path):
+    """PERMISSIVE CSV: well-formed rows parse, malformed rows land in
+    the corrupt-record column with the raw line intact."""
+    from pyspark.sql import types as T
+
+    from etl_airbnb_mex_spark.sources.readers import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,price,city\n"
+        "1,10.5,mexico\n"
+        "2,notanumber,cdmx\n"
+        "3,7.25,puebla\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("city", T.StringType()),
+    ])
+    df = read_csv(spark, str(p), schema).cache()
+    good = df.filter("_corrupt_record IS NULL").collect()
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    df.unpersist()
+    assert sorted(r.id for r in good) == [1, 3]
+    assert len(bad) == 1 and "notanumber" in bad[0]._corrupt_record

@@ -67,6 +67,8 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "embedding_quantize",
     "sample_k_per_group",
     "rolling_median",
+    "quality_gate_by_group",
+    "pit_lookup",
 }
 
 
