@@ -31,6 +31,7 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -244,3 +245,180 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.filter(df["kind"] == "video").mapInPandas(batches, _FRAMES_SCHEMA)
+
+
+_DHASH_SCHEMA = "media_id bigint, dhash bigint"
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash per image: decode → grayscale →
+    nearest-resize to 9×8 → 64 horizontal-gradient bits packed into one
+    BIGINT. Near-duplicate images (re-encodes, small edits, minor
+    noise) land within a few bits of each other, exact bytes are
+    irrelevant — the image-side analogue of MinHash for text.
+
+    mapInPandas (Arrow batches); real decoders for PNG/BMP/PNM,
+    undecodable formats raise like every codec op here.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        def dhash(data) -> int:
+            raw = bytes(data)
+            fmt = codecs.sniff_format(raw)
+            if fmt == "png":
+                img = codecs.png_decode(raw)
+            elif fmt == "bmp":
+                img = codecs.bmp_decode(raw)
+            elif fmt == "pnm":
+                img = codecs.pnm_decode(raw)
+            else:
+                raise NotImplementedError(
+                    f"image_dhash: undecodable image format {fmt!r}"
+                )
+            g = np.asarray(img, dtype="float64")
+            if g.ndim == 3:
+                g = g.mean(axis=2)
+            small = codecs.resize_nearest(g[:, :, None], 9, 8)[:, :, 0]
+            bits = (small[:, 1:] > small[:, :-1]).ravel()  # 8x8 gradients
+            h = 0
+            for b in bits:
+                h = (h << 1) | int(b)
+            # keep it in signed-long range for the BIGINT column
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pdf["data"].map(dhash).astype("int64"),
+                }
+            )
+
+    return df.filter(df["kind"] == "image").mapInPandas(
+        batches, _DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs from dhash values WITHOUT the O(n²)
+    all-pairs scan — the same band-bucket equi-join as SimHash text
+    dedup: split the 64-bit hash into ``bands`` contiguous chunks. By
+    pigeonhole, d differing bits touch at most d bands, so whenever
+    ``max_hamming < bands`` every qualifying pair agrees EXACTLY on
+    some band — recall is 1.0, not probabilistic (the default 6 < 8
+    keeps the guarantee). Candidates = union of per-band bucket joins
+    (ids + band values shuffle, never pixels), residual = exact
+    popcount of XOR (``bit_count``, codegen'd JVM intrinsic).
+
+    Pure DataFrame ops from here on — the multimodal stage ends at the
+    64-bit hash, and dedup rides the relational engine.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sig = hashes.select(
+        F.col("media_id").alias("id"),
+        F.col("dhash").alias("h"),
+        *[
+            F.shiftrightunsigned("dhash", i * width)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"b{i}")
+            for i in range(bands)
+        ],
+    )
+    cand = None
+    for i in range(bands):
+        a = sig.select(
+            F.col("id").alias("id_a"),
+            F.col("h").alias("ha"),
+            F.col(f"b{i}").alias("band"),
+        )
+        b = sig.select(
+            F.col("id").alias("id_b"),
+            F.col("h").alias("hb"),
+            F.col(f"b{i}").alias("band"),
+        )
+        pairs = (
+            a.join(b, "band")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return (
+        cand.distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+_AUDIO_FEAT_SCHEMA = (
+    "media_id bigint, rms double, zero_cross_rate double, "
+    "spectral_centroid_hz double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio descriptors from REAL WAV payloads: RMS level,
+    zero-crossing rate, and spectral centroid (magnitude-weighted mean
+    FFT frequency) — the screening features an audio-corpus pipeline
+    gates on (silence / clipping / noise detection) before expensive
+    transcription. Vectorized numpy inside Arrow batches; FAKEMEDIA
+    fixtures are treated as raw 8-bit samples at a nominal rate."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        def feats(data):
+            raw = bytes(data)
+            if codecs.sniff_format(raw) == "wav":
+                samples, rate = codecs.wav_decode(raw)
+                x = samples.astype("float64").ravel()
+            else:
+                x = np.asarray(_decode_payload(raw), dtype="float64")
+                x = x - x.mean()
+                rate = 16000
+            n = len(x)
+            if n == 0:
+                return 0.0, 0.0, 0.0
+            rms = float(np.sqrt(np.mean(x * x)))
+            zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            mag = np.abs(np.fft.rfft(x))
+            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+            tot = mag.sum()
+            cent = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+            return rms, zc, cent
+
+        for pdf in it:
+            out = pdf["data"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rms": out.map(lambda t: t[0]),
+                    "zero_cross_rate": out.map(lambda t: t[1]),
+                    "spectral_centroid_hz": out.map(lambda t: t[2]),
+                }
+            )
+
+    return df.filter(df["kind"] == "audio").mapInPandas(
+        batches, _AUDIO_FEAT_SCHEMA
+    )

@@ -283,3 +283,83 @@ def test_spark_decode_wav_payloads(spark):
     # encode scales by 32767, decode by 1/32768: worst case |x|/32768
     # quantizer-mismatch bias + 0.5/32768 rounding
     assert np.abs(got - sig).max() < 2.0 / 32768
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """dhash must cluster near-duplicate images (same picture + light
+    noise / re-encode) and separate unrelated pictures; the banded
+    join's pair set must equal the brute-force hamming pair set
+    (recall guarantee: max_hamming < bands)."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import png_encode
+    from etl_airbnb_mex_spark.multimodal.ops import (
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    # 5 base images; each contributes the original + a lightly-noised
+    # near-duplicate. Use smooth gradients so dhash is noise-stable.
+    for b in range(5):
+        base = np.add.outer(
+            np.linspace(0, 255, 24), np.linspace(0, 255 - b * 40, 32)
+        ) / 2 + b * 7
+        base = base.astype(np.uint8)
+        noisy = base.astype(np.int16) + rng.randint(-2, 3, base.shape)
+        noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+        rows.append((2 * b, "image", bytearray(png_encode(base)),
+                     (32, 24, None, 1, "png")))
+        rows.append((2 * b + 1, "image", bytearray(png_encode(noisy)),
+                     (32, 24, None, 1, "png")))
+    from etl_airbnb_mex_spark.multimodal.ops import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = image_dhash(df)
+    hv = {r.media_id: r.dhash for r in hashes.collect()}
+    assert len(hv) == 10
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs(hashes, max_hamming=6).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (i, j)
+        for i in hv for j in hv
+        if i < j and ham(hv[i], hv[j]) <= 6
+    }
+    assert got == want                      # banded join == brute force
+    for b in range(5):
+        assert (2 * b, 2 * b + 1) in want   # noised twin is a near-dup
+
+
+def test_audio_features_detect_tone_frequency(spark):
+    """Spectral centroid of a pure tone ~ the tone's frequency; a
+    louder clip has higher RMS; higher-pitch tones cross zero more."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import wav_encode
+    from etl_airbnb_mex_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 second
+    rows = []
+    for mid, (freq, amp) in enumerate([(440.0, 0.2), (2000.0, 0.8)]):
+        samples = amp * np.sin(2 * np.pi * freq * t)  # floats in [-1, 1]
+        rows.append(
+            (mid, "audio", bytearray(wav_encode(samples, rate)),
+             (None, None, rate, None, "wav"))
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert got[0].spectral_centroid_hz == pytest.approx(440, rel=0.15)
+    assert got[1].spectral_centroid_hz == pytest.approx(2000, rel=0.15)
+    assert got[1].rms > got[0].rms * 2
+    assert got[1].zero_cross_rate > got[0].zero_cross_rate * 2
