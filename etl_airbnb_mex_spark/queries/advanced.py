@@ -844,3 +844,58 @@ def pit_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_purchases"))
         .orderBy("state")
     )
+
+
+@register(
+    "image_near_dup",
+    None,  # binary media has no DuckDB twin; pytest verifies vs brute force
+    "Multimodal image near-dedup, end to end on the driver surface: "
+    "deterministic PNG images are rendered per document (smooth "
+    "gradient seeded by doc_id; every doc_id % 4 == 1 row re-renders "
+    "its predecessor's image with light deterministic noise), then "
+    "perceptual dhash (Arrow-batched real PNG decode) and the "
+    "band-bucket hamming join find the planted near-duplicate pairs "
+    "(multimodal/ops.py:image_dhash/image_near_dup_pairs — recall 1.0 "
+    "for max_hamming < bands by pigeonhole; pixels never shuffle). "
+    "Output: one row per hamming distance with the pair count.",
+)
+def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.ops import (
+        MEDIA_SCHEMA,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(int(n_docs), 200)
+
+    def render(doc_id: int) -> "bytes":
+        import numpy as np
+
+        from ..multimodal.codecs import png_encode
+
+        base_id = doc_id - 1 if doc_id % 4 == 1 else doc_id
+        # Coarse 8x8 block pattern upscaled to 24x32: distinct per
+        # base (seeded), and stable under the +-2 noise below — smooth
+        # gradients would NOT work here, every monotone gradient
+        # dhashes to the same all-ones bits.
+        blocks = np.random.RandomState(base_id).randint(
+            0, 256, (8, 8)
+        )
+        g = np.kron(blocks, np.ones((3, 4))).astype("float64")
+        if doc_id % 4 == 1:  # planted near-duplicate of doc_id-1
+            rng = np.random.RandomState(doc_id)
+            g = g + rng.randint(-2, 3, g.shape)
+        return png_encode(g.clip(0, 255).astype("uint8"))
+
+    rows = [
+        (i, "image", bytearray(render(i)), (32, 24, None, 1, "png"))
+        for i in range(n)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = image_near_dup_pairs(image_dhash(media), max_hamming=6)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
