@@ -899,3 +899,54 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev, c.next, c.n,
+           round(c.n / t.tot, 6) AS p
+    FROM c JOIN t USING (prev)
+    ORDER BY prev, next
+    """,
+    "First-order event-transition matrix (Markov counts + conditional "
+    "probabilities): what users do NEXT after each event type — the "
+    "path-mining statistic behind funnel design and anomaly detection "
+    "(a bot's transition row looks nothing like a human's). Plan: ONE "
+    "user_id shuffle for the lag window, one (prev, next) hash agg "
+    "(map-side combine), row totals joined back BROADCAST (the "
+    "transition matrix is #types², metadata scale). Counts are exact "
+    "integers; only the final division rounds.",
+)
+def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c = (
+        seq.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("prev", "next")
+    )

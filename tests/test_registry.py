@@ -69,6 +69,7 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "rolling_median",
     "quality_gate_by_group",
     "pit_lookup",
+    "event_transitions",
 }
 
 
@@ -202,3 +203,18 @@ def test_no_container_columns_in_oracle_surface():
                     or "unnest" in prefix
                 ), f"{name}: raw list-valued column in oracle near {marker!r}"
                 idx += len(marker)
+
+
+def test_bench_headline_names_are_registered():
+    """Every name bench.py times must be a live registry entry —
+    protects the driver's BENCH artifact from silent KeyErrors when
+    queries are renamed or demoted."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", _REPO / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
