@@ -160,3 +160,62 @@ def triangle_count(
     return wedges.join(closing, ["a", "c"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore_decompose(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph where every
+    node keeps degree ≥ k — the standard cohesion filter (spam rings,
+    loyal-user cores, protein complexes). Returns the surviving
+    (node, degree-in-core) rows.
+
+    Iterative peel: drop nodes with degree < k, recompute degrees on
+    the induced subgraph, repeat to fixpoint. Each round is ONE degree
+    hash agg + TWO semi-joins restricting the edge list — all keyed on
+    node ids, AQE-sized; the edge frame SHRINKS monotonically, so
+    unlike PageRank the per-round cost decreases. Lineage truncates
+    with localCheckpoint every ``checkpoint_every`` rounds; terminates
+    when no node was dropped (guaranteed ≤ |V| rounds; ``max_iter``
+    bounds a pathological chain — raise it for deep peels).
+    """
+    # canonical undirected edge list, no self-loops, deduped
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.selectExpr("a AS u", "b AS v").unionByName(
+        e.selectExpr("b AS u", "a AS v")
+    )
+    und = und.localCheckpoint(eager=False)
+    for i in range(max_iter):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        n_before = und.count()
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            und = und.localCheckpoint(eager=False)
+        n_after = und.count()
+        if n_after == n_before:
+            break
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_iter} rounds"
+        )
+    return (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -950,3 +950,53 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@register(
+    "kcore_parts",
+    None,  # iterative fixpoint — no SQL twin (driver records rows-only)
+    "k-core of the part co-purchase graph (edges = parts appearing in "
+    "the same order; k = the 5th-percentile degree, just under the "
+    "random-graph core-collapse threshold, so the peel drops a real "
+    "tail WITHOUT cascading to empty at any scale factor): the "
+    "densely-bought-together "
+    "core that basket analysis mines, with the long tail peeled away "
+    "(operators/graph.py:kcore_decompose — iterative peel, one degree "
+    "agg + two semi-joins per round on a monotonically SHRINKING edge "
+    "frame, localCheckpoint lineage truncation; pytest-verified "
+    "against the sequential peel). Edge build reuses the bounded "
+    "copurchase pattern: distinct (order, part) pre-agg, order-keyed "
+    "self-join with a<b, fan-out bounded by items-per-order².",
+)
+def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_decompose
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # edge build reused by degree probe + peel
+    )
+    deg = (
+        edges.selectExpr("src AS n")
+        .unionByName(edges.selectExpr("dst AS n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # one scalar collect — metadata, same discipline as the percentile
+    # bracket endpoints; makes k track the data so every sf peels.
+    k = int(deg.agg(F.expr("percentile(d, 0.05)")).collect()[0][0])
+    return kcore_decompose(edges, k=k)

@@ -187,3 +187,41 @@ def test_merge_intervals_invariants(spark):
         # containment
         for s, e in inputs:
             assert any(ss <= s and e <= ee for ss, ee in sp)
+
+
+def test_kcore_matches_brute_force(spark):
+    """Peeled k-core must equal the classic sequential peel on a random
+    graph, for several k."""
+    import random
+
+    from etl_airbnb_mex_spark.operators.graph import kcore_decompose
+
+    rng = random.Random(5)
+    nodes = list(range(40))
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+
+    def brute(k):
+        adj = {n: set() for n in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(nodes)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return {n: len(adj[n] & alive) for n in alive if len(adj[n] & alive) > 0}
+
+    for k in (2, 3, 4):
+        got = {
+            r.node: r.core_degree
+            for r in kcore_decompose(df, k).collect()
+        }
+        assert got == brute(k), f"k={k}"
