@@ -219,3 +219,50 @@ def kcore_decompose(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum-hop BFS from a seed set over a DIRECTED edge list (pass
+    both directions for undirected graphs): returns (node, hop) for
+    every node reachable within ``max_hops`` — the engine form of a
+    recursive CTE (reachability / blast-radius / related-items
+    queries), which the oracle states as WITH RECURSIVE.
+
+    Per level: frontier ⋈ edges on the source key (node-keyed
+    equi-join, AQE-sized) → distinct successors → anti-join the
+    visited set — so each node is expanded ONCE ever, the frontier
+    carries only (node) ids, and total work is O(E) across all levels,
+    not O(E·levels). The visited set localCheckpoints each level
+    (node-id scale) to keep lineage flat. Early-exits when a level
+    adds nothing.
+    """
+    visited = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("hop")
+    ).distinct().localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col(src).alias("node"), F.col(dst).alias("__d")
+                ),
+                "node",
+            )
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

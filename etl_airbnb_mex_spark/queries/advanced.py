@@ -1000,3 +1000,72 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bracket endpoints; makes k track the data so every sf peels.
     k = int(deg.agg(F.expr("percentile(d, 0.05)")).collect()[0][0])
     return kcore_decompose(edges, k=k)
+
+
+@register(
+    "graph_reachability",
+    """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey s, b.l_partkey d FROM op a JOIN op b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+    seeds AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+    r AS (
+      SELECT p_partkey AS node, 0 AS hop FROM seeds
+      UNION
+      SELECT e.d, r.hop + 1 FROM r JOIN e ON e.s = r.node
+      WHERE r.hop < 3
+    )
+    SELECT hop, count(*) AS n_nodes
+    FROM (SELECT node, min(hop) AS hop FROM r GROUP BY node) g
+    GROUP BY hop ORDER BY hop
+    """,
+    "Multi-hop reachability (recursive-CTE semantics, engine-side "
+    "BFS): nodes within 3 hops of the Brand#4 seed parts over the "
+    "repeat-co-purchase graph (edges co-bought in >= 2 orders), "
+    "counted by minimum hop — the related-items / blast-radius query. "
+    "The oracle is literally WITH RECURSIVE; the engine runs level-"
+    "synchronous BFS (operators/graph.py:bfs_min_hops — frontier "
+    "equi-join + distinct + anti-join visited, each node expanded "
+    "once, O(E) total work, localCheckpoint per level) — one of the "
+    "few iterative ops with an exact SQL twin.",
+)
+def graph_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_min_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"),
+            F.col("b.l_partkey").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("s", "d")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select(F.col("p_partkey").alias("node"))
+    )
+    reach = bfs_min_hops(edges, seeds, max_hops=3, src="s", dst="d")
+    return (
+        reach.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop")
+    )

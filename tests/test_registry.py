@@ -70,6 +70,7 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "quality_gate_by_group",
     "pit_lookup",
     "event_transitions",
+    "graph_reachability",
 }
 
 
