@@ -414,3 +414,103 @@ def inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    end_marker: str = "</w>",
+) -> list[tuple[str, str, int]]:
+    """Train byte-pair-encoding merges on the corpus — the tokenizer-
+    training step of an LLM data pipeline, distributed the way BPE
+    actually scales: the CORPUS-sized work is one word-frequency
+    aggregation (explode + hash agg, shuffle carries words not
+    documents); every merge iteration then runs on the word-frequency
+    TABLE (vocabulary-scale — bounded by distinct words, invariant to
+    corpus row count), exactly as Sennrich et al.'s reference
+    implementation does.
+
+    Per merge round, on the vocab frame: adjacent-pair explode → pair
+    hash agg weighted by word count → deterministic top-1 (count desc,
+    then lexicographic pair — ties resolve identically everywhere) →
+    apply the merge to the symbol arrays in an Arrow-batched
+    mapInPandas (vocab-scale; the corpus is never touched again). The
+    vocab frame localCheckpoints per round to keep lineage flat.
+
+    Returns the learned merge list [(left, right, pair_count), ...] in
+    rank order — driver-sized by definition (n_merges rows).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas below
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    vocab = words.select(
+        "wc",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(end_marker))
+        ).alias("syms"),
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("left"), b.alias("right")
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        merges.append((left, right, n))
+
+        def apply_merge(it, _l=left, _r=right):
+            import pandas as pd
+
+            for pdf in it:
+                def merge_one(syms):
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == _l
+                            and syms[i + 1] == _r
+                        ):
+                            out.append(_l + _r)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                yield pd.DataFrame(
+                    {
+                        "wc": pdf["wc"],
+                        "syms": pdf["syms"].map(
+                            lambda s: merge_one(list(s))
+                        ),
+                    }
+                )
+
+        vocab = vocab.mapInPandas(
+            apply_merge, "wc bigint, syms array<string>"
+        ).localCheckpoint(eager=False)
+    return merges

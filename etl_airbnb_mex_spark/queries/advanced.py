@@ -1069,3 +1069,94 @@ def graph_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop")
     )
+
+
+@register(
+    "bpe_merges",
+    None,  # iterative trainer — no SQL twin (pytest: exact match vs
+    #       the reference single-process BPE, tie-breaking included)
+    "BPE tokenizer training on the documents corpus (operators/"
+    "corpus.py:bpe_train): the corpus-sized work is ONE word-frequency "
+    "hash agg; each of the 10 merge rounds then runs on the bounded "
+    "word-frequency table (adjacent-pair agg -> deterministic top-1 "
+    "-> Arrow-batched merge application), exactly how reference BPE "
+    "scales. Returns the learned merge table (rank, left, right, "
+    "pair_count).",
+)
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
+@register(
+    "mixture_resample",
+    """
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    src AS (SELECT lang, count(*) AS sn FROM documents GROUP BY lang),
+    tgt AS (
+      SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+                            ('fr', 0.15), ('zh', 0.15)) t(lang, share)),
+    rate AS (
+      SELECT src.lang,
+             least(1.0, tgt.share * tot.n / src.sn) AS keep_p
+      FROM src JOIN tgt USING (lang), tot),
+    k AS (
+      SELECT d.doc_id, d.lang, rate.keep_p,
+             ((doc_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM documents d JOIN rate USING (lang)),
+    b AS (
+      SELECT doc_id, lang, keep_p,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 1000000
+               AS bucket
+      FROM k)
+    SELECT lang, count(*) AS n_kept
+    FROM b WHERE bucket < floor(keep_p * 1000000)
+    GROUP BY lang ORDER BY lang
+    """,
+    "Training-mixture resampling: down-sample each language slice "
+    "toward target corpus shares (en 40 %, others 15 %) — the data-"
+    "mixing step of LLM pre-training (DoReMi-style static weights). "
+    "Per-slice keep probability = target_share x total / slice_size "
+    "(capped at 1), decided per row by the engine-portable "
+    "multiplicative hash so membership is stable across runs/engines/"
+    "partitioning. Plan: slice sizes from one hash agg, rates as a "
+    "broadcast join (#languages rows), the sample itself a pure "
+    "filter — no data shuffle.",
+)
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tot = docs.count()
+    targets = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    tgt = docs.sparkSession.createDataFrame(
+        list(targets.items()), "lang string, share double"
+    )
+    rate = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sn"))
+        .join(tgt, "lang")
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), F.col("share") * F.lit(tot) / F.col("sn")
+            ).alias("keep_p"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rate), "lang")
+        .where(
+            hash_bucket("doc_id", 1_000_000)
+            < F.floor(F.col("keep_p") * 1_000_000)
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -225,3 +225,51 @@ def test_kcore_matches_brute_force(spark):
             for r in kcore_decompose(df, k).collect()
         }
         assert got == brute(k), f"k={k}"
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed BPE trainer must learn the exact merge sequence
+    the classic single-process algorithm learns (same tie-breaking:
+    count desc, then lexicographic pair)."""
+    from collections import Counter
+
+    from etl_airbnb_mex_spark.operators.corpus import bpe_train
+
+    texts = [
+        "low lower lowest slow slowly",
+        "new newer newest news now",
+        "low slow low new low",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = bpe_train(df, "text", n_merges=8)
+
+    # reference: Sennrich-style BPE on the word-frequency table
+    wc = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    want = []
+    for _ in range(8):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (l, r), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        want.append((l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want
+    assert len(got) >= 5  # the fixture genuinely learns merges

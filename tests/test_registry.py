@@ -71,6 +71,7 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "pit_lookup",
     "event_transitions",
     "graph_reachability",
+    "mixture_resample",
 }
 
 
