@@ -1,8 +1,13 @@
 """Round-4 extension queries (SURVEY.md §2.11): decision-support
-subquery patterns (correlated scalar / HAVING-join / NOT EXISTS), the
-2-D grid-blocked spatial join, fuzzy vocabulary matching, corpus
-distribution-shift monitoring, the inverted index, the multi-grain time
-rollup, and the mergeable-sketch distinct rollup.
+subquery patterns (correlated scalar / HAVING-join / NOT EXISTS),
+blocked similarity joins (2-D spatial grid, edit-distance bands),
+corpus monitoring (KL drift, inverted index, grouped quality gates,
+BPE tokenizer training, mixture resampling), time rollups (grouping
+sets, mergeable HLL sketches, rolling median, interval union),
+mergeable aggregation state, sampling (weighted top-k, k-per-group),
+embedding quantization, temporal point-in-time lookup, behavior
+transitions, and graph queries (k-core, recursive-CTE reachability,
+image near-dedup on the driver surface).
 
 The reference implements none of these (its engine has zero joins or
 subqueries); they are engine capabilities mandated by the north star.

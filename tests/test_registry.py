@@ -220,3 +220,26 @@ def test_bench_headline_names_are_registered():
     spec.loader.exec_module(bench)
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench HEADLINE names not in registry: {missing}"
+
+
+def test_all_oracle_sql_parses_in_duckdb(sf_dir):
+    """Fast static guard: every registered oracle must EXPLAIN cleanly
+    in DuckDB — catches SQL syntax drift across all 150+ oracles in a
+    few seconds without executing any of them."""
+    from etl_airbnb_mex_spark.oracle import duckdb_connection
+    from etl_airbnb_mex_spark.queries import _load
+
+    _load()
+    con = duckdb_connection(sf_dir)
+    bad = []
+    try:
+        for name, spec in REGISTRY.items():
+            if spec.oracle is None:
+                continue
+            try:
+                con.execute("EXPLAIN " + spec.oracle)
+            except Exception as e:  # noqa: BLE001 — collecting failures
+                bad.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    finally:
+        con.close()
+    assert not bad, "unparseable oracle SQL:\n" + "\n".join(bad)
