@@ -1165,3 +1165,158 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "unicode_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize(substr(text, 1, 20)
+             || ' cafe' || chr(769) || ' nin' || chr(771) || 'o – ﬁn')
+             AS normalized
+    FROM documents ORDER BY doc_id
+    """,
+    "Unicode NFC normalization — the canonicalization step every "
+    "multilingual corpus pipeline runs before hashing/dedup (the same "
+    "text in composed vs decomposed form must collide). Inputs are "
+    "constructed deterministically (combining acute + tilde appended "
+    "to each doc) so both engines see identical code points; Spark "
+    "has no NFC builtin, so this is one of the few LEGITIMATE "
+    "Pandas-UDF ops — Arrow-batched unicodedata.normalize, "
+    "stdlib-only, vs DuckDB's native nfc_normalize. NFC leaves the "
+    "en-dash and the fi-ligature alone (that is NFKC's job) — both "
+    "engines agree on that too.",
+)
+def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(series):
+        import unicodedata
+
+        return series.map(lambda x: unicodedata.normalize("NFC", x))
+
+    # lambda-style registration: the module-wide `from __future__ import
+    # annotations` stringifies type hints, which pandas_udf cannot
+    # resolve — passing returnType explicitly sidesteps inference.
+    nfc = pandas_udf(_nfc, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" café niño – ﬁn"),
+    )
+    return docs.select("doc_id", nfc(raw).alias("normalized")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "boilerplate_ngram_frac",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)),
+    df AS (
+      SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    marked AS (
+      SELECT grams.doc_id,
+             CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END AS hot
+      FROM grams JOIN df USING (g))
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(hot) AS BIGINT) AS n_boiler,
+           round(sum(hot) / count(*), 6) AS frac
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "Cross-document boilerplate fraction: per document, the share of "
+    "its word 5-grams that also appear in ANOTHER document — the "
+    "template/boilerplate signal (headers, footers, mirrored pages) "
+    "that near-dedup pipelines gate on; duplicated documents score "
+    "~1.0, unique prose ~0. Plan: position explode → gram hash agg "
+    "for document frequency (the only corpus-wide state, gram-keyed "
+    "and distributed) → gram-keyed join back → one doc hash agg. At "
+    "100 TB the gram key should be xxhash64(g) (same swap documented "
+    "on decontaminate); counts here stay exact for the oracle.",
+)
+def boilerplate_ngram_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.array_join(F.slice("t", i, 5), " "),
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        grams.join(df_counts, "g")
+        .select(
+            "doc_id",
+            F.when(F.col("nd") >= 2, 1).otherwise(0).alias("hot"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("hot").cast("long").alias("n_boiler"),
+            F.round(F.sum("hot") / F.count(F.lit(1)), 6).alias("frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    contrib AS (
+      SELECT DISTINCT du.user_id, days.d AS window_end
+      FROM du JOIN days
+        ON days.d BETWEEN du.d AND du.d + INTERVAL 6 DAY)
+    SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+           count(*) AS n_users_7d
+    FROM contrib GROUP BY 1 ORDER BY 1
+    """,
+    "Trailing-7-day distinct users per day — the windowed DISTINCT "
+    "that plain window frames cannot express (distinct does not "
+    "decompose over a sliding frame). Scale shape: distinct "
+    "(user, day) pre-agg first (the corpus-sized cut), then each "
+    "active day EXPLODES to the <=7 window-ends it serves (bounded "
+    "fan-out, the inverse of re-scanning 7 days per window), distinct "
+    "again, one day hash agg. Never a collect_set over a window — a "
+    "hot day's user set would be a single aggregation buffer.",
+)
+def sliding_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("window_end"))
+    contrib = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), 6)
+                )
+            ).alias("window_end"),
+        )
+        .join(F.broadcast(days), "window_end")
+        .distinct()
+    )
+    return (
+        contrib.groupBy(
+            F.date_format("window_end", "yyyy-MM-dd").alias("window_end")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users_7d"))
+        .orderBy("window_end")
+    )

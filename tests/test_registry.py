@@ -72,6 +72,11 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "event_transitions",
     "graph_reachability",
     "mixture_resample",
+    # round-4 batch 6 — corpus canonicalization + boilerplate,
+    # sliding distinct
+    "unicode_normalize",
+    "boilerplate_ngram_frac",
+    "sliding_distinct_users",
 }
 
 
