@@ -295,3 +295,80 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def dataset_manifest(spark, path: str) -> DataFrame:
+    """File-level manifest of a parquet dataset: one row per file with
+    row count and byte size — the bookkeeping view behind compaction
+    decisions and scan-cost estimates (what a table format's metadata
+    layer maintains; computed here from the data for plain parquet
+    directories).
+
+    Plan: one scan grouped by ``input_file_name`` (file-keyed hash
+    agg); sizes come from the filesystem listing (driver-side, one
+    entry per file — metadata scale by definition).
+    """
+    import glob as _glob
+    import os
+
+    sizes = {
+        os.path.basename(p): os.path.getsize(p)
+        for p in _glob.glob(os.path.join(path, "*.parquet"))
+    }
+    rows = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file_uri"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    out = [
+        (
+            os.path.basename(r["file_uri"].split("://")[-1]),
+            int(r["n_rows"]),
+            int(sizes.get(
+                os.path.basename(r["file_uri"].split("://")[-1]), 0
+            )),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        out, "file string, n_rows bigint, n_bytes bigint"
+    )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target) files — the maintenance op that
+    keeps scan task counts sane after streaming/incremental writes
+    (thousands of KB-files make a 100 TB scan schedule millions of
+    no-op tasks; 128 MiB files match maxPartitionBytes so one task
+    reads one file).
+
+    Uses ``coalesce`` (narrow — no shuffle: existing partitions are
+    glued, which is exactly right for compaction) rather than
+    ``repartition``. Returns the output file count. Layout-preserving
+    compaction of a CLUSTERED dataset should re-run
+    write_clustered_parquet instead — coalesce keeps row order only
+    within glued groups.
+    """
+    import glob as _glob
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(src_path, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_path)
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return len(_glob.glob(os.path.join(dst_path, "*.parquet")))

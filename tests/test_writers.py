@@ -181,3 +181,27 @@ def test_zordered_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert matching(zp, pkey) <= n * 3 // 4
     # and the x-dimension pruning is not catastrophically worse than 1-D
     assert matching(zc, ckey) < n
+
+
+def test_compaction_and_manifest(spark, sf_dir, tmp_path):
+    """A fragmented write compacts to the computed file count without
+    losing rows; the manifest reports per-file rows and bytes."""
+    from etl_airbnb_mex_spark.sources.writers import (
+        compact_parquet,
+        dataset_manifest,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "frag")
+    o.repartition(64).write.parquet(frag)  # 64 tiny files
+    man = dataset_manifest(spark, frag)
+    assert man.count() == 64
+    total_rows = man.agg(F.sum("n_rows")).collect()[0][0]
+    assert total_rows == o.count()
+    assert man.where(F.col("n_bytes") <= 0).count() == 0
+
+    compacted = str(tmp_path / "compact")
+    n = compact_parquet(spark, frag, compacted,
+                        target_file_bytes=1 << 30)  # everything fits one
+    assert n == 1
+    assert spark.read.parquet(compacted).count() == total_rows
