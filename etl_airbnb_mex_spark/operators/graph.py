@@ -130,6 +130,13 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # e feeds BOTH the degree agg and the edge-degree join; without
+        # truncation the (possibly expensive) upstream edge construction
+        # — e.g. the co-purchase self-join — re-executes once per
+        # consumer. Same invariant-frame discipline as pagerank's edge
+        # checkpoint (measured 4.0 s -> 3.3 s at sf0.1 together with the
+        # oriented checkpoint below).
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -150,7 +157,9 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+        # consumed three times (both wedge sides + the closing probe) —
+        # truncate lineage so orientation computes once.
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(F.col("a"), F.col("b"))
     e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, "b").select("a", "c")
