@@ -1320,3 +1320,240 @@ def sliding_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users_7d"))
         .orderBy("window_end")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 5: attribution, rolling anomaly, session paths.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH w AS (
+      SELECT event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN struct_pack(t := epoch_us(ts),
+                                              y := event_type) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT coalesce(CASE WHEN touch.t >= epoch_us(ts) - 86400000000
+                         THEN touch.y END, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Marketing last-touch attribution: each purchase credits the most "
+    "recent click/view by the same user within a 24 h lookback, else "
+    "'direct'. ONE window pass carries the last touchpoint as a "
+    "(epoch_us, type) struct with an UNBOUNDED..1 PRECEDING frame "
+    "(last+ignorenulls — the struct packaging keeps ts/type atomic, "
+    "the asof-join NULL-carry lesson); one user_id shuffle total, "
+    "then a tiny 3-row hash agg. Lookback compares exact integer "
+    "microseconds on both engines — no interval semantics in play.",
+)
+def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.behavior import _ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(
+                _ts_us("ts").alias("t"), F.col("event_type").alias("y")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(wo)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            _ts_us("ts").alias("__us"),
+            touch.alias("touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("touch.t") >= F.col("__us") - 86_400_000_000,
+                    F.col("touch.y"),
+                ),
+                F.lit("direct"),
+            ).alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch_type")
+    )
+
+
+@register(
+    "rolling_zscore",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             sum(CAST(value AS DECIMAL(18,2))) OVER w AS s1,
+             sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) OVER w AS s2,
+             count(value) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_id, user_id,
+             (CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1) AS var,
+             value - CAST(s1 AS DOUBLE) / n AS dev
+      FROM f WHERE n >= 5)
+    SELECT event_id, user_id, round(dev / sqrt(var), 4) AS z
+    FROM z WHERE var > 0 AND abs(dev / sqrt(var)) >= 2.0
+    ORDER BY event_id
+    """,
+    "Per-user rolling anomaly flag: trailing-7-event mean/std, emit "
+    "events with |z| >= 2. Cross-engine determinism is the point: the "
+    "frame sums run in DECIMAL (exact, order-independent) and mean/"
+    "variance derive from those exact sums in double via x*x (never "
+    "POWER) — so the z cut and the 4 dp rounding are bit-identical on "
+    "both engines. One user_id shuffle; frames are 7-row, memory O(1) "
+    "per row. The streaming twin of this shape is ewma_smooth.",
+)
+def rolling_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(vdec).over(w).alias("s1"),
+        F.sum(vdec * vdec).over(w).alias("s2"),
+        F.count("value").over(w).alias("n"),
+    ).filter(F.col("n") >= 5)
+    z = f.select(
+        "event_id",
+        "user_id",
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+        (F.col("value") - F.col("s1").cast("double") / F.col("n")).alias(
+            "dev"
+        ),
+    )
+    return (
+        z.filter(
+            (F.col("var") > 0)
+            & (F.abs(F.col("dev") / F.sqrt("var")) >= 2.0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("dev") / F.sqrt("var"), 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "session_path_topn",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER wo IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER wo)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                       ORDER BY ts, event_id) AS rn
+          FROM s),
+    p AS (SELECT user_id, sess,
+                 string_agg(event_type, '>' ORDER BY ts, event_id)
+                   AS path
+          FROM r WHERE rn <= 5 GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+    "Top-10 session journey prefixes: 30-min-gap sessionization "
+    "(same integer-microsecond arithmetic as sessionize_ids), path = "
+    "first 5 event types joined '>', count sessions per path. The "
+    "5-event CAP is the scale guard — an uncapped path string grows "
+    "with the hottest session and would make the path agg key "
+    "unbounded. Spark side: one user_id window pass (lag + running "
+    "sum share the shuffle), per-session array_sort(collect_list) on "
+    "<=capped structs, then a path hash agg + TakeOrdered 10. Ties "
+    "break by path so the LIMIT cut is deterministic.",
+)
+def session_path_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.behavior import _ts_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _ts_us("ts").alias("__us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    lagged = ev.withColumn("__prev", F.lag("__us").over(wo))
+    brk = (
+        F.col("__prev").isNull()
+        | ((F.col("__us") - F.col("__prev")) > 1_800_000_000)
+    ).cast("long")
+    sess = lagged.withColumn(
+        "sess",
+        F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("__us", "event_id", "event_type")
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, 5), lambda x: x["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

@@ -77,6 +77,10 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "unicode_normalize",
     "boilerplate_ngram_frac",
     "sliding_distinct_users",
+    # round-4 batch 7 — attribution, rolling anomaly, session paths
+    "attribution_last_touch",
+    "rolling_zscore",
+    "session_path_topn",
 }
 
 
