@@ -1557,3 +1557,173 @@ def session_path_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 6: corpus length-band filter, inter-arrival percentiles,
+# dataset-card source mix.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_band_filter",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM r
+    WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id
+    """,
+    "Corpus length filtering, the Gopher/C4 outlier trim done "
+    "distribution-relative PER LANGUAGE: keep documents inside the "
+    "[p05, p95] length band of their language. percent_rank is exact "
+    "integer arithmetic ((rank-1)/(n-1)) with ties broken by doc_id, "
+    "so the band cut is deterministic cross-engine — no quantile "
+    "interpolation convention in play. One lang-partitioned window "
+    "(sort amortized across the rank), pure filter after; at corpus "
+    "scale the per-lang sort is the cost and languages partition "
+    "naturally.",
+)
+def doc_length_band_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pr = F.percent_rank().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    v AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    r AS (SELECT event_type, gap_us,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY gap_us) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v)
+    SELECT event_type,
+           max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT) + 1
+                    THEN gap_us END) AS p50_us,
+           max(CASE WHEN rn = CAST(floor((n-1)*0.9) AS BIGINT) + 1
+                    THEN gap_us END) AS p90_us
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+    "Inter-arrival latency percentiles per event type: per-(user, "
+    "type) consecutive gaps via lag over integer microseconds, then "
+    "EXACT discrete p50/p90 by sort-rank indexing (row_number + "
+    "floor((n-1)*q) — the same convention as the percentiles "
+    "family; equal gaps make the tie order irrelevant because every "
+    "tied row carries the same value). Output stays integer "
+    "microseconds — zero float rounding anywhere. Two shuffles: the "
+    "(user, type) lag window and the per-type rank; gap rows, never "
+    "event payloads, enter the second.",
+)
+def interarrival_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.behavior import _ts_us
+
+    ev = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (_ts_us("ts") - F.lag(_ts_us("ts")).over(wl)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def _pick(q: float):
+        idx = F.floor((F.col("n") - 1) * q).cast("bigint") + 1
+        return F.max(
+            F.when(F.col("rn") == idx, F.col("gap_us"))
+        )
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            _pick(0.5).alias("p50_us"),
+            _pick(0.9).alias("p90_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_mix_report",
+    r"""
+    WITH t AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      GROUP BY 1, 2)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(floor(1000000.0 * n_tokens
+                      / (SELECT sum(n_tokens) FROM t) + 0.5) AS BIGINT)
+             AS token_share_ppm
+    FROM t ORDER BY source, lang
+    """,
+    "Dataset-card composition report: per (source, language) document "
+    "and whitespace-token counts plus each slice's share of corpus "
+    "tokens in integer PPM — the measurement side of "
+    "mixture_resample's knob (you report the mix before you reweigh "
+    "it). One hash agg over the (source, lang) key; the corpus total "
+    "comes back as a broadcast 1-row scalar; the share quantizes via "
+    "floor(x+0.5) so both engines agree at halfway points. Token "
+    "counting matches token_count's split convention.",
+)
+def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull() & (F.trim("text") != "")
+        )
+    )
+    t = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+"))
+        ).cast("bigint").alias("n_tokens"),
+    )
+    total = t.agg(
+        F.sum("n_tokens").cast("double").alias("__total")
+    )
+    return (
+        t.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                1_000_000.0 * F.col("n_tokens") / F.col("__total") + 0.5
+            )
+            .cast("bigint")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("source", "lang")
+    )

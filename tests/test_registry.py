@@ -81,6 +81,11 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "attribution_last_touch",
     "rolling_zscore",
     "session_path_topn",
+    # round-4 batch 8 — length-band filter, inter-arrival percentiles,
+    # dataset-card source mix
+    "doc_length_band_filter",
+    "interarrival_stats",
+    "source_mix_report",
 }
 
 
@@ -150,6 +155,8 @@ _SCALAR_BNLJ_OK: set[str] = {
     "antijoin_wealthy_inactive",
     # r4 batch 5: 1-row (min[], scale[]) broadcast onto the corpus scan
     "embedding_quantize",
+    # r4 batch 6: 1-row corpus-token-total broadcast onto the mix agg
+    "source_mix_report",
 }
 
 
