@@ -73,6 +73,12 @@ HEADLINE = [
     "intervals_merge",
     "segment_overlap",
     "embedding_quantize",
+    "attribution_last_touch",
+    "rolling_zscore",
+    "session_path_topn",
+    "doc_length_band_filter",
+    "interarrival_stats",
+    "source_mix_report",
 ]
 
 
