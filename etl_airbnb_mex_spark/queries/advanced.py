@@ -1727,3 +1727,187 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 7: decision-support conditional-agg shapes (TPC-H Q12 /
+# Q14 / Q11 flavors over the available columns).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ship_delay_priority",
+    """
+    SELECT CASE WHEN d BETWEEN 0 AND 30 THEN '00-30'
+                WHEN d BETWEEN 31 AND 60 THEN '31-60'
+                ELSE '61+' END AS delay_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM (SELECT o_orderpriority,
+                 datediff('day', o_orderdate, l_shipdate) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+    "TPC-H Q12 shape over the available columns: order-to-ship delay "
+    "buckets x priority class, the two-level conditional agg (CASE "
+    "inside sum) that Q12 exercises. One orderkey equi-join (AQE "
+    "sizes it; at 100 TB both sides shuffle on the FK, the natural "
+    "co-partitioning) into a 3-row hash agg; day deltas are integer "
+    "calendar-day arithmetic on both engines.",
+)
+def ship_delay_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = F.datediff("l_shipdate", "o_orderdate")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.when(d.between(0, 30), "00-30")
+            .when(d.between(31, 60), "31-60")
+            .otherwise("61+")
+            .alias("delay_bucket"),
+            hi.alias("hi"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    WITH m AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 END) AS promo_rev,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+               AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1)
+    SELECT ship_month,
+           CAST(floor(1000000.0 * CAST(coalesce(promo_rev, 0) AS DOUBLE)
+                      / CAST(total_rev AS DOUBLE) + 0.5) AS BIGINT)
+             AS promo_share_ppm
+    FROM m ORDER BY ship_month
+    """,
+    "TPC-H Q14 shape: monthly share of discounted revenue from PROMO "
+    "parts. The part side BROADCASTS (dim-sized); revenue sums run in "
+    "DECIMAL (exact, shuffle-order-independent) and only the final "
+    "ratio drops to double, quantized to integer PPM via floor(x+0.5) "
+    "so halfway points agree cross-engine. Conditional-vs-total in "
+    "ONE agg pass — never two scans.",
+)
+def promo_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    m = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            rev.alias("rev"),
+            (F.col("p_type") == "PROMO").alias("is_promo"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev"))).alias(
+                "promo_rev"
+            ),
+            F.sum("rev").alias("total_rev"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        F.floor(
+            1_000_000.0
+            * F.coalesce(F.col("promo_rev"), F.lit(0)).cast("double")
+            / F.col("total_rev").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("promo_share_ppm"),
+    ).orderBy("ship_month")
+
+
+@register(
+    "supplier_revenue_concentration",
+    """
+    WITH r AS (
+      SELECT s_nationkey, s_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    t AS (SELECT *, sum(rev) OVER (PARTITION BY s_nationkey)
+                      AS nation_total
+          FROM r)
+    SELECT s_nationkey, s_suppkey, CAST(rev AS DOUBLE) AS revenue
+    FROM t WHERE rev * 4 > nation_total
+    ORDER BY s_nationkey, s_suppkey
+    """,
+    "TPC-H Q11 shape: suppliers holding > 25 % of their nation's "
+    "discounted revenue — concentration screening. Supplier dim "
+    "BROADCASTS onto the lineitem scan, revenue aggregates once per "
+    "(nation, supplier) in DECIMAL, the national total is a window "
+    "sum over the ALREADY-AGGREGATED frame (supplier-cardinality "
+    "rows, not lineitems), and the share cut compares decimal*4 > "
+    "decimal — exact, no float ratio anywhere. Q11's global-scalar "
+    "HAVING becomes a partitioned window, which is the form that "
+    "scales past one nation.",
+)
+def supplier_revenue_concentration_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    r = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    t = r.withColumn(
+        "nation_total",
+        F.sum("rev").over(Window.partitionBy("s_nationkey")),
+    )
+    return (
+        t.filter(F.col("rev") * 4 > F.col("nation_total"))
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )

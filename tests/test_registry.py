@@ -86,6 +86,10 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "doc_length_band_filter",
     "interarrival_stats",
     "source_mix_report",
+    # round-4 batch 9 — TPC-H Q12/Q14/Q11-shape conditional aggs
+    "ship_delay_priority",
+    "promo_revenue_share",
+    "supplier_revenue_concentration",
 }
 
 
