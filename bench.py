@@ -79,6 +79,8 @@ HEADLINE = [
     "doc_length_band_filter",
     "interarrival_stats",
     "source_mix_report",
+    "promo_revenue_share",
+    "supplier_revenue_concentration",
 ]
 
 
