@@ -1351,8 +1351,9 @@ def sliding_distinct_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'direct'. ONE window pass carries the last touchpoint as a "
     "(epoch_us, type) struct with an UNBOUNDED..1 PRECEDING frame "
     "(last+ignorenulls — the struct packaging keeps ts/type atomic, "
-    "the asof-join NULL-carry lesson); one user_id shuffle total, "
-    "then a tiny 3-row hash agg. Lookback compares exact integer "
+    "the asof-join NULL-carry lesson); ONE corpus-sized shuffle (the "
+    "user_id window) — the closing hash agg and output sort exchange "
+    "only 3-row partials. Lookback compares exact integer "
     "microseconds on both engines — no interval semantics in play.",
 )
 def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,8 +1427,10 @@ def attribution_last_touch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame sums run in DECIMAL (exact, order-independent) and mean/"
     "variance derive from those exact sums in double via x*x (never "
     "POWER) — so the z cut and the 4 dp rounding are bit-identical on "
-    "both engines. One user_id shuffle; frames are 7-row, memory O(1) "
-    "per row. The streaming twin of this shape is ewma_smooth.",
+    "both engines. One corpus-sized shuffle (the user_id window); "
+    "frames are 7-row, memory O(1) per row; the output sort exchanges "
+    "only the surviving anomaly rows. The streaming twin of this "
+    "shape is ewma_smooth.",
 )
 def rolling_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1629,9 +1632,10 @@ def doc_length_band_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor((n-1)*q) — the same convention as the percentiles "
     "family; equal gaps make the tie order irrelevant because every "
     "tied row carries the same value). Output stays integer "
-    "microseconds — zero float rounding anywhere. Two shuffles: the "
-    "(user, type) lag window and the per-type rank; gap rows, never "
-    "event payloads, enter the second.",
+    "microseconds — zero float rounding anywhere. Two data shuffles "
+    "— the (user, type) lag window and the per-type rank (gap rows, "
+    "never event payloads, enter the second) — plus a 5-row output "
+    "sort exchange.",
 )
 def interarrival_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
