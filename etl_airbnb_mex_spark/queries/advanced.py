@@ -1915,3 +1915,146 @@ def supplier_revenue_concentration_q(
         )
         .orderBy("s_nationkey", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 batch 8: revenue-concentration (Pareto/ABC) and repeat-purchase
+# behavioral KPIs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_revenue_share",
+    """
+    WITH c AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev,
+             count(*) OVER () AS n_total
+      FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_top_customers,
+           CAST(max(n_total) AS BIGINT) AS n_customers,
+           CAST(floor(1000000.0 * count(*) / max(n_total) + 0.5)
+                AS BIGINT) AS customer_share_ppm
+    FROM t WHERE (cum_rev - rev) * 5 < total_rev * 4
+    """,
+    "Pareto/ABC analysis: how many customers drive the first 80 % of "
+    "revenue. A customer is in the top set while the revenue "
+    "accumulated BEFORE it stays under 80 % — the cut compares "
+    "decimal*5 < decimal*4, exact, no float ratio. The oracle states "
+    "it with a global running sum; the Spark side computes the same "
+    "prefix DISTRIBUTED, reusing sequence_pack's shape: revenue-band "
+    "buckets (floor(rev/band) — disjoint value ranges, so "
+    "descending-bucket prefix order equals the global rev-DESC order, "
+    "ties resolved by custkey inside one bucket) → parallel "
+    "partitioned cumsum → global window over the TINY bucket-totals "
+    "frame only → broadcast join back. Never a single-partition "
+    "window over the customer frame.",
+)
+def pareto_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    band = 100_000
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    c = c.withColumn(
+        "__b", F.floor(F.col("rev") / band).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("rev"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = c.withColumn("__cum_local", F.sum("rev").over(w_local))
+    totals = local.groupBy("__b").agg(
+        F.max("__cum_local").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_prefix = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = totals.select(
+        "__b",
+        F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias(
+            "__pre"
+        ),
+    )
+    tot = totals.agg(
+        F.sum("__tot").alias("__total_rev"),
+        F.sum("__n").cast("long").alias("__n_total"),
+    )
+    t = (
+        local.join(F.broadcast(prefix), "__b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum_rev", F.col("__pre") + F.col("__cum_local"))
+    )
+    top = t.filter(
+        (F.col("cum_rev") - F.col("rev")) * 5
+        < F.col("__total_rev") * 4
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_top_customers"),
+        F.max("__n_total").cast("bigint").alias("n_customers"),
+        F.floor(
+            1_000_000.0 * F.count(F.lit(1)) / F.max("__n_total") + 0.5
+        )
+        .cast("bigint")
+        .alias("customer_share_ppm"),
+    )
+
+
+@register(
+    "repeat_purchase_rate",
+    """
+    WITH oc AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_buyers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeat,
+           CAST(floor(1000000.0
+                      * sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      / count(*) + 0.5) AS BIGINT) AS repeat_ppm
+    FROM customer JOIN oc ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Repeat-purchase rate by market segment — the loyalty KPI next to "
+    "funnel_conversion/cohort_retention. Per-customer order counts "
+    "aggregate FIRST (the corpus-sized cut: orders collapse to "
+    "customer cardinality before any dimension join), then the "
+    "segment dim joins (AQE picks broadcast at dim scale) into a "
+    "5-row conditional agg; the rate quantizes to integer PPM via "
+    "floor(x+0.5).",
+)
+def repeat_purchase_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    oc = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return (
+        cust.join(oc, cust["c_custkey"] == oc["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buyers"),
+            F.sum(rep).cast("bigint").alias("n_repeat"),
+            F.floor(
+                1_000_000.0 * F.sum(rep) / F.count(F.lit(1)) + 0.5
+            )
+            .cast("bigint")
+            .alias("repeat_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -90,6 +90,9 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "ship_delay_priority",
     "promo_revenue_share",
     "supplier_revenue_concentration",
+    # round-4 batch 10 — Pareto/ABC concentration, repeat-purchase KPI
+    "pareto_revenue_share",
+    "repeat_purchase_rate",
 }
 
 
@@ -161,6 +164,9 @@ _SCALAR_BNLJ_OK: set[str] = {
     "embedding_quantize",
     # r4 batch 6: 1-row corpus-token-total broadcast onto the mix agg
     "source_mix_report",
+    # r4 batch 10: 1-row (total_rev, n_total) broadcast onto the
+    # banded prefix-sum frame
+    "pareto_revenue_share",
 }
 
 
