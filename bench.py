@@ -81,6 +81,8 @@ HEADLINE = [
     "source_mix_report",
     "promo_revenue_share",
     "supplier_revenue_concentration",
+    "pareto_revenue_share",
+    "repeat_purchase_rate",
 ]
 
 
