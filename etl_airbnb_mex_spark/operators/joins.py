@@ -235,6 +235,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest-earlier right row per
     key (direction='backward'; 'forward' = nearest-later).
@@ -252,16 +253,29 @@ def asof_join(
     carry nullable columns, pack them in one struct
     (``F.struct(...)``) — NULLs inside a non-null struct survive the
     carry (see the ``pit_lookup`` registration).
+
+    Determinism: when several RIGHT rows share the same (key, ts), the
+    window ordering (__ts, __side) alone does not decide which one is
+    carried. Pass ``right_tiebreak`` (a right-side column, e.g. an
+    event id or interval end) to order those ties ascending with NULLs
+    LAST — the carried row is then the tiebreak-MAXIMUM for
+    direction='backward' (``last`` over the frame) and the
+    tiebreak-MINIMUM for 'forward' (``first``). Without it, equal-ts
+    right duplicates carry an engine-dependent row (ADVICE.md r4 #3).
     """
     lcols = left.columns
     # Left rows are tagged __side=1. Right rows sort BEFORE left at equal
     # ts for backward (0) and AFTER for forward (2), so an exactly-equal
     # timestamp is always a match in either direction.
     sentinel_side = 0 if direction == "backward" else 2
+    tb_type = (
+        right.schema[right_tiebreak].dataType if right_tiebreak else None
+    )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        *([F.lit(None).cast(tb_type).alias("__tb")] if right_tiebreak else []),
         F.struct(*lcols).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in right_value_cols],
@@ -270,22 +284,30 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(sentinel_side).alias("__side"),
+        *([F.col(right_tiebreak).alias("__tb")] if right_tiebreak else []),
         F.lit(None).cast(
             l_tagged.schema["__l"].dataType
         ).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # __side orders left vs right at equal ts; __tb (when given) orders
+    # equal-(key, ts) RIGHT rows among themselves so the carried row is
+    # deterministic. Left rows' NULL __tb is irrelevant — __side already
+    # separates them.
+    order = [F.asc("__ts"), F.asc("__side")]
+    if right_tiebreak:
+        order.append(F.asc_nulls_last("__tb"))
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.asc("__ts"), F.asc("__side"))
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
     carried = unioned.select(

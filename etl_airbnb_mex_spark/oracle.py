@@ -35,18 +35,33 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v: Any) -> Any:
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Numeric cells are TYPE-TAGGED ("i" int vs "f" float) so an integer
+    on one side and a float on the other NEVER compare equal — the
+    driver's value-hash stringifies pandas cells, so DuckDB
+    HUGEINT→float64 ``555.0`` vs Spark bigint ``555`` is a driver
+    failure even though Python's ``555 == 555.0`` (hit in
+    CORRECTNESS_r04: entropy_by_group, rare_label_collapse). Local
+    green must imply driver green, so be exactly as strict.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return v
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
+    if isinstance(v, int):
+        return ("i", int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return None
         if v == 0.0:  # normalize -0.0
-            return 0.0
-        return v
+            return ("f", 0.0)
+        return ("f", v)
     if isinstance(v, datetime):
+        if v != v:  # pandas NaT (a datetime subclass) → NULL
+            return None
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat()
@@ -105,8 +120,15 @@ def compare_query(
                  "driver's pandas canonicalizer dies on these — emit "
                  "to_json(...)/array_join(...) strings instead"],
             )
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+    # Driver-faithful fetch on the SPARK side too: the driver hashes
+    # pandas frames, where a nullable bigint column becomes float64
+    # (-30 → -30.0). window_lag_delta was driver-GREEN in r3 with that
+    # representation, so collect() (which keeps Python ints) would
+    # false-fail it under the type-strict compare below — and would
+    # false-pass the inverse. Same conversion as the driver, both sides.
+    s_pdf = sdf.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = [tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
 
     if spec.oracle is None:
         # rows-only check, like the driver's weaker path
@@ -117,9 +139,14 @@ def compare_query(
     if own_con:
         con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(spec.oracle)
-        o_cols = [d[0] for d in res.description]
-        o_rows = res.fetchall()
+        # Driver-faithful fetch: the driver pulls the oracle result
+        # through DuckDB's pandas conversion, where HUGEINT (e.g. a
+        # bare sum(BIGINT)) becomes float64 — NOT a Python int as
+        # fetchall() would give. Fetching the same way means a bare-
+        # HUGEINT oracle column fails HERE, not on the driver.
+        odf = con.execute(spec.oracle).df()
+        o_cols = list(odf.columns)
+        o_rows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
     finally:
         if own_con:
             con.close()

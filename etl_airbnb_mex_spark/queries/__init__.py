@@ -8,6 +8,20 @@ value-hash — so every computed column is aliased identically on both
 sides, float aggregates are rounded to the same dp on both sides, and
 sums over doubles go through DECIMAL so they are exact and
 partition-order-independent (SURVEY.md §7.4.12).
+
+Oracle design rules (each learned from a driver failure class):
+  1. Alias every computed column identically on both sides.
+  2. Round float aggregates to the same dp on both sides; sum doubles
+     through DECIMAL for partition-order independence.
+  3. CAST integer sums to BIGINT in the oracle SQL: DuckDB types
+     ``sum(BIGINT)`` as HUGEINT, which the driver's pandas conversion
+     renders float64 (``555.0``) while Spark emits bigint ``555`` —
+     hash mismatch with identical values (CORRECTNESS_r04:
+     entropy_by_group, rare_label_collapse). The local replica
+     (oracle.py) now fetches via pandas and compares type-strictly,
+     so a bare-HUGEINT column fails in pytest before it can reach
+     the driver.
+  4. No array/map/struct output columns — render to_json/array_join.
 """
 
 from __future__ import annotations
@@ -42,71 +56,70 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
 #: rotate to the entries with the weakest driver provenance (VERDICT.md
-#: round 3, "Next round" #1/#4). Round-4 window = the 21 oracle-bearing
-#: round-3 additions never driver-checked + the 10 r2-green stats/topn/
-#: core entries whose files changed in r3 + cosine_near_dup (rewritten
-#: this round to the bucketed scale-safe form) + the scale-critical
-#: rows-only plans (corpus_pipeline, pagerank_parts, knn_cosine_ivf,
-#: knn_cosine_lsh, near_dup_components, doc_winnowing,
-#: ngram_jaccard_verified, approx_distinct, percentiles_approx) + new
-#: round-4 entries. Already-green r1-r3 rows follow in registration
-#: order; gated O(n²) demos stay last.
+#: round 4, "Next round" #2). Round-5 window = the 41 oracle-bearing
+#: round-4 additions never driver-checked + the 2 entries whose
+#: HUGEINT oracle hashes failed in r4 (now CAST ... AS BIGINT) + the 4
+#: never-ran rows-only plans + the 3 stalest refresh candidates
+#: = exactly 50. With this window, every oracle-bearing entry has a
+#: driver CORRECTNESS row from some round — provenance debt closes.
+#: Already-green rows follow in registration order; gated O(n²) demos
+#: stay last.
 _PRIORITY: tuple[str, ...] = (
-    # -- 21 oracle-bearing round-3 additions, never driver-checked --
-    "funnel_conversion",
-    "cohort_retention",
-    "sessionize_ids",
-    "vocab_prune",
-    "feature_scale",
-    "sample_weighted",
-    "anomaly_zscore",
-    "dup_ngram_frac",
-    "join_bloom_prefilter",
-    "monthly_gapfill",
-    "monthly_cumulative",
-    "mad_robust",
-    "mode_by_group",
-    "centroid_assign",
-    "key_skew_profile",
-    "mom_growth",
-    "chi_square_assoc",
-    "twap_by_user",
-    "ffill_timeseries",
-    "copurchase_pairs",
-    "monthly_active_users",
-    # -- 10 r2-green entries whose files changed in r3 (stale rows) --
-    "percentiles",
-    "describe_stats",
-    "outliers_iqr",
-    "null_profile",
-    "corr_matrix",
-    "histogram",
-    "topn_by_count",
-    "mode_value",
-    "pct_of_total",
-    "scalar_stats",
-    # -- rewritten this round: bucketed LSH form, no BNLJ --
-    "cosine_near_dup",
-    # -- scale-critical rows-only plans (driver records rows/err) --
-    "corpus_pipeline",
-    "pagerank_parts",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "near_dup_components",
-    "doc_winnowing",
-    "ngram_jaccard_verified",
-    "approx_distinct",
-    "percentiles_approx",
-    # -- round-4 additions (appended as they are registered) --
-    "pivot_wide",
+    # -- the 2 r4 hash failures, oracle SQL fixed (CAST AS BIGINT) --
     "entropy_by_group",
-    "winsorize_stats",
     "rare_label_collapse",
-    "target_encode",
-    "gopher_quality_signals",
-    "zipf_slope",
-    "histogram2d",
-    "triangle_count",
+    # -- highest-information oracle twins (VERDICT r4 stretch #8) --
+    "graph_reachability",
+    "pit_lookup",
+    # -- 39 more oracle-bearing round-4 additions, never checked --
+    "weighted_median",
+    "ab_test_ztest",
+    "skyline_pareto",
+    "unigram_logprob",
+    "ewma_smooth",
+    "grouped_split",
+    "snapshot_diff",
+    "subquery_correlated_qty",
+    "having_join_bigorders",
+    "antijoin_wealthy_inactive",
+    "join_spatial_grid",
+    "fuzzy_vocab_pairs",
+    "corpus_divergence",
+    "inverted_index",
+    "time_rollup_multigrain",
+    "intervals_merge",
+    "agg_incremental_merge",
+    "segment_overlap",
+    "sample_weighted_topk",
+    "embedding_quantize",
+    "sample_k_per_group",
+    "rolling_median",
+    "quality_gate_by_group",
+    "event_transitions",
+    "mixture_resample",
+    "unicode_normalize",
+    "boilerplate_ngram_frac",
+    "sliding_distinct_users",
+    "attribution_last_touch",
+    "rolling_zscore",
+    "session_path_topn",
+    "doc_length_band_filter",
+    "interarrival_stats",
+    "source_mix_report",
+    "ship_delay_priority",
+    "promo_revenue_share",
+    "supplier_revenue_concentration",
+    "pareto_revenue_share",
+    "repeat_purchase_rate",
+    # -- 4 rows-only plans never driver-ran (driver records rows/err) --
+    "bpe_merges",
+    "hll_distinct_rollup",
+    "image_near_dup",
+    "kcore_parts",
+    # -- 3 stalest refresh candidates (files changed since last green) --
+    "tfidf_topk",
+    "knn_cosine",
+    "join_inner_fk",
 )
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")

@@ -827,15 +827,23 @@ def pit_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column independently with last(ignorenulls), which would replace
     # the open interval's legitimately-NULL valid_to with the previous
     # interval's bound; a NULL inside a non-null struct survives.
+    # right_tiebreak="valid_to" (asc, NULLs last): when two state
+    # changes share one (user_id, ts), the zero-length interval
+    # [t, t) sorts before the live interval [t, NULL/later), and the
+    # backward carry takes the LAST — so the live interval is carried
+    # deterministically, matching the oracle's containment join, which
+    # can never match a zero-length interval (ADVICE.md r4 #3).
     looked = asof_join(
         facts,
         iv.select(
             "user_id",
             F.col("valid_from").alias("ts"),
+            "valid_to",
             F.struct("state", "valid_to").alias("sv"),
         ),
         key="user_id", left_ts="ts", right_ts="ts",
         right_value_cols=["sv"],
+        right_tiebreak="valid_to",
     )
     return (
         looked.where(
@@ -1210,6 +1218,29 @@ def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_5grams(toks: DataFrame) -> DataFrame:
+    """(doc_id, t: array<string>) → one row per word 5-gram (doc_id, g).
+
+    Guards short documents: for size(t) < 5, sequence(1, size-4) would
+    auto-step DOWNWARD ([1, 0, -1, ...]) and slice() throws on the
+    non-positive starts (pyspark 4.1 SparkRuntimeException). The
+    oracle's range(1, len-3) is empty there, so emit no grams — the
+    doc drops from the output on both sides (ADVICE.md r4 #1).
+    """
+    gram_positions = F.when(
+        F.size("t") >= 5, F.sequence(F.lit(1), F.size("t") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                gram_positions,
+                lambda i: F.array_join(F.slice("t", i, 5), " "),
+            )
+        ).alias("g"),
+    )
+
+
 @register(
     "boilerplate_ngram_frac",
     """
@@ -1243,15 +1274,7 @@ def unicode_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_ngram_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 4),
-                lambda i: F.array_join(F.slice("t", i, 5), " "),
-            )
-        ).alias("g"),
-    )
+    grams = _word_5grams(toks)
     df_counts = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("nd")
     )

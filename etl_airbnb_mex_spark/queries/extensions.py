@@ -3025,7 +3025,7 @@ def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, source, count(*) AS cnt
       FROM documents GROUP BY lang, source)
     SELECT lang,
-           sum(cnt) AS n,
+           CAST(sum(cnt) AS BIGINT) AS n,
            count(*) AS n_distinct,
            round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)
              AS entropy_nats
@@ -3083,7 +3083,7 @@ def winsorize_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand)
     SELECT CASE WHEN cnt >= 75 THEN p_brand ELSE 'OTHER' END AS p_brand,
-           sum(cnt) AS n
+           CAST(sum(cnt) AS BIGINT) AS n
     FROM c GROUP BY 1 ORDER BY n DESC, p_brand ASC
     """,
     "ML prep — rare-category collapse (labels with < 75 rows fold into "

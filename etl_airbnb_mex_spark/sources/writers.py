@@ -297,6 +297,22 @@ def write_zordered_parquet(
     )
 
 
+def _walk_parquet_files(root: str) -> list[str]:
+    """All ``*.parquet`` files under ``root``, recursively — partitioned
+    datasets nest files under ``key=value/`` directories, so a flat
+    top-level glob sees nothing there (ADVICE.md r4 #4)."""
+    import os
+
+    out: list[str] = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet")
+        )
+    return out
+
+
 def dataset_manifest(spark, path: str) -> DataFrame:
     """File-level manifest of a parquet dataset: one row per file with
     row count and byte size — the bookkeeping view behind compaction
@@ -306,14 +322,17 @@ def dataset_manifest(spark, path: str) -> DataFrame:
 
     Plan: one scan grouped by ``input_file_name`` (file-keyed hash
     agg); sizes come from the filesystem listing (driver-side, one
-    entry per file — metadata scale by definition).
+    entry per file — metadata scale by definition). The listing walks
+    RECURSIVELY so partitioned/nested layouts report real byte sizes
+    (a flat glob returned n_bytes=0 for them, ADVICE.md r4 #4);
+    spark part-file basenames embed a UUID, so basename keys are
+    collision-free across partition directories.
     """
-    import glob as _glob
     import os
 
     sizes = {
         os.path.basename(p): os.path.getsize(p)
-        for p in _glob.glob(os.path.join(path, "*.parquet"))
+        for p in _walk_parquet_files(path)
     }
     rows = (
         spark.read.parquet(path)
@@ -356,13 +375,11 @@ def compact_parquet(
     write_clustered_parquet instead — coalesce keeps row order only
     within glued groups.
     """
-    import glob as _glob
     import math
     import os
 
     total = sum(
-        os.path.getsize(p)
-        for p in _glob.glob(os.path.join(src_path, "*.parquet"))
+        os.path.getsize(p) for p in _walk_parquet_files(src_path)
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
     (
@@ -371,4 +388,4 @@ def compact_parquet(
         .write.mode("overwrite")
         .parquet(dst_path)
     )
-    return len(_glob.glob(os.path.join(dst_path, "*.parquet")))
+    return len(_walk_parquet_files(dst_path))

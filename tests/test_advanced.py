@@ -273,3 +273,60 @@ def test_bpe_train_matches_reference_implementation(spark):
             vocab[w] = out
     assert got == want
     assert len(got) >= 5  # the fixture genuinely learns merges
+
+
+def test_word_5grams_short_docs_emit_nothing(spark):
+    """ADVICE.md r4 #1: a document with < 5 tokens must emit zero grams
+    (the oracle's range(1, len-3) is empty) instead of crashing on
+    Spark's auto-descending sequence(1, size-4) + negative slice()."""
+    from etl_airbnb_mex_spark.queries.advanced import _word_5grams
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                 # 3 tokens → no grams
+            (2, "a b c d"),               # 4 tokens → no grams
+            (3, "a b c d e"),             # exactly 5 → one gram
+            (4, "a b c d e f"),           # 6 → two grams
+        ],
+        "doc_id int, text string",
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    out = _word_5grams(toks).orderBy("doc_id", "g").collect()
+    assert [(r["doc_id"], r["g"]) for r in out] == [
+        (3, "a b c d e"),
+        (4, "a b c d e"),
+        (4, "b c d e f"),
+    ]
+
+
+def test_asof_join_right_tiebreak_is_deterministic(spark):
+    """ADVICE.md r4 #3: multiple RIGHT rows at one (key, ts) must carry
+    a deterministic row. With right_tiebreak, backward carries the
+    tiebreak-MAXIMUM (NULLs last) and forward the tiebreak-MINIMUM."""
+    from etl_airbnb_mex_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25)], "k int, ts int"
+    )
+    # three right rows at ts=10 with tiebreaks 1, 2, NULL
+    right = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 10, 2, "b"), (1, 10, None, "c"),
+         (1, 20, 5, "d")],
+        "k int, ts int, tb int, v string",
+    )
+    back = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_value_cols=["v"], direction="backward",
+        right_tiebreak="tb",
+    ).orderBy("ts").collect()
+    # at ts=10: NULL tiebreak sorts last → "c" carried; ts=25 → "d"
+    assert [r["asof_v"] for r in back] == ["c", "d"]
+
+    fwd = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_value_cols=["v"], direction="forward",
+        right_tiebreak="tb",
+    ).orderBy("ts").collect()
+    # at ts=10: minimum tiebreak 1 → "a"; ts=25 → no later row → None
+    assert [r["asof_v"] for r in fwd] == ["a", None]

@@ -28,6 +28,45 @@ def test_query_matches_oracle(spark, sf_dir, con, name):
     assert result.ok, str(result)
 
 
+def test_bare_hugeint_oracle_fails_locally(spark, sf_dir, con):
+    """The CORRECTNESS_r04 failure class must be un-reintroducible:
+    DuckDB types a bare sum(BIGINT) as HUGEINT, which its pandas
+    conversion renders float64 while Spark emits int64 — the driver's
+    value-hash then mismatches on representation alone. The replica
+    now compares type-strictly through the same pandas conversions,
+    so a bare-HUGEINT oracle column must FAIL here (and a CAST ...
+    AS BIGINT one must pass)."""
+    from etl_airbnb_mex_spark.oracle import _canon, compare_query
+    from etl_airbnb_mex_spark.queries import QuerySpec, REGISTRY
+
+    def spark_side(sp, d):
+        from pyspark.sql import functions as F
+
+        from etl_airbnb_mex_spark.tables import load_table
+
+        return load_table(sp, d, "region").agg(
+            F.sum("r_regionkey").cast("long").alias("s")
+        )
+
+    bare = QuerySpec(
+        name="__hugeint_probe__", spark=spark_side,
+        oracle="SELECT sum(r_regionkey) AS s FROM region",
+    )
+    cast = QuerySpec(
+        name="__hugeint_probe__", spark=spark_side,
+        oracle="SELECT CAST(sum(r_regionkey) AS BIGINT) AS s FROM region",
+    )
+    try:
+        REGISTRY["__hugeint_probe__"] = bare
+        assert not compare_query(spark, sf_dir, "__hugeint_probe__", con).ok
+        REGISTRY["__hugeint_probe__"] = cast
+        assert compare_query(spark, sf_dir, "__hugeint_probe__", con).ok
+    finally:
+        del REGISTRY["__hugeint_probe__"]
+    # and the tag itself distinguishes the representations
+    assert _canon(555) != _canon(555.0)
+
+
 def test_entry_smoke(spark):
     import importlib.util
     import pathlib

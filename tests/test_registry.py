@@ -3,10 +3,10 @@
 The driver verifies only the FIRST 50 entries of ``queries()`` in
 iteration order (VERDICT.md r1/r2), so ordering is part of the
 contract: each round the window rotates to the entries with the weakest
-driver provenance. Round 4's window = the 21 never-checked round-3
-additions + 10 stale-r2 stats/topn/core entries + the rewritten
-cosine_near_dup + 9 scale-critical rows-only plans + round-4 additions
-(queries/__init__.py:_PRIORITY).
+driver provenance. Round 5's window = the 2 fixed r4 hash failures +
+the 41 never-checked round-4 oracle additions + the 4 never-ran
+rows-only plans + 3 stale refreshes (queries/__init__.py:_PRIORITY) —
+with it, every oracle-bearing entry has a driver row from some round.
 """
 
 from __future__ import annotations
@@ -25,6 +25,29 @@ from etl_airbnb_mex_spark.queries import (
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def test_readme_registry_counts_match():
+    """README quotes the registry size as evidence; hard-coded counts
+    drift when queries are added (VERDICT.md r4 "What's wrong" #3).
+    Fails until README matches len(REGISTRY) / the oracle count."""
+    import re
+
+    text = (_REPO / "README.md").read_text()
+    m = re.search(
+        r"registry: (\d+) entries.*?\((\d+) carry oracles\)",
+        text,
+        re.DOTALL,
+    )
+    assert m, "README registry-count sentence not found"
+    n_total = len(all_queries())  # forces _load()
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    assert int(m.group(1)) == n_total, (
+        f"README says {m.group(1)} entries, registry has {n_total}"
+    )
+    assert int(m.group(2)) == n_oracle, (
+        f"README says {m.group(2)} oracles, registry has {n_oracle}"
+    )
+
+
 def test_priority_ops_fill_driver_window_exactly():
     names = list(all_queries())
     assert len(_PRIORITY) <= 50
@@ -38,61 +61,9 @@ def test_priority_ops_fill_driver_window_exactly():
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
 _QUEUED_FOR_NEXT_ROTATION: set[str] = {
-    # round-4 batch 2 — registered after the 50-slot r4 window filled
-    "weighted_median",
-    "ab_test_ztest",
-    "skyline_pareto",
-    "unigram_logprob",
-    "ewma_smooth",
-    "grouped_split",
-    "snapshot_diff",
-    # round-4 batch 3 (queries/advanced.py) — subquery patterns,
-    # blocked similarity joins, corpus stats, multi-grain rollup
-    "subquery_correlated_qty",
-    "having_join_bigorders",
-    "antijoin_wealthy_inactive",
-    "join_spatial_grid",
-    "fuzzy_vocab_pairs",
-    "corpus_divergence",
-    "inverted_index",
-    "time_rollup_multigrain",
-    # round-4 batch 4 — interval algebra, mergeable agg state,
-    # audience overlap, weighted reservoir
-    "intervals_merge",
-    "agg_incremental_merge",
-    "segment_overlap",
-    "sample_weighted_topk",
-    # round-4 batch 5 — embedding quantization, per-group sampling,
-    # robust rolling statistics
-    "embedding_quantize",
-    "sample_k_per_group",
-    "rolling_median",
-    "quality_gate_by_group",
-    "pit_lookup",
-    "event_transitions",
-    "graph_reachability",
-    "mixture_resample",
-    # round-4 batch 6 — corpus canonicalization + boilerplate,
-    # sliding distinct
-    "unicode_normalize",
-    "boilerplate_ngram_frac",
-    "sliding_distinct_users",
-    # round-4 batch 7 — attribution, rolling anomaly, session paths
-    "attribution_last_touch",
-    "rolling_zscore",
-    "session_path_topn",
-    # round-4 batch 8 — length-band filter, inter-arrival percentiles,
-    # dataset-card source mix
-    "doc_length_band_filter",
-    "interarrival_stats",
-    "source_mix_report",
-    # round-4 batch 9 — TPC-H Q12/Q14/Q11-shape conditional aggs
-    "ship_delay_priority",
-    "promo_revenue_share",
-    "supplier_revenue_concentration",
-    # round-4 batch 10 — Pareto/ABC concentration, repeat-purchase KPI
-    "pareto_revenue_share",
-    "repeat_purchase_rate",
+    # (empty at the start of round 5: the entire round-4 backlog moved
+    # into the 50-slot _PRIORITY window. Round-5 additions registered
+    # after the window froze queue here.)
 }
 
 
