@@ -275,7 +275,17 @@ def main() -> None:
     # tail-capture buffer and truncated the artifact to "parsed": null
     # (VERDICT.md r3 "What's wrong" #2). The headline line must be the
     # LAST stdout line, compact, and small.
+    # Merge-update: keep keys other tools own (e.g. "isolated" —
+    # fresh-session per-query re-times from scripts/isolated_retime.py,
+    # which distinguish real regressions from in-bench session
+    # contention, VERDICT.md r4 "Next round" #4).
     sidecar = {"oracle": oracle_timings, "pipeline": pipeline}
+    try:
+        with open("BENCH_SIDECAR.json") as f:
+            prior = json.load(f)
+        sidecar = {**prior, **sidecar}
+    except (OSError, ValueError):
+        pass
     print("# sidecar: " + json.dumps(sidecar, separators=(",", ":")),
           file=sys.stderr)
     try:

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Isolated per-query re-timing — fresh JVM session per query.
+
+In-bench timings at sf0.1 swing 5-40 % with ambient sandbox contention
+even with min-of-2 (VERDICT.md r4 "Performance"); a query that looks
+1.3x slower in a 62-query session is usually paying for its neighbors,
+not for a plan regression. This script times ONE query (or a list) in a
+fresh process per query — same methodology as bench.py (warm pass 0,
+record min of passes 1-2, full toPandas materialization) — and merges
+the numbers into BENCH_SIDECAR.json under "isolated", next to the
+in-bench numbers, so the artifact distinguishes regressions from
+contention.
+
+Usage:
+    python scripts/isolated_retime.py <query> [...]   # child: one name
+    python scripts/isolated_retime.py --all-movers    # parent: spawns a
+        fresh process per mover query and merges results
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The six biggest round-4 bench movers (VERDICT.md r4 "Next round" #4).
+MOVERS = [
+    "corpus_pipeline",
+    "percentiles",
+    "vocab_prune",
+    "sample_weighted",
+    "sequence_pack",
+    "knn_cosine_lsh",
+]
+
+
+def time_one(name: str) -> float:
+    sys.path.insert(0, REPO)
+    from etl_airbnb_mex_spark.queries import REGISTRY, _load
+    from etl_airbnb_mex_spark.session import get_spark
+
+    _load()
+    spark = get_spark(app_name=f"isolated-{name}")
+    spec = REGISTRY[name]
+    best = float("inf")
+    for recorded in (False, True, True):
+        start = time.perf_counter()
+        spec.spark(spark, SF_DIR).toPandas()
+        elapsed = time.perf_counter() - start
+        if recorded:
+            best = min(best, elapsed)
+    spark.stop()
+    return round(best, 3)
+
+
+def merge_sidecar(results: dict[str, float]) -> None:
+    path = os.path.join(REPO, "BENCH_SIDECAR.json")
+    try:
+        with open(path) as f:
+            sidecar = json.load(f)
+    except (OSError, ValueError):
+        sidecar = {}
+    sidecar.setdefault("isolated", {}).update(results)
+    with open(path, "w") as f:
+        json.dump(sidecar, f, separators=(",", ":"))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args == ["--all-movers"]:
+        results: dict[str, float] = {}
+        for name in MOVERS:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            try:
+                results[name] = json.loads(line)[name]
+            except (ValueError, KeyError):
+                print(f"# {name}: FAILED\n{out.stderr[-2000:]}",
+                      file=sys.stderr)
+            else:
+                print(f"# {name}: {results[name]}s isolated",
+                      file=sys.stderr)
+        merge_sidecar(results)
+        print(json.dumps(results, separators=(",", ":")))
+        return
+    results = {name: time_one(name) for name in args}
+    print(json.dumps(results, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()

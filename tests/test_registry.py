@@ -179,6 +179,71 @@ def test_physical_plans_have_no_scale_killers(spark, sf_dir):
     assert "BroadcastHashJoin" in plans["join_broadcast_dim"]
 
 
+#: Queries whose optimized plan legitimately contains an UNPARTITIONED
+#: Window (Exchange SinglePartition → one task). Allowed ONLY when the
+#: window's input frame is already aggregated to metadata scale — each
+#: entry audited (VERDICT.md r4 stretch #7):
+#:   flagship_topn_pct / pct_of_total — pct-of-total over a grouped agg
+#:     (≤ dozens of rows: return flags / order priorities).
+#:   window_lag_delta / monthly_cumulative / mom_growth — lag & cumsum
+#:     over the MONTH axis (one row per month, bounded by calendar).
+#:   sequence_pack / pareto_revenue_share — two-level prefix sum: the
+#:     global window runs over BUCKET TOTALS (n/1000 rows or revenue
+#:     bands), never the row-level frame.
+#:   interval_occupancy — sweep-line running sum over DISTINCT boundary
+#:     days (aggregated day axis, not raw intervals).
+#:   key_skew_profile — top-k key frame (k rows).
+#:   zipf_slope — rank over the top_k-bounded vocabulary slice.
+_GLOBAL_WINDOW_OK: set[str] = {
+    "flagship_topn_pct",
+    "pct_of_total",
+    "window_lag_delta",
+    "sequence_pack",
+    "interval_occupancy",
+    "monthly_cumulative",
+    "key_skew_profile",
+    "mom_growth",
+    "zipf_slope",
+    "pareto_revenue_share",
+}
+
+
+def test_no_unaudited_single_partition_windows(spark, sf_dir):
+    """A Window with an empty partitionSpec funnels its whole input
+    through ONE task — the scale-killer class the CartesianProduct/BNLJ
+    guard cannot see (VERDICT.md r4 stretch #7). Walk every registered
+    query's optimized logical plan and flag unpartitioned Window nodes;
+    each must be on the audited metadata-scale allowlist. Asserting
+    set-equality keeps the allowlist honest in both directions."""
+
+    def unpartitioned_windows(df) -> bool:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() == "Window":
+                if node.partitionSpec().isEmpty():
+                    return True
+            ch = node.children()
+            stack.extend(ch.apply(i) for i in range(ch.length()))
+        return False
+
+    flagged = {
+        name
+        for name, fn in all_queries().items()
+        if unpartitioned_windows(fn(spark, sf_dir))
+    }
+    new = flagged - _GLOBAL_WINDOW_OK
+    stale = _GLOBAL_WINDOW_OK - flagged
+    assert not new, (
+        f"unaudited single-partition Window in: {sorted(new)} — "
+        "repartition the window or, if its input is provably "
+        "metadata-scale, audit it into _GLOBAL_WINDOW_OK"
+    )
+    assert not stale, (
+        f"allowlisted but no longer flagged (remove): {sorted(stale)}"
+    )
+
+
 def test_no_container_columns_in_oracle_surface():
     """The driver's pandas canonicalizer cannot hash list/dict cells
     (round-1 parse_array err). Static check: no registered oracle SQL
