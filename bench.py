@@ -12,10 +12,23 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _git_head() -> str:
+    """Short commit the measurement ran at (sidecar staleness stamp)."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
 
 #: Headline set: one per operator family (SURVEY.md §2) — scan+agg+window,
 #: joins incl. as-of, event windows, dedup (exact + minhash), text, vector.
@@ -275,15 +288,26 @@ def main() -> None:
     # tail-capture buffer and truncated the artifact to "parsed": null
     # (VERDICT.md r3 "What's wrong" #2). The headline line must be the
     # LAST stdout line, compact, and small.
-    # Merge-update: keep keys other tools own (e.g. "isolated" —
-    # fresh-session per-query re-times from scripts/isolated_retime.py,
-    # which distinguish real regressions from in-bench session
-    # contention, VERDICT.md r4 "Next round" #4).
-    sidecar = {"oracle": oracle_timings, "pipeline": pipeline}
+    # Merge-update, but WHITELISTED: preserve only the keys
+    # scripts/isolated_retime.py owns ("isolated"/"isolated_notes" —
+    # fresh-session per-query re-times that distinguish real
+    # regressions from in-bench session contention, VERDICT.md r4
+    # "Next round" #4). A blanket {**prior, **sidecar} would carry any
+    # stray key forever with no staleness signal (ADVICE.md r5 #3).
+    # Stamp the commit each artifact half was measured at so readers
+    # can tell when an isolated number predates a plan rewrite.
+    head = _git_head()
+    sidecar = {
+        "oracle": oracle_timings,
+        "pipeline": pipeline,
+        "bench_commit": head,
+    }
     try:
         with open("BENCH_SIDECAR.json") as f:
             prior = json.load(f)
-        sidecar = {**prior, **sidecar}
+        for key in ("isolated", "isolated_notes", "isolated_commit"):
+            if key in prior:
+                sidecar[key] = prior[key]
     except (OSError, ValueError):
         pass
     print("# sidecar: " + json.dumps(sidecar, separators=(",", ":")),

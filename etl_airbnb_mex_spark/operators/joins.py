@@ -258,10 +258,15 @@ def asof_join(
     window ordering (__ts, __side) alone does not decide which one is
     carried. Pass ``right_tiebreak`` (a right-side column, e.g. an
     event id or interval end) to order those ties ascending with NULLs
-    LAST — the carried row is then the tiebreak-MAXIMUM for
-    direction='backward' (``last`` over the frame) and the
-    tiebreak-MINIMUM for 'forward' (``first``). Without it, equal-ts
-    right duplicates carry an engine-dependent row (ADVICE.md r4 #3).
+    LAST. For direction='backward' (``last`` over the frame) the
+    carried row is then the tiebreak-maximum, **with a NULL tiebreak
+    winning over all non-NULL values** (NULLs sort last, and ``last``
+    takes the frame's final row — ``pit_lookup`` depends on exactly
+    this: an open interval, valid_to NULL, beats every closed one).
+    For 'forward' (``first``) it is the tiebreak-minimum, with a NULL
+    tiebreak losing to every non-NULL value. Without a tiebreak,
+    equal-ts right duplicates carry an engine-dependent row
+    (ADVICE.md r4 #3).
     """
     lcols = left.columns
     # Left rows are tagged __side=1. Right rows sort BEFORE left at equal

@@ -120,6 +120,27 @@ def compare_query(
                  "driver's pandas canonicalizer dies on these — emit "
                  "to_json(...)/array_join(...) strings instead"],
             )
+        # DATE outputs are asymmetric across the two pandas fetches:
+        # DuckDB DATE via .df() becomes a midnight Timestamp
+        # ('2020-01-03 00:00:00') while Spark DateType via toPandas
+        # stays datetime.date ('2020-01-03') — a date-valued oracle
+        # would false-fail on the driver with identical values
+        # (ADVICE.md r5 #2). Reject DateType up front; render dates
+        # with date_format(...) / strftime(...) strings, or cast to
+        # timestamp on BOTH sides (midnight timestamps compare fine).
+        bad_dates = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName() == "date"
+        ]
+        if bad_dates:
+            return CompareResult(
+                name, False, -1, -1,
+                [f"DateType output columns {bad_dates}: DuckDB DATE "
+                 "pandas-converts to midnight Timestamp while Spark "
+                 "DateType stays datetime.date — render as "
+                 "date_format(...) strings or cast both sides to "
+                 "timestamp"],
+            )
     # Driver-faithful fetch on the SPARK side too: the driver hashes
     # pandas frames, where a nullable bigint column becomes float64
     # (-30 → -30.0). window_lag_delta was driver-GREEN in r3 with that

@@ -22,6 +22,12 @@ Oracle design rules (each learned from a driver failure class):
      so a bare-HUGEINT column fails in pytest before it can reach
      the driver.
   4. No array/map/struct output columns — render to_json/array_join.
+  5. No DateType output columns: DuckDB DATE pandas-converts to a
+     midnight Timestamp ('2020-01-03 00:00:00') while Spark DateType
+     stays datetime.date ('2020-01-03') — identical values, driver
+     hash mismatch. Render dates as date_format/strftime strings or
+     cast BOTH sides to timestamp (the local gate rejects DateType
+     up front, oracle.py).
 """
 
 from __future__ import annotations

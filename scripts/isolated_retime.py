@@ -66,6 +66,18 @@ def merge_sidecar(results: dict[str, float]) -> None:
     except (OSError, ValueError):
         sidecar = {}
     sidecar.setdefault("isolated", {}).update(results)
+    # Staleness stamp: the commit these isolated numbers were measured
+    # at, so a later plan rewrite is visibly newer than the re-time
+    # (ADVICE.md r5 #3).
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, cwd=REPO,
+        ).stdout.strip()
+    except OSError:
+        head = ""
+    if head:
+        sidecar["isolated_commit"] = head
     with open(path, "w") as f:
         json.dump(sidecar, f, separators=(",", ":"))
 
@@ -79,7 +91,8 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), name],
                 capture_output=True, text=True, cwd=REPO,
             )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            lines = out.stdout.strip().splitlines()
+            line = lines[-1] if lines else ""
             try:
                 results[name] = json.loads(line)[name]
             except (ValueError, KeyError):
