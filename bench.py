@@ -96,6 +96,16 @@ HEADLINE = [
     "supplier_revenue_concentration",
     "pareto_revenue_share",
     "repeat_purchase_rate",
+    # round 6: TPC-H decision-support suite + LLM-prep batch
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    "lang_id_confusion",
+    "doc_chunk_overlap",
+    "semantic_dedup_clusters",
+    "basket_lift",
+    "gini_concentration",
 ]
 
 

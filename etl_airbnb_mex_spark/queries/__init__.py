@@ -163,4 +163,6 @@ def _load() -> None:
         from . import core  # noqa: F401
         from . import extensions  # noqa: F401
         from . import advanced  # noqa: F401
+        from . import decision  # noqa: F401
+        from . import llmprep  # noqa: F401
         _loaded = True

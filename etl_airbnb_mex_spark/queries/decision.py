@@ -1,0 +1,615 @@
+"""Round-6 decision-support suite: the remaining classic TPC-H query
+shapes not yet covered by rounds 2-5 (which did Q11/Q12/Q14/Q17/Q18/Q22
+— supplier_revenue_concentration, ship_delay_priority,
+promo_revenue_share, subquery_correlated_qty, having_join_bigorders,
+antijoin_wealthy_inactive).
+
+This file adds the Q1/Q3/Q5/Q7/Q8/Q10/Q13/Q16/Q19 shapes, adapted to
+the driver testdata's slimmed TPC-H schema (TESTDATA.md: no
+l_commitdate/l_receiptdate/o_comment/partsupp — predicates substitute
+available columns, and the part-supplier relation is the distinct
+(l_partkey, l_suppkey) projection of lineitem).
+
+The reference implements none of these (zero joins anywhere,
+SURVEY.md §2.4); they are engine capabilities mandated by the north
+star ("same query capabilities ... design every operator for 100 TB
+scale", BASELINE.json:6). Shared determinism rules (SURVEY.md §7.4):
+revenue sums run in DECIMAL (exact, shuffle-order-independent — the
+per-row product CAST(price AS DECIMAL(18,2)) * (1 - CAST(disc AS
+DECIMAL(18,2))) is exact decimal arithmetic on both engines), averages
+derive from exact decimal sums with ONE final double division, ratios
+quantize to integer PPM via floor(x+0.5), dates render as strings, and
+every ORDER BY carries a full deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_price() -> F.Column:
+    """Exact decimal l_extendedprice * (1 - l_discount)."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1: the pricing-summary scan-heavy aggregate — one pass, "
+    "partial+final hash agg over a 6-value grouping key, filter pushed "
+    "to the parquet scan. All sums in DECIMAL (exact decimal products, "
+    "shuffle-order-independent); the averages derive from those exact "
+    "sums with a single final double division (never avg() over "
+    "doubles, whose accumulation order differs per engine).",
+)
+def q1_pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("__sq"),
+            F.sum(_dec("l_extendedprice")).alias("__sb"),
+            F.sum(_disc_price()).alias("__sd"),
+            F.sum(_disc_price() * (F.lit(1) + _dec("l_tax"))).alias("__sc"),
+            F.sum(_dec("l_discount")).alias("__sdisc"),
+            n.cast("bigint").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__sq").cast("bigint").alias("sum_qty"),
+            F.col("__sb").cast("double").alias("sum_base_price"),
+            F.col("__sd").cast("double").alias("sum_disc_price"),
+            F.col("__sc").cast("double").alias("sum_charge"),
+            F.round(
+                F.col("__sq").cast("double") / F.col("count_order"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.col("__sb").cast("double") / F.col("count_order"), 6
+            ).alias("avg_price"),
+            F.round(
+                F.col("__sdisc").cast("double") / F.col("count_order"), 6
+            ).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3: top-10 unshipped orders by pending revenue for one "
+    "market segment. The segment filter prunes customer BEFORE its "
+    "join (AQE broadcasts the ~1/5 survivor set against orders); the "
+    "date filters push into both parquet scans; the final ranking is "
+    "TakeOrderedAndProject (top-k, no global sort). Revenue sums in "
+    "DECIMAL; orderdate renders as a string (oracle rule #5).",
+)
+def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    "TPC-H Q5: revenue by nation where customer and supplier share the "
+    "nation, restricted to one region-year. Six-way join: the "
+    "nation-region dim chain broadcasts explicitly (region prunes "
+    "nation to 5 rows BEFORE it reaches the fact side); "
+    "customer-orders-lineitem shuffle on their keys; the "
+    "c_nationkey = s_nationkey locality predicate rides the supplier "
+    "equi-join as a second conjunct, not a post-filter. At cluster "
+    "scale supplier grows with SF, so it is NOT force-broadcast — AQE "
+    "decides from runtime stats.",
+)
+def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dim = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           strftime(l_shipdate, '%Y') AS ship_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY cn.n_name, sn.n_name, strftime(l_shipdate, '%Y')
+    ORDER BY cust_nation, supp_nation, ship_year
+    """,
+    "TPC-H Q7: bilateral trade volume between two nations by ship "
+    "year. The nation dim joins TWICE under different roles (customer "
+    "side / supplier side) — both broadcast; the disjunctive "
+    "nation-pair predicate applies after both lookups (Catalyst "
+    "cannot split an OR across two join inputs, but each broadcast "
+    "join stays an equi-join and the OR is a cheap in-row residual).",
+)
+def q7_volume_shipping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("__cnk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    sn = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("__snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    pair_ok = (
+        (F.col("cust_nation") == "NATION_1")
+        & (F.col("supp_nation") == "NATION_2")
+    ) | (
+        (F.col("cust_nation") == "NATION_2")
+        & (F.col("supp_nation") == "NATION_1")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .join(cn, F.col("c_nationkey") == F.col("__cnk"))
+        .join(sn, F.col("s_nationkey") == F.col("__snk"))
+        .filter(pair_ok)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH v AS (
+      SELECT strftime(o_orderdate, '%Y') AS order_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             sn.n_name AS supp_nation
+      FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'AMERICA')
+    SELECT order_year,
+           CAST(floor(1000000.0
+                      * CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3'
+                                               THEN volume END), 0)
+                             AS DOUBLE)
+                      / CAST(sum(volume) AS DOUBLE) + 0.5) AS BIGINT)
+             AS share_ppm
+    FROM v GROUP BY order_year ORDER BY order_year
+    """,
+    "TPC-H Q8: NATION_3 suppliers' share of the AMERICA customer "
+    "market by order year — conditional-vs-total in ONE agg pass over "
+    "a six-way join (nation joins twice: once filtering the customer "
+    "region, once labeling the supplier side; both broadcast). "
+    "Volumes sum in DECIMAL and only the final share drops to double, "
+    "quantized to integer PPM.",
+)
+def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    cdim = F.broadcast(
+        nat.join(r, nat["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("__cnk")
+        )
+    )
+    sdim = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("__snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    v = (
+        c.join(cdim, F.col("c_nationkey") == F.col("__cnk"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sdim, F.col("s_nationkey") == F.col("__snk"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+    return (
+        v.groupBy("order_year")
+        .agg(
+            F.sum(nat3).alias("__nat"),
+            F.sum("volume").alias("__tot"),
+        )
+        .select(
+            "order_year",
+            F.floor(
+                1_000_000.0
+                * F.coalesce(F.col("__nat"), F.lit(0)).cast("double")
+                / F.col("__tot").cast("double")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 2)
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10: top-20 customers by revenue lost to returns in one "
+    "quarter. The returnflag + quarter predicates push into both "
+    "parquet scans (the 'R' third of lineitem is all that shuffles); "
+    "nation broadcasts; the ranking is TakeOrderedAndProject. "
+    "c_acctbal is grouped pre-rounded so the grouping key is "
+    "cross-engine identical.",
+)
+def q10_returned_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "TPC-H Q13: distribution of orders-per-customer including "
+    "zero-order customers — LEFT OUTER join with the priority "
+    "predicate INSIDE the join condition (pushing it below the join "
+    "would turn excluded orders into matches lost vs kept; Spark "
+    "side filters the right input before the join, which is the "
+    "equivalent rewrite for a right-side-only predicate), then the "
+    "two-level aggregation: per-customer count → count-of-counts. "
+    "count(o_orderkey) counts non-null matches only, so customers "
+    "with no surviving order land in the c_count=0 bucket.",
+)
+def q13_customer_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_parts_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+    "TPC-H Q16: supplier counts per part attribute triple, excluding "
+    "a supplier blocklist. The part-supplier relation is the DISTINCT "
+    "(l_partkey, l_suppkey) projection of lineitem (the schema has no "
+    "partsupp); the blocklist is a LEFT ANTI join (NOT IN with "
+    "non-nullable keys ≡ anti-join — s_suppkey is a key, so the "
+    "NULL-semantics trap of NOT IN does not bite); the part filter "
+    "broadcasts. count(DISTINCT) runs per narrow group (bounded by "
+    "suppliers-per-part-triple), not globally.",
+)
+def q16_parts_supplier_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19: revenue under an OR of three conjunct brackets that "
+    "mix columns from BOTH sides. Catalyst still extracts the "
+    "p_partkey = l_partkey equi-key (the plan is a hash join, never "
+    "BNLJ) and applies the disjunction as an in-row residual; the "
+    "single-side implications (brand IN ..., size <= 15, quantity "
+    "<= 30) are derivable pushdowns, and the part side broadcasts. "
+    "Quantity bounds are integer-valued doubles, so BETWEEN cuts "
+    "identically cross-engine.",
+)
+def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+        )
+    )

@@ -1,0 +1,638 @@
+"""Round-6 LLM-training-data-pipeline extensions (BASELINE.json:6
+mandate: dedup / similarity / text analysis as first-class engine
+components): heuristic language identification, RAG-style document
+chunking, SemDeDup-style within-cluster semantic dedup, plus the
+analytics staples next to them (basket lift, Gini concentration, RFM
+segmentation, two-sample KS drift).
+
+Shared determinism rules as queries/__init__ docstring; cosines follow
+knn_cosine's convention (double math, round 6dp before any cut).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Language ID — stopword-hit scoring (the n-gram-free heuristic tier).
+# ---------------------------------------------------------------------------
+
+#: Small function-word lists per language. Real corpora would use
+#: char-n-gram profiles (fastText-style); the engine-relevant part is
+#: identical either way: a pure in-row scoring expression, no shuffle,
+#: no UDF. Lists are sorted so both engines build identical literals.
+_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("das", "der", "die", "ist", "mit", "nicht", "und", "von"),
+    "en": ("a", "and", "is", "of", "the", "to", "was", "with"),
+    "es": ("de", "el", "en", "la", "los", "por", "que", "una"),
+    "fr": ("dans", "des", "est", "et", "le", "les", "que", "une"),
+}
+
+
+@register(
+    "lang_id_confusion",
+    """
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> list_contains(['das','der','die','ist','mit','nicht','und','von'], t))) AS s_de,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> list_contains(['a','and','is','of','the','to','was','with'], t))) AS s_en,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> list_contains(['de','el','en','la','los','por','que','una'], t))) AS s_es,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 t -> list_contains(['dans','des','est','et','le','les','que','une'], t))) AS s_fr
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+                  THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                  THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM scored)
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    "§2.11 text analysis — heuristic language ID: per-language "
+    "function-word hit counts as a pure in-row array expression "
+    "(split → filter → size; no explode, no UDF), argmax with a "
+    "deterministic first-wins tiebreak in fixed language order "
+    "(de,en,es,fr — ties are common on short texts, so the tiebreak "
+    "IS the semantics), zero hits → 'und'. Output is the "
+    "(actual, predicted) confusion matrix — the honest shape for the "
+    "synthetic corpus, whose text is English-ish for every lang "
+    "label. One hash agg over ≤ |langs|·5 keys.",
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.expr(
+            "size(filter(split(lower(text), '\\\\s+'), "
+            f"t -> array_contains(array({lits}), t)))"
+        )
+        for lang, words in _STOPWORDS.items()
+        if (lits := ", ".join(f"'{w}'" for w in words))
+    }
+    pred = (
+        F.when(
+            (scores["de"] == 0) & (scores["en"] == 0)
+            & (scores["es"] == 0) & (scores["fr"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (scores["de"] >= scores["en"])
+            & (scores["de"] >= scores["es"])
+            & (scores["de"] >= scores["fr"]),
+            F.lit("de"),
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking: fixed token windows with overlap.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (W - S = 16 tokens of overlap)
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+             len(string_split_regex(text, '\\s+')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, n, CAST(i AS BIGINT) AS chunk_idx,
+             list_slice(toks, i * {_CHUNK_S} + 1,
+                        i * {_CHUNK_S} + {_CHUNK_W}) AS chunk
+      FROM t, unnest(range(0,
+             1 + CAST(ceil(greatest(n - {_CHUNK_W}, 0)
+                           / {_CHUNK_S}.0) AS BIGINT))) AS u(i))
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "§2.11 — RAG/pretraining document chunking: fixed 64-token "
+    "windows at stride 48 (16-token overlap), last chunk ragged, "
+    "every token covered (starts run to ceil((n-W)/S)). Pure in-row "
+    "fan-out: posexplode of a sequence() of chunk starts + slice() — "
+    "the explode factor is ~n/S per document, bounded by document "
+    "length, never corpus-shaped. Chunk text compares as md5 (same "
+    "digest builtin both engines) so the oracle hashes content "
+    "without shipping it.",
+)
+def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(_CHUNK_W), F.lit(0)) / F.lit(float(_CHUNK_S))
+        ).cast("int")
+    )
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("idxs"),
+    )
+    c = t.select(
+        "doc_id",
+        F.explode("idxs").alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_idx"),
+        F.slice(
+            F.col("toks"), F.col("i") * _CHUNK_S + 1, _CHUNK_W
+        ).alias("chunk"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: within-cluster cosine pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_clusters",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    pairs AS (
+      SELECT a.label, a.vec_id AS ka, b.vec_id AS kb
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+    removed AS (SELECT DISTINCT label, kb FROM pairs)
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(coalesce(max(p.n_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(max(r.n_removed), 0) AS BIGINT) AS n_removed
+    FROM e
+    LEFT JOIN (SELECT label, count(*) AS n_pairs
+               FROM pairs GROUP BY label) p ON e.label = p.label
+    LEFT JOIN (SELECT label, count(*) AS n_removed
+               FROM removed GROUP BY label) r ON e.label = r.label
+    GROUP BY e.label ORDER BY e.label
+    """,
+    "§2.11 similarity — SemDeDup-shaped semantic dedup: embeddings "
+    "arrive pre-clustered (the label column = the k-means coarse "
+    "assignment, exactly what centroid_assign/ivf_build produce), "
+    "candidate pairs form ONLY within a cluster (label equi-join with "
+    "vec_id < vec_id tie-order — fan-out bounded by cluster size², "
+    "never corpus²), a pair is duplicate at rounded cosine ≥ 0.4, and "
+    "the keep-lowest-id rule removes the higher id of each pair. "
+    "Output: per-cluster member/pair/removed counts. Cosines in "
+    "double, rounded 6dp before the cut (knn_cosine convention).",
+)
+def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("label"),
+        F.col("vec_id").alias("ka"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("label").alias("__lb"),
+        F.col("vec_id").alias("kb"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["label"] == b["__lb"]) & (F.col("ka") < F.col("kb")),
+        )
+        .filter(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4
+        )
+        .select("label", "ka", "kb")
+    )
+    pair_counts = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    removed_counts = (
+        pairs.select("label", "kb")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .join(F.broadcast(pair_counts), "label", "left")
+        .join(F.broadcast(removed_counts), "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift (extends copurchase_pairs with the association
+# strength normalization).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_lift",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_pair
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(floor(1000000.0 * n_pair * n_orders
+                      / (ia.n_item * ib.n_item) + 0.5) AS BIGINT)
+             AS lift_ppm
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_pair DESC, part_a, part_b LIMIT 15
+    """,
+    "Market-basket association lift: P(A,B)/(P(A)·P(B)) over distinct "
+    "(order, part) baskets — the normalization that separates 'bought "
+    "together because both are popular' from real affinity. Same "
+    "bounded self-join as copurchase_pairs (fan-out ≤ items-per-"
+    "order², both sides deduplicated first); item frequencies join "
+    "back BROADCAST (item axis ≪ pair axis); the order count is a "
+    "1-row broadcast scalar. All counts integer-exact; lift quantizes "
+    "to PPM (products stay < 2^53, so the double math is exact).",
+)
+def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_partkey").alias("part_a"),
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("__ok2"),
+        F.col("l_partkey").alias("part_b"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("__ok") == F.col("__ok2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("__pa"), F.col("n_item").alias("__na")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("__pb"), F.col("n_item").alias("__nb")
+    )
+    return (
+        pair.join(F.broadcast(ia), F.col("part_a") == F.col("__pa"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("__pb"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.floor(
+                1_000_000.0
+                * F.col("n_pair")
+                * F.col("n_orders")
+                / (F.col("__na") * F.col("__nb"))
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.desc("n_pair"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration — distributed global rank (sort-rank pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_concentration",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS total
+      FROM c)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS DOUBLE) AS total_rev,
+           round(CAST(sum((2 * rk - max_n - 1) * rev) AS DOUBLE)
+                 / (max_n * CAST(max(total) AS DOUBLE)), 6) AS gini
+    FROM (SELECT rev, rk, n, total, max(n) OVER () AS max_n FROM r)
+    GROUP BY max_n
+    """,
+    "Gini coefficient of customer revenue concentration — the "
+    "inequality KPI next to pareto_revenue_share. Needs a GLOBAL "
+    "dense rank; the oracle states it with row_number() over the full "
+    "sort, the engine computes it DISTRIBUTED with the sort-rank "
+    "pattern (exact_percentiles_sortrank's shape): repartitionByRange "
+    "on (rev, custkey) → per-partition row_number + a 32-row "
+    "partition-count collect → global rank = driver-prefix offset + "
+    "local rank, then ONE exact-decimal aggregate of "
+    "(2r - n - 1)·rev. Never a single-partition window over the "
+    "customer axis. Ranks tie-break on custkey so both engines order "
+    "identically.",
+)
+def gini_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .repartitionByRange(spark_parts, "rev", "o_custkey")
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in c.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # pid materializes as a column in a Project BELOW the window's
+    # exchange (spark_partition_id() is nondeterministic, so Catalyst
+    # cannot move it above the shuffle) — the sortrank pattern; using
+    # spark_partition_id() directly in the post-window projection
+    # would read the POST-shuffle task id.
+    part = c.withColumn("pid", F.spark_partition_id())
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        off_expr = F.when(
+            F.col("pid") == pid, F.lit(off)
+        ).otherwise(off_expr)
+    w = Window.partitionBy("pid").orderBy("rev", "o_custkey")
+    ranked = part.select(
+        "rev",
+        (off_expr + F.row_number().over(w)).cast("long").alias("rk"),
+    )
+    return ranked.agg(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_rev"),
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("rk") - F.lit(n) - F.lit(1))
+                * F.col("rev")
+            ).cast("double")
+            / (F.lit(n) * F.sum("rev").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — quartile boundaries broadcast, in-row scoring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       TIMESTAMP '2001-09-01') AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1),
+    q AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM rfm)
+    SELECT CASE WHEN recency_days <= r_med THEN 1 ELSE 0 END AS r_hi,
+           CASE WHEN frequency > f_med THEN 1 ELSE 0 END AS f_hi,
+           CASE WHEN monetary > m_med THEN 1 ELSE 0 END AS m_hi,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(floor(CAST(sum(CAST(monetary AS DECIMAL(18,2)))
+                           AS DOUBLE) * 100 + 0.5) AS BIGINT)
+             AS monetary_cents
+    FROM rfm, q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "RFM customer segmentation: recency / frequency / monetary per "
+    "customer (one orders hash agg), median split per dimension into "
+    "8 cells. The three medians come from ONE 1-row percentile "
+    "aggregate broadcast back as a scalar crossJoin; scoring is then "
+    "a pure in-row comparison — no window, no second shuffle, no "
+    "per-customer rank. Cuts compare against interpolated medians "
+    "computed identically (quantile_cont ≡ percentile) on integer-"
+    "valued inputs and exact decimal monetary sums; monetary renders "
+    "in integer cents.",
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    q = rfm.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            F.when(F.col("recency_days") <= F.col("r_med"), 1)
+            .otherwise(0)
+            .alias("r_hi"),
+            F.when(F.col("frequency") > F.col("f_med"), 1)
+            .otherwise(0)
+            .alias("f_hi"),
+            F.when(F.col("monetary") > F.col("m_med"), 1)
+            .otherwise(0)
+            .alias("m_hi"),
+            "monetary",
+        )
+        .groupBy("r_hi", "f_hi", "m_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.floor(F.sum(F.col("monetary").cast("decimal(18,2)"))
+                    .cast("double") * 100 + 0.5)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .orderBy("r_hi", "f_hi", "m_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift over binned distributions.
+# ---------------------------------------------------------------------------
+
+_KS_BINS = 200
+
+
+@register(
+    "ks_drift_binned",
+    f"""
+    WITH lim AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    binned AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_KS_BINS}))
+                        AS BIGINT), {_KS_BINS - 1}) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS c2
+      FROM events, lim
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    agg AS (
+      SELECT bin, sum(c1) AS n1, sum(c2) AS n2
+      FROM binned GROUP BY bin),
+    cum AS (
+      SELECT sum(n1) OVER (ORDER BY bin) AS cum1,
+             sum(n2) OVER (ORDER BY bin) AS cum2,
+             sum(n1) OVER () AS t1, sum(n2) OVER () AS t2
+      FROM agg)
+    SELECT CAST(max(t1) AS BIGINT) AS n_click,
+           CAST(max(t2) AS BIGINT) AS n_error,
+           CAST(floor(1000000.0 * CAST(max(abs(cum1 * t2 - cum2 * t1))
+                                       AS DOUBLE)
+                      / (CAST(max(t1) AS DOUBLE) * max(t2)) + 0.5)
+                AS BIGINT) AS ks_ppm
+    FROM cum
+    """,
+    "Two-sample Kolmogorov-Smirnov drift statistic between the "
+    "click-value and error-value distributions — the distribution-"
+    "shift monitor next to corpus_divergence (which compares token "
+    "mixes; this compares numeric marginals). Values bin to a fixed "
+    "200-bin grid from the global 1-row min/max (broadcast scalar), "
+    "one (bin, side) hash agg, then the CDF race runs over the "
+    "AGGREGATED ≤200-row bin axis (audited metadata-scale window). "
+    "The sup|F1-F2| comparison uses the INTEGER cross-product "
+    "|cum1·n2 - cum2·n1| so the max is exact rational — no float "
+    "CDFs — and only the final ratio quantizes to PPM.",
+)
+def ks_drift_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+        & F.col("value").isNotNull()
+    ).select("event_type", "value")
+    lim = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _KS_BINS
+    binned = ev.crossJoin(F.broadcast(lim)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(_KS_BINS - 1),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("c2"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = agg.select(
+        F.sum("n1").over(w_cum).alias("cum1"),
+        F.sum("n2").over(w_cum).alias("cum2"),
+    )
+    tot = agg.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t1").cast("bigint").alias("n_click"),
+            F.max("t2").cast("bigint").alias("n_error"),
+            F.floor(
+                1_000_000.0
+                * F.max(
+                    F.abs(
+                        F.col("cum1") * F.col("t2")
+                        - F.col("cum2") * F.col("t1")
+                    )
+                ).cast("double")
+                / (
+                    F.max("t1").cast("double")
+                    * F.max("t2").cast("double")
+                )
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("ks_ppm"),
+        )
+    )

@@ -61,9 +61,24 @@ def test_priority_ops_fill_driver_window_exactly():
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
 _QUEUED_FOR_NEXT_ROTATION: set[str] = {
-    # (empty at the start of round 5: the entire round-4 backlog moved
-    # into the 50-slot _PRIORITY window. Round-5 additions registered
-    # after the window froze queue here.)
+    # Round-6 additions, queued until the round-6 window rotation
+    # (moved into _PRIORITY before the round ends).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q16_parts_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "lang_id_confusion",
+    "doc_chunk_overlap",
+    "semantic_dedup_clusters",
+    "basket_lift",
+    "gini_concentration",
+    "rfm_segments",
+    "ks_drift_binned",
 }
 
 
@@ -138,6 +153,12 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r4 batch 10: 1-row (total_rev, n_total) broadcast onto the
     # banded prefix-sum frame
     "pareto_revenue_share",
+    # r6: 1-row scalar broadcasts — order count (basket_lift), median
+    # triple (rfm_segments), min/max limits + side totals
+    # (ks_drift_binned)
+    "basket_lift",
+    "rfm_segments",
+    "ks_drift_binned",
 }
 
 
@@ -195,6 +216,7 @@ def test_physical_plans_have_no_scale_killers(spark, sf_dir):
 #:   key_skew_profile — top-k key frame (k rows).
 #:   zipf_slope — rank over the top_k-bounded vocabulary slice.
 _GLOBAL_WINDOW_OK: set[str] = {
+    "ks_drift_binned",  # CDF race over the AGGREGATED ≤200-row bin axis
     "flagship_topn_pct",
     "pct_of_total",
     "window_lag_delta",
