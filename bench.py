@@ -106,6 +106,9 @@ HEADLINE = [
     "semantic_dedup_clusters",
     "basket_lift",
     "gini_concentration",
+    "q4_order_priority",
+    "q9_product_margin",
+    "q21_waiting_suppliers",
 ]
 
 

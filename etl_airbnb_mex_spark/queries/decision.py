@@ -4,11 +4,14 @@ shapes not yet covered by rounds 2-5 (which did Q11/Q12/Q14/Q17/Q18/Q22
 promo_revenue_share, subquery_correlated_qty, having_join_bigorders,
 antijoin_wealthy_inactive).
 
-This file adds the Q1/Q3/Q5/Q7/Q8/Q10/Q13/Q16/Q19 shapes, adapted to
-the driver testdata's slimmed TPC-H schema (TESTDATA.md: no
-l_commitdate/l_receiptdate/o_comment/partsupp — predicates substitute
-available columns, and the part-supplier relation is the distinct
-(l_partkey, l_suppkey) projection of lineitem).
+This file adds the Q1/Q3/Q5/Q7/Q8/Q10/Q13/Q16/Q19 shapes (batch 1)
+and Q2/Q4/Q6/Q9/Q15/Q20/Q21 (batch 2) — with which the engine covers
+all 22 classic TPC-H query patterns — adapted to the driver
+testdata's slimmed TPC-H schema (TESTDATA.md: no
+l_commitdate/l_receiptdate/o_comment/partsupp — lateness becomes
+ship-vs-order lag, costs derive from observed unit prices, and the
+part-supplier relation is the distinct (l_partkey, l_suppkey)
+projection of lineitem).
 
 The reference implements none of these (zero joins anywhere,
 SURVEY.md §2.4); they are engine capabilities mandated by the north
@@ -612,4 +615,423 @@ def q19_disjunctive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
             F.sum(_disc_price()).cast("double").alias("revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: the last classic shapes — with these the engine
+# covers all 22 TPC-H query patterns (Q2/Q4/Q6/Q9/Q15/Q20/Q21 here;
+# see the file docstring for the round-2..6 mapping of the rest).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pc AS (
+      SELECT ps.l_partkey, ps.cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+    m AS (SELECT l_partkey, min(cost) AS min_cost FROM pc GROUP BY 1)
+    SELECT p_partkey, s_name, n_name,
+           round(s_acctbal, 2) AS acctbal,
+           round(min_cost, 6) AS unit_cost
+    FROM pc
+    JOIN m ON pc.l_partkey = m.l_partkey AND pc.cost = m.min_cost
+    JOIN part ON p_partkey = pc.l_partkey
+    WHERE p_size = 15
+    ORDER BY acctbal DESC, p_partkey, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q2 shape: cheapest EUROPE supplier per size-15 part. The "
+    "part-supplier cost relation derives from lineitem (min observed "
+    "unit price per (part, supplier) — the schema has no partsupp); "
+    "the min-cost-per-part aggregate joins BACK on cost equality — "
+    "safe on doubles because min() SELECTS a value (no accumulation), "
+    "so both engines compare the identical IEEE division result. "
+    "Region chain broadcasts; final ranking is TakeOrderedAndProject.",
+)
+def q2_min_cost_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("cost")
+        )
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+                "n_nationkey", "n_name"
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = ps.join(eu, ps["l_suppkey"] == eu["s_suppkey"]).select(
+        "l_partkey", "cost", "s_name", "s_acctbal", "n_name"
+    )
+    m = pc.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    return (
+        pc.join(
+            m,
+            (pc["l_partkey"] == m["__pk"])
+            & (pc["cost"] == m["min_cost"]),
+        )
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round("min_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "p_partkey", "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4: orders in one quarter with at least one lineitem "
+    "shipped more than 90 days after order placement (the late-"
+    "delivery EXISTS; the schema has no commitdate, so lateness is "
+    "ship-vs-order lag). Spark states it as a LEFT SEMI join whose "
+    "condition references BOTH sides (orderkey equality + the date "
+    "comparison) — the equi-key still extracts, so the semi-join "
+    "shuffles on orderkey with the lag predicate as residual; "
+    "EXISTS-dedup comes free from semi-join semantics.",
+)
+def q4_order_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6: the pure filter-aggregate forecast — revenue change "
+    "if mid-range discounts were eliminated. Zero joins; every "
+    "predicate (date range, discount band, quantity cap) pushes into "
+    "the parquet scan, and the whole query is one partial+final agg "
+    "over the surviving rows. The discount BETWEEN compares stored "
+    "doubles against exact literals — identical cross-engine.",
+)
+def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q9_product_margin",
+    """
+    SELECT n_name, strftime(o_orderdate, '%Y') AS order_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS margin
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, strftime(o_orderdate, '%Y')
+    ORDER BY n_name, order_year
+    """,
+    "TPC-H Q9 shape: margin vs list price of ECONOMY products by "
+    "supplier nation and order year (the schema has no "
+    "ps_supplycost, so cost = quantity × p_retailprice). The part "
+    "filter broadcasts and prunes lineitem FIRST (ECONOMY ≈ 1/6 of "
+    "parts); orders joins on orderkey only for the year; the margin "
+    "expression is pure decimal arithmetic summed exactly, dropped "
+    "to double once per output row.",
+)
+def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+    )
+    margin = _disc_price() - _dec("l_quantity") * _dec("p_retailprice")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(F.sum(margin).cast("double").alias("margin"))
+        .orderBy("n_name", "order_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH sr AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2))))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN sr ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM sr)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15: the top supplier(s) by quarterly revenue — the "
+    "create-view + scalar-max shape. The revenue aggregate computes "
+    "ONCE and feeds both the max (a 1-row broadcast scalar onto the "
+    "same frame — localCheckpoint'd so the lineitem scan does not "
+    "re-execute per branch) and the equality cut; revenue stays "
+    "DECIMAL through the comparison, so 'equals the max' is exact, "
+    "and ties return every maximal supplier as the spec demands.",
+)
+def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sr = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("total_rev"))
+        .localCheckpoint(eager=False)
+    )
+    mx = sr.agg(F.max("total_rev").alias("__mx"))
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name"
+        )
+    )
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    """
+    WITH pq AS (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#2'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 60)
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM pq)
+      AND s_nationkey < 10
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 shape: suppliers who moved more than 60 units of "
+    "some Brand#2 part (the schema has no ps_availqty, so the "
+    "excess-stock threshold becomes a shipped-quantity threshold). "
+    "The nested-IN chain — part filter → (supplier, part) quantity "
+    "agg with HAVING → supplier semi-join — keeps each stage "
+    "aggregated before the next join; the IN is a LEFT SEMI join on "
+    "the DISTINCT surviving suppkeys. Quantities sum in DECIMAL so "
+    "the threshold cut is exact.",
+)
+def q20_excess_shipments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    pq = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .join(
+            pq, F.col("s_suppkey") == pq["l_suppkey"], "left_semi"
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    solo AS (
+      SELECT l_orderkey FROM l
+      GROUP BY 1 HAVING count(*) > 1 AND sum(late) = 1)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l
+    JOIN solo ON l.l_orderkey = solo.l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape: suppliers who were the SOLE late supplier on a "
+    "multi-supplier order (lateness = shipped >90 days after order "
+    "placement; no receiptdate in the schema). The classic "
+    "EXISTS + NOT-EXISTS pair collapses into ONE (order, supplier) "
+    "aggregate: per-order supplier count >1 encodes the EXISTS "
+    "(another supplier), per-order late-sum =1 encodes the "
+    "NOT-EXISTS (no OTHER late supplier, given this one is late) — "
+    "two lineitem self-probes become a single shuffle on orderkey "
+    "plus a semi-scale join of the qualifying order list.",
+)
+def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    l = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+        .localCheckpoint(eager=False)
+    )
+    solo = (
+        l.groupBy(F.col("l_orderkey").alias("__ok"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("late").alias("__nlate"),
+        )
+        .filter((F.col("__n") > 1) & (F.col("__nlate") == 1))
+        .select("__ok")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name"
+        )
+    )
+    return (
+        l.filter(F.col("late") == 1)
+        .join(solo, F.col("l_orderkey") == F.col("__ok"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

@@ -211,3 +211,71 @@ def test_ks_identical_distribution_is_zero(spark, sf_dir):
     c2 = counts["b"].cumsum()
     t1, t2 = counts["a"].sum(), counts["b"].sum()
     assert max(abs(c1 * t2 - c2 * t1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# Decision-support batch 2 (Q2/Q4/Q6/Q9/Q15/Q20/Q21 shapes)
+# ---------------------------------------------------------------------------
+
+
+def test_q2_cost_is_minimum(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "q2_min_cost_supplier")
+    if len(pdf):
+        # acctbal ordering is the spec's ranking
+        bals = pdf["acctbal"].tolist()
+        assert bals == sorted(bals, reverse=True)
+        assert (pdf["unit_cost"] > 0).all()
+
+
+def test_q4_counts_bounded_by_quarter(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "q4_order_priority")
+    o = load_table(spark, sf_dir, "orders")
+    quarter = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).count()
+    assert 0 < int(pdf["order_count"].sum()) <= quarter
+
+
+def test_q6_subset_of_unfiltered(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "q6_forecast_revenue")
+    assert pdf["n_items"][0] > 0
+    assert pdf["revenue"][0] > 0
+
+
+def test_q15_returns_global_max(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "q15_top_supplier")
+    assert len(pdf) >= 1
+    # all returned suppliers tie at the same (maximal) revenue
+    assert pdf["total_rev"].nunique() == 1
+
+
+def test_q21_sole_late_supplier(spark, sf_dir):
+    """Re-derive numwait for the top supplier with plain pandas."""
+    pdf = _run(spark, sf_dir, "q21_waiting_suppliers")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).toPandas()
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).toPandas()
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    ).toPandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["late"] = (
+        m.l_shipdate > m.o_orderdate + __import__("pandas").Timedelta(days=90)
+    ).astype(int)
+    g = m.groupby(["l_orderkey", "l_suppkey"])["late"].max().reset_index()
+    per_order = g.groupby("l_orderkey")["late"].agg(["count", "sum"])
+    solo = per_order[(per_order["count"] > 1) & (per_order["sum"] == 1)].index
+    waits = (
+        g[(g.l_orderkey.isin(solo)) & (g.late == 1)]
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby("s_name")
+        .size()
+    )
+    if len(pdf):
+        top = pdf.iloc[0]
+        assert waits[top["s_name"]] == top["numwait"]
+        assert top["numwait"] == waits.max()

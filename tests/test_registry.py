@@ -72,6 +72,13 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "q13_customer_distribution",
     "q16_parts_supplier_cnt",
     "q19_disjunctive_revenue",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q9_product_margin",
+    "q15_top_supplier",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
     "lang_id_confusion",
     "doc_chunk_overlap",
     "semantic_dedup_clusters",
@@ -159,6 +166,8 @@ _SCALAR_BNLJ_OK: set[str] = {
     "basket_lift",
     "rfm_segments",
     "ks_drift_binned",
+    # r6 batch 2: 1-row max-revenue scalar broadcast (Q15's view-max)
+    "q15_top_supplier",
 }
 
 
