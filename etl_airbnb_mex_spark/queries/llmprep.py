@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine
+from ..operators.similarity import _pair_dot_udf, norm
 from ..tables import load_table
 from . import register
 
@@ -220,25 +220,47 @@ def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(
+    # Norms compute ONCE per vector (n rows), not once per pair
+    # (cluster-size² rows); the pair stage then needs only the dot,
+    # which runs as cosine_near_dup's Arrow-batched einsum — the
+    # interpreted aggregate(zip_with(...)) per pair benched ~2x slower
+    # at sf0.1. Rounded-6dp cosine matches DuckDB's
+    # list_cosine_similarity (same convention as cosine_near_dup,
+    # oracle-green since r4).
+    normed = e.select(
+        "vec_id", "label", "v", norm(F.col("v")).alias("__n")
+    ).localCheckpoint(eager=False)
+    a = normed.select(
         F.col("label"),
         F.col("vec_id").alias("ka"),
         F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
     )
-    b = e.select(
+    b = normed.select(
         F.col("label").alias("__lb"),
         F.col("vec_id").alias("kb"),
         F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
     )
+    pair_dot = _pair_dot_udf()
     pairs = (
         a.join(
             b,
             (a["label"] == b["__lb"]) & (F.col("ka") < F.col("kb")),
         )
         .filter(
-            F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4
+            F.round(
+                pair_dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= 0.4
         )
         .select("label", "ka", "kb")
+        # two downstream consumers (pair counts + removed counts)
+        # would re-run the cluster²-pair cosine join twice without
+        # lineage truncation
+        .localCheckpoint(eager=False)
     )
     pair_counts = pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs")
@@ -310,6 +332,9 @@ def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # four consumers (order count, item freqs, both pair sides)
+        # would each re-run the scan+distinct without truncation
+        .localCheckpoint(eager=False)
     )
     n_orders = op.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
