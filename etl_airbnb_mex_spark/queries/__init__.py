@@ -61,71 +61,74 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
-#: rotate to the entries with the weakest driver provenance (VERDICT.md
-#: round 4, "Next round" #2). Round-5 window = the 41 oracle-bearing
-#: round-4 additions never driver-checked + the 2 entries whose
-#: HUGEINT oracle hashes failed in r4 (now CAST ... AS BIGINT) + the 4
-#: never-ran rows-only plans + the 3 stalest refresh candidates
-#: = exactly 50. With this window, every oracle-bearing entry has a
-#: driver CORRECTNESS row from some round — provenance debt closes.
-#: Already-green rows follow in registration order; gated O(n²) demos
-#: stay last.
+#: rotate to the entries with the weakest driver provenance. After
+#: round 5 every oracle-bearing entry has a green driver row from some
+#: round. Round-6 window = the 23 round-6 additions (TPC-H suite +
+#: LLM-prep batch, never driver-checked) + 27 refresh slots for the
+#: entries whose implementing files changed most recently after their
+#: last green row (joins.py r4+r5: the r3 join family; dedup.py /
+#: corpus.py / timeseries.py / setops.py r4: their r2/r3 rows).
+#: Still-stale after this window (code unchanged since r2, lowest
+#: risk): the functions-family F1-F21 rows in queries/core.py —
+#: rotate those in round 7.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 2 r4 hash failures, oracle SQL fixed (CAST AS BIGINT) --
-    "entropy_by_group",
-    "rare_label_collapse",
-    # -- highest-information oracle twins (VERDICT r4 stretch #8) --
-    "graph_reachability",
-    "pit_lookup",
-    # -- 39 more oracle-bearing round-4 additions, never checked --
-    "weighted_median",
-    "ab_test_ztest",
-    "skyline_pareto",
-    "unigram_logprob",
-    "ewma_smooth",
-    "grouped_split",
-    "snapshot_diff",
-    "subquery_correlated_qty",
-    "having_join_bigorders",
-    "antijoin_wealthy_inactive",
-    "join_spatial_grid",
-    "fuzzy_vocab_pairs",
-    "corpus_divergence",
-    "inverted_index",
-    "time_rollup_multigrain",
-    "intervals_merge",
-    "agg_incremental_merge",
-    "segment_overlap",
-    "sample_weighted_topk",
-    "embedding_quantize",
-    "sample_k_per_group",
-    "rolling_median",
-    "quality_gate_by_group",
-    "event_transitions",
-    "mixture_resample",
-    "unicode_normalize",
-    "boilerplate_ngram_frac",
-    "sliding_distinct_users",
-    "attribution_last_touch",
-    "rolling_zscore",
-    "session_path_topn",
-    "doc_length_band_filter",
-    "interarrival_stats",
-    "source_mix_report",
-    "ship_delay_priority",
-    "promo_revenue_share",
-    "supplier_revenue_concentration",
-    "pareto_revenue_share",
-    "repeat_purchase_rate",
-    # -- 4 rows-only plans never driver-ran (driver records rows/err) --
-    "bpe_merges",
-    "hll_distinct_rollup",
-    "image_near_dup",
-    "kcore_parts",
-    # -- 3 stalest refresh candidates (files changed since last green) --
-    "tfidf_topk",
-    "knn_cosine",
-    "join_inner_fk",
+    # -- round-6 TPC-H decision-support suite (queries/decision.py) --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_margin",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
+    # -- round-6 LLM-prep batch (queries/llmprep.py) --
+    "lang_id_confusion",
+    "doc_chunk_overlap",
+    "semantic_dedup_clusters",
+    "basket_lift",
+    "gini_concentration",
+    "rfm_segments",
+    "ks_drift_binned",
+    # -- refresh: joins.py changed r4+r5 after these r3 rows --
+    "join_asof",
+    "join_asof_forward",
+    "join_broadcast_dim",
+    "join_left_anti",
+    "join_left_semi",
+    "join_range_binned",
+    "join_range_theta",
+    "join_salted_skew",
+    # -- refresh: dedup.py changed r4 after these r2/r3 rows --
+    "dedup_minhash",
+    "near_dedup_corpus",
+    "decontaminate",
+    "dedup_by_key",
+    "dedup_text_exact",
+    "dup_fullrow_count",
+    "dup_key_count",
+    # -- refresh: corpus.py changed r4 after these r2/r3 rows --
+    "bigram_topn",
+    "token_topn",
+    "doc_fingerprint",
+    # -- refresh: timeseries.py changed r4 after these r2/r3 rows --
+    "monthly_counts",
+    "date_range",
+    "interval_occupancy",
+    "scd2_intervals",
+    # -- refresh: setops.py changed r4 after these r2/r3 rows --
+    "set_union_by_name",
+    "set_intersect",
+    "set_except",
+    "sample_stratified",
+    "dataset_split",
 )
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")

@@ -61,31 +61,9 @@ def test_priority_ops_fill_driver_window_exactly():
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
 _QUEUED_FOR_NEXT_ROTATION: set[str] = {
-    # Round-6 additions, queued until the round-6 window rotation
-    # (moved into _PRIORITY before the round ends).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q16_parts_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q9_product_margin",
-    "q15_top_supplier",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    "lang_id_confusion",
-    "doc_chunk_overlap",
-    "semantic_dedup_clusters",
-    "basket_lift",
-    "gini_concentration",
-    "rfm_segments",
-    "ks_drift_binned",
+    # (empty after the round-6 rotation: all 23 round-6 additions are
+    # in the 50-slot _PRIORITY window. Additions registered after the
+    # round-6 window froze queue here.)
 }
 
 
