@@ -109,6 +109,9 @@ HEADLINE = [
     "q4_order_priority",
     "q9_product_margin",
     "q21_waiting_suppliers",
+    "bigram_surprisal",
+    "split_leakage_audit",
+    "hard_negative_mining",
 ]
 
 

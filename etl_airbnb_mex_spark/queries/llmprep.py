@@ -661,3 +661,246 @@ def ks_drift_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch C: contrastive mining, bigram LM scoring, split-leakage
+# audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT qid, e.vec_id,
+             round(list_cosine_similarity(e.v, qv), 6) AS sim
+      FROM e, q WHERE e.label <> qlabel),
+    r AS (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+    SELECT qid, CAST(rn AS BIGINT) AS neg_rank, vec_id, sim
+    FROM r WHERE rn <= 3 ORDER BY qid, neg_rank
+    """,
+    "§2.11 similarity — contrastive hard-negative mining: for each "
+    "anchor (the 5 lowest-id vectors), the 3 most-similar vectors "
+    "with a DIFFERENT label — the embedding-training prep that turns "
+    "an ANN index into (anchor, hard-negative) pairs. The anchor set "
+    "broadcasts (5 rows; the BNLJ is the audited scalar-broadcast "
+    "kind), similarity is in-row, and the per-anchor top-3 is a "
+    "5-partition window — anchors-per-batch bounds the fan-out, so "
+    "at 100 TB the anchor set shards and each shard reruns the same "
+    "plan. Cosines rounded 6dp (knn_cosine convention).",
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select(
+            "qid",
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+            "vec_id",
+            "sim",
+        )
+        .orderBy("qid", "neg_rank")
+    )
+
+
+@register(
+    "bigram_surprisal",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg, toks[i] AS w1
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+    tf2 AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+    f2 AS (SELECT bg, min(w1) AS w1, count(*) AS c2
+           FROM bg GROUP BY bg),
+    f1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab FROM (
+        SELECT unnest(toks) AS tok FROM t))
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_bigrams,
+           round(sum(k * ln(CAST(c2 + 1 AS DOUBLE)
+                            / CAST(c1 + vocab AS DOUBLE)))
+                 / sum(k), 6) AS logprob
+    FROM tf2
+    JOIN f2 USING (bg)
+    JOIN f1 ON f1.w1 = f2.w1
+    CROSS JOIN v
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.11 text analysis — bigram-LM document scoring: mean per-"
+    "bigram log-probability under the corpus's own add-1-smoothed "
+    "bigram model, p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V) — one step up "
+    "from unigram_logprob's perplexity proxy, sensitive to scrambled "
+    "word ORDER, not just vocabulary. Bigrams form in-row (zip_with "
+    "of two slices, no index explode on the Spark side); only "
+    "(doc, bigram, k) triples shuffle; left-token counts derive from "
+    "the bigram frequency table (no second corpus pass); vocab size "
+    "is a 1-row broadcast. Same ln idiom as unigram_logprob "
+    "(driver-green r5).",
+)
+def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    bgs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    tb = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bgs).alias("bg"))
+    )
+    tf2 = tb.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    f2 = tb.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    f1 = f2.groupBy(F.col("w1").alias("__w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    return (
+        tf2.join(f2, "bg")
+        .join(f1, F.col("w1") == F.col("__w1"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("k")
+                    * F.log(
+                        (F.col("c2") + F.lit(1)).cast("double")
+                        / (F.col("c1") + F.col("vocab")).cast("double")
+                    )
+                )
+                / F.sum("k"),
+                6,
+            ).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             ((vec_id % 4294967296) + 4294967296) % 4294967296 AS kk
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, label, v,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT vec_id, label, v,
+                   ((kk // 65536 * 2654435761) % 4294967296 * 65536
+                    + (kk % 65536) * 2654435761) % 4294967296 % 100
+                     AS bucket
+            FROM e)),
+    pairs AS (
+      SELECT a.split AS split_a, b.split AS split_b
+      FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "§2.11 dedup — train/test leakage audit: after the deterministic "
+    "80/10/10 hash split (dataset_split's engine-portable "
+    "multiplicative hash on vec_id), count near-duplicate embedding "
+    "pairs (within-cluster rounded cosine ≥ 0.4, "
+    "semantic_dedup_clusters' candidate machinery: norms hoisted, "
+    "Arrow einsum pair-dot) that CROSS split boundaries — the "
+    "contamination a random split leaves behind and the number an "
+    "eval-integrity report must publish. Off-diagonal rows "
+    "(train->test, train->val) are the leaks; the dedup-then-split "
+    "order fixes them.",
+)
+def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import split_by_hash
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    s = split_by_hash(
+        e, "vec_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    normed = s.select(
+        "vec_id", "label", "v", "split", norm(F.col("v")).alias("__n")
+    ).localCheckpoint(eager=False)
+    a = normed.select(
+        F.col("label"),
+        F.col("vec_id").alias("ka"),
+        F.col("v").alias("va"),
+        F.col("__n").alias("__na"),
+        F.col("split").alias("split_a"),
+    )
+    b = normed.select(
+        F.col("label").alias("__lb"),
+        F.col("vec_id").alias("kb"),
+        F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"),
+        F.col("split").alias("split_b"),
+    )
+    pair_dot = _pair_dot_udf()
+    return (
+        a.join(
+            b,
+            (a["label"] == b["__lb"]) & (F.col("ka") < F.col("kb")),
+        )
+        .filter(
+            F.round(
+                pair_dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            )
+            >= 0.4
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )

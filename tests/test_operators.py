@@ -246,35 +246,11 @@ def test_cosine_near_dup_bucketed_subset_of_exact(spark, sf_dir):
 
 
 #: Registered queries whose physical plan legitimately contains a
-#: BroadcastNestedLoopJoin: every one is a crossJoin against a
-#: BROADCAST 1-row scalar frame (a global agg — quantile bracket,
-#: corpus count, total mass), never a data×data product. Audited in
-#: VERDICT.md r3 ("every crossJoin is a broadcast 1-row scalar").
-_SCALAR_BNLJ_OK = {
-    "funnel_conversion",
-    "feature_scale",
-    "sample_weighted",
-    "mad_robust",
-    "key_skew_profile",
-    "chi_square_assoc",
-    "outliers_iqr",
-    "pagerank_parts",
-    "knn_cosine_ivf",
-    "filter_quantile",
-    "dup_fullrow_count",
-    "knn_cosine",
-    "subquery_above_avg",
-    "scalar_stats",
-    "pct_of_total",
-    "dup_ngram_frac",
-    "vocab_prune",
-    "decontaminate",
-    "corpus_pipeline",
-    "sentiment_dist",
-    "quality_filter",
-    "tfidf_topk",
-    "target_encode",  # 1-row global-mean crossJoin
-}
+#: BroadcastNestedLoopJoin (crossJoin against a broadcast 1-row
+#: scalar frame). SINGLE SOURCE OF TRUTH: tests/test_registry.py's
+#: audited allowlist — a second literal copy here drifted when the
+#: round-6 window rotated new scalar-broadcast queries in.
+from tests.test_registry import _SCALAR_BNLJ_OK
 
 
 def test_driver_window_plans_have_no_unbounded_products(spark, sf_dir):

@@ -61,9 +61,11 @@ def test_priority_ops_fill_driver_window_exactly():
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
 _QUEUED_FOR_NEXT_ROTATION: set[str] = {
-    # (empty after the round-6 rotation: all 23 round-6 additions are
-    # in the 50-slot _PRIORITY window. Additions registered after the
-    # round-6 window froze queue here.)
+    # Round-6 batch C, registered after the round-6 window froze —
+    # first in line for the round-7 rotation.
+    "hard_negative_mining",
+    "bigram_surprisal",
+    "split_leakage_audit",
 }
 
 
@@ -146,6 +148,10 @@ _SCALAR_BNLJ_OK: set[str] = {
     "ks_drift_binned",
     # r6 batch 2: 1-row max-revenue scalar broadcast (Q15's view-max)
     "q15_top_supplier",
+    # r6 batch C: 5-row anchor broadcast (hard negatives) and 1-row
+    # vocab-size broadcast (bigram LM)
+    "hard_negative_mining",
+    "bigram_surprisal",
 }
 
 
