@@ -279,3 +279,40 @@ def test_q21_sole_late_supplier(spark, sf_dir):
         top = pdf.iloc[0]
         assert waits[top["s_name"]] == top["numwait"]
         assert top["numwait"] == waits.max()
+
+
+# ---------------------------------------------------------------------------
+# LLM-prep batch C
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "hard_negative_mining")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .toPandas()
+        .set_index("vec_id")["label"]
+    )
+    for _, row in pdf.iterrows():
+        assert emb[row["qid"]] != emb[row["vec_id"]]
+    # each anchor contributes at most 3, ranked 1..k
+    for qid, grp in pdf.groupby("qid"):
+        assert list(grp["neg_rank"]) == list(range(1, len(grp) + 1))
+        sims = grp.sort_values("neg_rank")["sim"].tolist()
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_bigram_surprisal_nonpositive(spark, sf_dir):
+    pdf = _run(spark, sf_dir, "bigram_surprisal")
+    # add-1 smoothing keeps (c2+1)/(c1+V) <= 1, so log-probs are <= 0
+    assert (pdf["logprob"] <= 0).all()
+    assert (pdf["n_bigrams"] >= 1).all()
+
+
+def test_split_leakage_counts_reconcile(spark, sf_dir):
+    """Sum over split-pair cells equals the total number of
+    within-label near-dup pairs (the semantic_dedup pair count)."""
+    leak = _run(spark, sf_dir, "split_leakage_audit")
+    sem = _run(spark, sf_dir, "semantic_dedup_clusters")
+    assert int(leak["n_pairs"].sum()) == int(sem["n_dup_pairs"].sum())
