@@ -112,6 +112,7 @@ HEADLINE = [
     "bigram_surprisal",
     "split_leakage_audit",
     "hard_negative_mining",
+    "heavy_hitters_sketch",
 ]
 
 

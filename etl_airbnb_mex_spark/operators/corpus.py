@@ -514,3 +514,71 @@ def bpe_train(
             apply_merge, "wc bigint, syms array<string>"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Exact heavy hitters WITHOUT a full-vocabulary shuffle — the
+    two-pass sketch-then-verify pattern for 100 TB frequency analysis:
+
+    1. **Sketch pass** (mapInPandas, no shuffle): each partition builds
+       a weighted Misra-Gries summary with ``k`` counters. Batches are
+       pre-counted with vectorized ``value_counts`` (C speed) and only
+       the ≤ distinct-tokens-per-batch merge touches Python — the
+       per-partition state machine Spark's builtins cannot express,
+       Arrow-batched by construction. MG guarantees every token with
+       per-partition count > n_p/(k+1) survives, so the UNION of
+       partition summaries is a superset of every token with GLOBAL
+       count > n/(k+1) (if c(t) > Σ n_p/(k+1), some partition has
+       c_p(t) > n_p/(k+1)).
+    2. **Verify pass**: the candidate set (≤ partitions·k tokens —
+       metadata scale) broadcasts; only candidate occurrences aggregate
+       (a broadcast semi-join cuts the shuffle to the heavy tail), and
+       the exact integer threshold ``cnt·(k+1) > n`` keeps precisely
+       the true heavy hitters.
+
+    The RESULT is exact and deterministic (the sketch only shapes the
+    candidate superset, which is then exactly counted and filtered) —
+    hence oracle-checkable against a plain GROUP BY. Contrast with
+    token_topn, which shuffles the full vocabulary.
+    """
+    import pandas as pd  # noqa: F401 — executor-side
+
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+
+    def mg_sketch(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, w in pdf["token"].value_counts().items():
+                if tok in counters:
+                    counters[tok] += int(w)
+                elif len(counters) < k:
+                    counters[tok] = int(w)
+                else:
+                    m = min(int(w), min(counters.values()))
+                    counters = {
+                        t: c - m for t, c in counters.items() if c > m
+                    }
+                    if int(w) > m:
+                        counters[tok] = int(w) - m
+        yield pd.DataFrame(
+            {"token": list(counters), "c": list(counters.values())}
+        )
+
+    summaries = toks.mapInPandas(mg_sketch, "token string, c long")
+    candidates = summaries.select("token").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select("token", "cnt")
+        .orderBy(F.desc("cnt"), "token")
+    )

@@ -904,3 +904,36 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "heavy_hitters_sketch",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt
+    FROM c, tot WHERE cnt * 65 > n
+    ORDER BY cnt DESC, token
+    """,
+    "§2.11 text analysis — exact heavy hitters via the Misra-Gries "
+    "sketch-then-verify pattern (operators/corpus.py:heavy_hitters): "
+    "per-partition 64-counter MG summaries (Arrow mapInPandas, "
+    "vectorized value_counts per batch — the per-partition state "
+    "machine builtins can't express), whose union provably contains "
+    "every token with global count > n/65; candidates broadcast and "
+    "only THEIR occurrences aggregate — the full-vocabulary shuffle "
+    "token_topn pays never happens. The sketch only shapes the "
+    "candidate superset; the exact integer cut cnt·65 > n makes the "
+    "result deterministic, hence this plain-GROUP-BY oracle.",
+)
+def heavy_hitters_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import heavy_hitters
+
+    return heavy_hitters(
+        load_table(spark, sf_dir, "documents"), "text", k=64
+    )

@@ -13,6 +13,7 @@ from .ops import (
     stream_session_agg,
     stream_sliding_agg,
     stream_tumbling_agg,
+    stream_session_state,
     streaming_counter_state,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_tumbling_agg",
+    "stream_session_state",
     "streaming_counter_state",
 ]

@@ -351,3 +351,122 @@ def stream_static_enrich(
         *[F.col(c) for c in dim_cols],
     )
     return sdf.join(F.broadcast(d), key, how)
+
+
+_SESSION_STATE_SCHEMA = (
+    "start_us bigint, end_us bigint, n_events bigint"
+)
+
+
+def stream_session_state(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Custom EVENT-TIME stateful sessionizer via
+    ``applyInPandasWithState``: emits one row per CLOSED session
+    (key, session_start, session_end, n_events) — the
+    "session ended" notification that ``session_window`` aggregation
+    cannot give in update mode (it emits evolving partials, never a
+    close event). The pattern behind realtime abandoned-cart /
+    session-summary pipelines.
+
+    Mechanics: per key, state holds the open session's
+    (start, last_event, count) as epoch-microsecond longs. Each batch
+    folds its (pre-sorted, vectorized pandas) events in: an event
+    within ``gap_minutes`` of the last extends the session; a later
+    one closes it (emitted) and opens a new one. The event-time
+    timeout fires when the WATERMARK passes last_event + gap — the
+    open session can then never be extended (late events are behind
+    the watermark), so it closes and its state evicts; state is
+    therefore bounded by keys-active-within-one-gap, not by history.
+
+    Sessions still open when the stream pauses stay in state (they
+    may yet be extended) — the batch-equivalence test accounts for
+    each key's final session exactly this way. Timestamps emit as
+    epoch microseconds (integer, timezone-proof); map to TIMESTAMP
+    with ``timestamp_micros`` downstream.
+    """
+    import pandas as pd  # noqa: F401 — executor-side
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            sdf.schema[key_col],
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        closed: list[tuple[Any, int, int, int]] = []
+        if state.hasTimedOut:
+            # Watermark passed last_event + gap: no in-order event can
+            # extend this session any more — close and evict.
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start, last, n)],
+                columns=[
+                    key_col, "session_start_us", "session_end_us",
+                    "n_events",
+                ],
+            )
+            return
+        start, last, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            ts = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("int64")
+                .floordiv(1000)
+                .sort_values()
+            )
+            for t in ts:
+                t = int(t)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last <= gap_us:
+                    last, n = max(last, t), n + 1
+                else:
+                    closed.append((key[0], start, last, n))
+                    start, last, n = t, t, 1
+        state.update((start, last, n))
+        # Event-time timeout: fire once the watermark passes the point
+        # after which this session could still be extended. Spark
+        # rejects a timeout at-or-behind the current watermark (the
+        # session was already un-extendable when folded) — clamp one
+        # ms past it so the close fires on the next watermark advance.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((last + gap_us) // 1000, wm_ms + 1))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                key_col, "session_start_us", "session_end_us", "n_events",
+            ],
+        )
+
+    return (
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

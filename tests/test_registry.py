@@ -66,6 +66,7 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "hard_negative_mining",
     "bigram_surprisal",
     "split_leakage_audit",
+    "heavy_hitters_sketch",
 }
 
 
@@ -148,10 +149,12 @@ _SCALAR_BNLJ_OK: set[str] = {
     "ks_drift_binned",
     # r6 batch 2: 1-row max-revenue scalar broadcast (Q15's view-max)
     "q15_top_supplier",
-    # r6 batch C: 5-row anchor broadcast (hard negatives) and 1-row
-    # vocab-size broadcast (bigram LM)
+    # r6 batch C: 5-row anchor broadcast (hard negatives), 1-row
+    # vocab-size broadcast (bigram LM), 1-row corpus-total broadcast
+    # (heavy hitters verify pass)
     "hard_negative_mining",
     "bigram_surprisal",
+    "heavy_hitters_sketch",
 }
 
 

@@ -381,3 +381,56 @@ def test_stream_static_enrich_rejects_stateful_sides(spark, sf_dir,
     with _pytest.raises(ValueError):
         stream_static_enrich(sdf, dim, "user_id", "n_nationkey",
                              ("n_name",), how="full")
+
+
+def test_stream_session_state_closes_sessions(spark, events_dir):
+    """Event-time stateful sessionizer: every emitted CLOSED session
+    matches the batch 30-min-gap sessionization exactly, and per user
+    the emitted sessions are a chronological prefix missing at most
+    the final (possibly still-open) session."""
+    import pandas as pd
+
+    from etl_airbnb_mex_spark.streaming.ops import stream_session_state
+
+    got = _run_stream(
+        spark, events_dir,
+        lambda sdf: stream_session_state(sdf, gap_minutes=30),
+        "sess_state",
+    ).toPandas()
+
+    ev = spark.read.parquet(events_dir).select("user_id", "ts").toPandas()
+    gap_us = 30 * 60 * 1_000_000
+    expected: dict[int, list[tuple[int, int, int]]] = {}
+    for uid, grp in ev.groupby("user_id"):
+        ts = sorted(
+            pd.to_datetime(grp["ts"]).astype("int64").floordiv(1000)
+        )
+        sessions, start, last, n = [], None, None, 0
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                sessions.append((start, last, n))
+                start, last, n = t, t, 1
+        sessions.append((start, last, n))
+        expected[uid] = sessions
+
+    assert len(got), "no sessions closed at all"
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for _, r in got.iterrows():
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+        )
+    for uid, emitted in by_user.items():
+        emitted.sort()
+        exp = expected[uid]
+        # chronological prefix, at most the final session unemitted
+        assert emitted in (exp, exp[:-1]), (uid, emitted, exp)
+    # the operator must close the non-final sessions of every user
+    # that has more than one (successor events force the close)
+    for uid, exp in expected.items():
+        if len(exp) > 1:
+            assert by_user.get(uid, [])[: len(exp) - 1] == exp[:-1]
