@@ -937,3 +937,140 @@ def heavy_hitters_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         load_table(spark, sf_dir, "documents"), "text", k=64
     )
+
+
+@register(
+    "activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_num
+      FROM events),
+    grp AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_num) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+             strftime(DATE '1970-01-01'
+                      + CAST(min(day_num) AS INTEGER), '%Y-%m-%d')
+               AS streak_start,
+             strftime(DATE '1970-01-01'
+                      + CAST(max(day_num) AS INTEGER), '%Y-%m-%d')
+               AS streak_end
+      FROM grp GROUP BY user_id, island),
+    best AS (
+      SELECT user_id, streak_days, streak_start, streak_end,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC,
+                                         streak_start) AS rn
+      FROM streaks)
+    SELECT user_id, streak_days, streak_start, streak_end
+    FROM best WHERE rn = 1 ORDER BY user_id
+    """,
+    "Gaps-and-islands: each user's LONGEST consecutive-active-day "
+    "streak — the classic island id = day_num - row_number() trick; "
+    "the engagement-streak KPI. One distinct (user, day) pre-agg "
+    "(events collapse to the day axis FIRST), then two windows and "
+    "one agg all sharing the user_id partitioning — a single "
+    "shuffle end to end. Days as integer epoch-days internally "
+    "(exact); boundary days render as strings.",
+)
+def activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), epoch)
+        .cast("bigint")
+        .alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    grp = days.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.date_format(
+            F.date_add(epoch, F.min("day_num").cast("int")), "yyyy-MM-dd"
+        ).alias("streak_start"),
+        F.date_format(
+            F.date_add(epoch, F.max("day_num").cast("int")), "yyyy-MM-dd"
+        ).alias("streak_end"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "golden_record_merge",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    latest AS (
+      SELECT user_id, event_type AS last_event_type,
+             round(coalesce(value, 0.0), 4) AS last_value
+      FROM ranked WHERE rn = 1),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+      FROM events GROUP BY user_id)
+    SELECT agg.user_id, last_event_type, last_value, n_events,
+           first_seen, last_seen
+    FROM agg JOIN latest ON agg.user_id = latest.user_id
+    ORDER BY agg.user_id
+    """,
+    "MDM-style survivorship / golden-record merge: one consolidated "
+    "row per entity — most-recent attribute values (deterministic "
+    "(ts, event_id) DESC tiebreak, the keep-LAST twin of D1's "
+    "keep-first dedup) plus lifetime aggregates. The rank window and "
+    "the aggregate share the user_id partitioning: one shuffle "
+    "serves both, then a co-partitioned self-join stitches the "
+    "record. Timestamps render as strings; value rounds 4dp.",
+)
+def golden_record_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("__uid"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.coalesce("value", F.lit(0.0)), 4).alias(
+                "last_value"
+            ),
+        )
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_seen"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_seen"
+        ),
+    )
+    return (
+        agg.join(latest, F.col("user_id") == F.col("__uid"))
+        .select(
+            "user_id", "last_event_type", "last_value", "n_events",
+            "first_seen", "last_seen",
+        )
+        .orderBy("user_id")
+    )

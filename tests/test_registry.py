@@ -67,6 +67,8 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "bigram_surprisal",
     "split_leakage_audit",
     "heavy_hitters_sketch",
+    "activity_streaks",
+    "golden_record_merge",
 }
 
 
