@@ -113,6 +113,8 @@ HEADLINE = [
     "split_leakage_audit",
     "hard_negative_mining",
     "heavy_hitters_sketch",
+    "activity_streaks",
+    "golden_record_merge",
 ]
 
 

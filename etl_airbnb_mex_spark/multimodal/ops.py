@@ -250,6 +250,38 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 _DHASH_SCHEMA = "media_id bigint, dhash bigint"
 
 
+def _dhash_bytes(data) -> int:
+    """Perceptual difference-hash of one encoded image (real decode):
+    grayscale → nearest-resize 9×8 → 64 horizontal-gradient bits in one
+    signed BIGINT. Shared by image_dhash and the video frame path."""
+    import numpy as np
+
+    from . import codecs
+
+    raw = bytes(data)
+    fmt = codecs.sniff_format(raw)
+    if fmt == "png":
+        img = codecs.png_decode(raw)
+    elif fmt == "bmp":
+        img = codecs.bmp_decode(raw)
+    elif fmt == "pnm":
+        img = codecs.pnm_decode(raw)
+    else:
+        raise NotImplementedError(
+            f"dhash: undecodable image format {fmt!r}"
+        )
+    g = np.asarray(img, dtype="float64")
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    small = codecs.resize_nearest(g[:, :, None], 9, 8)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).ravel()  # 8x8 gradients
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # keep it in signed-long range for the BIGINT column
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def image_dhash(df: DataFrame) -> DataFrame:
     """Perceptual difference-hash per image: decode → grayscale →
     nearest-resize to 9×8 → 64 horizontal-gradient bits packed into one
@@ -262,34 +294,9 @@ def image_dhash(df: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
-        from . import codecs
-
-        def dhash(data) -> int:
-            raw = bytes(data)
-            fmt = codecs.sniff_format(raw)
-            if fmt == "png":
-                img = codecs.png_decode(raw)
-            elif fmt == "bmp":
-                img = codecs.bmp_decode(raw)
-            elif fmt == "pnm":
-                img = codecs.pnm_decode(raw)
-            else:
-                raise NotImplementedError(
-                    f"image_dhash: undecodable image format {fmt!r}"
-                )
-            g = np.asarray(img, dtype="float64")
-            if g.ndim == 3:
-                g = g.mean(axis=2)
-            small = codecs.resize_nearest(g[:, :, None], 9, 8)[:, :, 0]
-            bits = (small[:, 1:] > small[:, :-1]).ravel()  # 8x8 gradients
-            h = 0
-            for b in bits:
-                h = (h << 1) | int(b)
-            # keep it in signed-long range for the BIGINT column
-            return h - (1 << 64) if h >= (1 << 63) else h
+        dhash = _dhash_bytes
 
         for pdf in it:
             yield pd.DataFrame(
@@ -422,3 +429,104 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.filter(df["kind"] == "audio").mapInPandas(
         batches, _AUDIO_FEAT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real video plumbing: length-prefixed PNG-sequence container.
+# ---------------------------------------------------------------------------
+
+#: Container magic for the PNG-sequence "video" format: real PNG frames
+#: (decoded by our own codec, no native libs), length-prefixed. H.264 /
+#: VP9 would need libav — an environment constraint, not a design one:
+#: the Spark-side shape below (binary column → Arrow mapInPandas →
+#: per-frame rows) is container-independent.
+_PNGSEQ_MAGIC = b"PNGSEQ1\x00"
+
+
+def pack_video_pngseq(frames) -> bytes:
+    """Encode grayscale frame arrays into the PNGSEQ1 container:
+    magic + u32 frame count + per-frame (u32 length + PNG bytes)."""
+    import struct
+
+    import numpy as np
+
+    from . import codecs
+
+    out = [_PNGSEQ_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        png = codecs.png_encode(np.asarray(f, dtype="uint8"))
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def _iter_pngseq(data: bytes):
+    """Yield (frame_no, png_bytes) from a PNGSEQ1 container."""
+    import struct
+
+    raw = bytes(data)
+    if not raw.startswith(_PNGSEQ_MAGIC):
+        raise NotImplementedError(
+            "video decode: only the PNGSEQ1 container is decodable "
+            "here (H.264/VP9 need a native library)"
+        )
+    off = len(_PNGSEQ_MAGIC)
+    (n,) = struct.unpack_from("<I", raw, off)
+    off += 4
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        yield i, raw[off:off + ln]
+        off += ln
+
+
+_VFRAME_SCHEMA = (
+    "media_id bigint, frame_no int, dhash bigint, kept boolean"
+)
+
+
+def video_frame_dedup(
+    df: DataFrame, every_n: int = 1, max_hamming: int = 4
+) -> DataFrame:
+    """Video frame sampling + temporal dedup over REAL decoded frames:
+    for each PNGSEQ1 video, keep every ``every_n``-th frame, dhash it
+    (the shared real-PNG-decode perceptual hash), and mark a sampled
+    frame as dropped when it is within ``max_hamming`` bits of the
+    PREVIOUS KEPT frame — static scenes collapse to their first frame,
+    which is exactly the frame-dedup a video training corpus applies
+    before captioning/embedding. Emits one row per SAMPLED frame with
+    the keep decision, so downstream can both count dedup wins and
+    join kept frames onward.
+
+    Arrow mapInPandas; per-video work is sequential by nature (the
+    keep decision depends on the previous kept frame) but bounded by
+    frames-per-video; videos parallelize freely across tasks.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        rows: dict[str, list] = {
+            "media_id": [], "frame_no": [], "dhash": [], "kept": [],
+        }
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                prev_kept: int | None = None
+                for frame_no, png in _iter_pngseq(row["data"]):
+                    if frame_no % every_n:
+                        continue
+                    h = _dhash_bytes(png)
+                    if prev_kept is None:
+                        kept = True
+                    else:
+                        kept = bin((h ^ prev_kept) & ((1 << 64) - 1)
+                                   ).count("1") > max_hamming
+                    if kept:
+                        prev_kept = h
+                    rows["media_id"].append(row["media_id"])
+                    rows["frame_no"].append(frame_no)
+                    rows["dhash"].append(h)
+                    rows["kept"].append(kept)
+        yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, _VFRAME_SCHEMA)

@@ -363,3 +363,46 @@ def test_audio_features_detect_tone_frequency(spark):
     assert got[1].spectral_centroid_hz == pytest.approx(2000, rel=0.15)
     assert got[1].rms > got[0].rms * 2
     assert got[1].zero_cross_rate > got[0].zero_cross_rate * 2
+
+
+def test_video_pngseq_frame_dedup(spark):
+    """Real video plumbing: a PNGSEQ1 container of real PNG frames —
+    static runs collapse to their first frame, scene changes survive.
+    Frames: A, A+noise, B, A, C, C  →  kept = A, B, A, C (the noised A
+    and the second C are temporal dups of the previous kept frame)."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        pack_video_pngseq,
+        video_frame_dedup,
+    )
+
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    a = ((xx * 16) % 256).astype("uint8")            # vertical ramp
+    a_noise = a.copy()
+    a_noise[0, 0] ^= 1                                # 1-bit pixel nudge
+    b = ((xx % 2) * 255).astype("uint8")  # alternating columns
+    c = (255 - a).astype("uint8")  # inverted ramp: gradients reversed
+    frames = [a, a_noise, b, a, c, c]
+    data = pack_video_pngseq(frames)
+    df = spark.createDataFrame(
+        [(0, "video", data, (w, h, None, len(frames), "pngseq"))],
+        MEDIA_SCHEMA,
+    )
+    out = (
+        video_frame_dedup(df, every_n=1, max_hamming=4)
+        .toPandas()
+        .sort_values("frame_no")
+    )
+    assert len(out) == 6
+    assert out["kept"].tolist() == [True, False, True, True, True, False]
+    # sampling: every_n=2 sees frames 0,2,4 — all distinct scenes
+    out2 = (
+        video_frame_dedup(df, every_n=2, max_hamming=4)
+        .toPandas()
+        .sort_values("frame_no")
+    )
+    assert out2["frame_no"].tolist() == [0, 2, 4]
+    assert out2["kept"].all()
