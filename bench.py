@@ -115,6 +115,7 @@ HEADLINE = [
     "heavy_hitters_sketch",
     "activity_streaks",
     "golden_record_merge",
+    "lang_id_ngram",
 ]
 
 

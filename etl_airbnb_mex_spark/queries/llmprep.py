@@ -1074,3 +1074,114 @@ def golden_record_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "lang_id_ngram",
+    """
+    WITH tg AS (
+      SELECT doc_id, lang, substr(lower(text), i, 3) AS tri
+      FROM documents,
+           unnest(range(1, greatest(len(lower(text)) - 1, 1))) AS u(i)
+      WHERE len(text) >= 3),
+    prof AS (
+      SELECT lang AS plang, tri,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, tri) AS rn
+      FROM tg GROUP BY lang, tri),
+    top AS (SELECT plang, tri FROM prof WHERE rn <= 20),
+    dt AS (SELECT DISTINCT doc_id, lang, tri FROM tg),
+    sc AS (
+      SELECT doc_id, min(lang) AS lang,
+             count(CASE WHEN plang = 'de' THEN 1 END) AS s_de,
+             count(CASE WHEN plang = 'en' THEN 1 END) AS s_en,
+             count(CASE WHEN plang = 'es' THEN 1 END) AS s_es,
+             count(CASE WHEN plang = 'fr' THEN 1 END) AS s_fr
+      FROM dt LEFT JOIN top USING (tri)
+      GROUP BY doc_id),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+                  THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                  THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM sc)
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+    "§2.11 text analysis — character-n-gram language ID (the fastText/"
+    "CLD-style heuristic, self-trained): per-language char-TRIGRAM "
+    "profiles learned from the corpus itself (top-20 trigrams per "
+    "lang label, count-desc tiebreak-trigram — deterministic), each "
+    "document scored by how many of its DISTINCT trigrams hit each "
+    "profile, argmax with the fixed de/en/es/fr tie order, zero hits "
+    "→ 'und'. The 80-row profile BROADCASTS onto the distinct "
+    "(doc, trigram) frame — one trigram-keyed join, one doc agg; "
+    "trigram explode is in-row fan-out bounded by text length. "
+    "Output is the (actual, predicted) confusion matrix, comparable "
+    "against lang_id_confusion's stopword tier.",
+)
+def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    tris = F.expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+        " i -> substring(lower(text), i, 3))"
+    )
+    tg = d.select(
+        "doc_id", "lang", F.explode(tris).alias("tri")
+    )
+    top = (
+        tg.groupBy(F.col("lang").alias("plang"), "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("tri"))
+        ))
+        .filter(F.col("rn") <= 20)
+        .select("plang", "tri")
+    )
+    dt = tg.distinct()
+    hit = lambda lang: F.count(  # noqa: E731
+        F.when(F.col("plang") == lang, F.lit(1))
+    )
+    sc = (
+        dt.join(F.broadcast(top), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            hit("de").alias("s_de"),
+            hit("en").alias("s_en"),
+            hit("es").alias("s_es"),
+            hit("fr").alias("s_fr"),
+        )
+    )
+    z = (
+        (F.col("s_de") == 0) & (F.col("s_en") == 0)
+        & (F.col("s_es") == 0) & (F.col("s_fr") == 0)
+    )
+    pred = (
+        F.when(z, F.lit("und"))
+        .when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            F.lit("de"),
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        sc.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang", "predicted")
+    )

@@ -69,6 +69,7 @@ _QUEUED_FOR_NEXT_ROTATION: set[str] = {
     "heavy_hitters_sketch",
     "activity_streaks",
     "golden_record_merge",
+    "lang_id_ngram",
 }
 
 
