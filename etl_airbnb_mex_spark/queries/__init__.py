@@ -89,14 +89,21 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q20_excess_shipments",
     "q21_waiting_suppliers",
-    # -- round-6 LLM-prep batch (queries/llmprep.py) --
+    # -- round-6 LLM-prep batches (queries/llmprep.py) --
     "lang_id_confusion",
+    "lang_id_ngram",
     "doc_chunk_overlap",
     "semantic_dedup_clusters",
     "basket_lift",
     "gini_concentration",
     "rfm_segments",
     "ks_drift_binned",
+    "hard_negative_mining",
+    "bigram_surprisal",
+    "split_leakage_audit",
+    "heavy_hitters_sketch",
+    "activity_streaks",
+    "golden_record_merge",
     # -- refresh: joins.py changed r4+r5 after these r3 rows --
     "join_asof",
     "join_asof_forward",
@@ -114,22 +121,19 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_text_exact",
     "dup_fullrow_count",
     "dup_key_count",
-    # -- refresh: corpus.py changed r4 after these r2/r3 rows --
+    # -- refresh: corpus.py changed r4+r6 after this r3 row --
     "bigram_topn",
-    "token_topn",
-    "doc_fingerprint",
     # -- refresh: timeseries.py changed r4 after these r2/r3 rows --
     "monthly_counts",
     "date_range",
     "interval_occupancy",
     "scd2_intervals",
-    # -- refresh: setops.py changed r4 after these r2/r3 rows --
-    "set_union_by_name",
-    "set_intersect",
-    "set_except",
-    "sample_stratified",
-    "dataset_split",
 )
+# Displaced refresh candidates for the round-7 window (files changed
+# r4, rows r2/r3; displaced by the 7 late round-6 additions —
+# never-checked entries outrank stale refreshes): token_topn,
+# doc_fingerprint, set_union_by_name, set_intersect, set_except,
+# sample_stratified, dataset_split.
 
 _DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")
 

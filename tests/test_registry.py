@@ -61,15 +61,9 @@ def test_priority_ops_fill_driver_window_exactly():
 #: the test below fails if anything OLDER is left unverified and
 #: outside the window.
 _QUEUED_FOR_NEXT_ROTATION: set[str] = {
-    # Round-6 batch C, registered after the round-6 window froze —
-    # first in line for the round-7 rotation.
-    "hard_negative_mining",
-    "bigram_surprisal",
-    "split_leakage_audit",
-    "heavy_hitters_sketch",
-    "activity_streaks",
-    "golden_record_merge",
-    "lang_id_ngram",
+    # (empty: the round-6 window absorbed all round-6 additions —
+    # the 7 late ones displaced an equal number of stale-refresh
+    # slots, listed for round 7 in queries/__init__.py.)
 }
 
 
