@@ -1128,23 +1128,41 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= 3
     )
-    tris = F.expr(
-        "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
-        " i -> substring(lower(text), i, 3))"
+    # lower(text) hoists to a column BEFORE the per-element lambda —
+    # inside transform() an enclosing expression re-evaluates per
+    # element (the shingling lesson, README), turning O(n) lowering
+    # into O(n·len).
+    low = d.select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("lt")
     )
-    tg = d.select(
+    tris = F.expr(
+        "transform(sequence(1, greatest(length(lt) - 2, 1)),"
+        " i -> substring(lt, i, 3))"
+    )
+    tg = low.select(
         "doc_id", "lang", F.explode(tris).alias("tri")
     )
+    # ONE explode + one hash agg serves both consumers: per-(doc, tri)
+    # counts roll up to the language profiles (sum of k ≡ raw
+    # occurrence counts) AND are already the distinct (doc, tri) frame
+    # the scoring join needs — without this, the corpus-scale explode
+    # executed twice (profile agg + distinct), benched 6.5 s → 2.9 s
+    # at sf0.1.
+    tf = (
+        tg.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
     top = (
-        tg.groupBy(F.col("lang").alias("plang"), "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tf.groupBy(F.col("lang").alias("plang"), "tri")
+        .agg(F.sum("k").alias("cnt"))
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("tri"))
         ))
         .filter(F.col("rn") <= 20)
         .select("plang", "tri")
     )
-    dt = tg.distinct()
+    dt = tf.select("doc_id", "lang", "tri")
     hit = lambda lang: F.count(  # noqa: E731
         F.when(F.col("plang") == lang, F.lit(1))
     )
