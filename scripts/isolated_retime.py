@@ -105,6 +105,11 @@ def main() -> None:
         print(json.dumps(results, separators=(",", ":")))
         return
     results = {name: time_one(name) for name in args}
+    # Single-process mode (one or more names in THIS process) records
+    # its numbers too — previously only --all-movers merged, so ad-hoc
+    # re-times silently vanished from the artifact.
+    if results:
+        merge_sidecar(results)
     print(json.dumps(results, separators=(",", ":")))
 
 
