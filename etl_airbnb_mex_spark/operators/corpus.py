@@ -582,3 +582,54 @@ def heavy_hitters(
         .select("token", "cnt")
         .orderBy(F.desc("cnt"), "token")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG/pretraining document chunking: fixed ``window``-token chunks
+    every ``stride`` tokens (overlap = window - stride), ragged last
+    chunk, every token covered — chunk starts run to
+    ceil(max(n - window, 0) / stride), so the final chunk always
+    reaches the end of the document. Pure in-row fan-out (explode of a
+    sequence of starts + slice); the explode factor is ~n/stride per
+    document, bounded by document length, never corpus-shaped.
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_md5) — content
+    compares as md5 so downstream (and the oracle) hash chunks
+    without shipping token arrays.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(window), F.lit(0)) / F.lit(float(stride))
+        ).cast("int")
+    )
+    t = docs.select(
+        id_col,
+        toks.alias("__toks"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("__idxs"),
+    )
+    c = t.select(
+        id_col,
+        F.explode("__idxs").alias("__i"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.col("__i").cast("bigint").alias("chunk_idx"),
+        F.slice(
+            F.col("__toks"), F.col("__i") * stride + 1, window
+        ).alias("__chunk"),
+    )
+    return c.select(
+        id_col,
+        "chunk_idx",
+        F.size("__chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_md5"),
+    )

@@ -146,36 +146,11 @@ _CHUNK_S = 48  # stride (W - S = 16 tokens of overlap)
     "without shipping it.",
 )
 def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    n = F.size(toks)
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(
-            F.greatest(n - F.lit(_CHUNK_W), F.lit(0)) / F.lit(float(_CHUNK_S))
-        ).cast("int")
-    )
-    t = d.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.sequence(F.lit(0), n_chunks - 1).alias("idxs"),
-    )
-    c = t.select(
-        "doc_id",
-        F.explode("idxs").alias("i"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        F.col("i").cast("bigint").alias("chunk_idx"),
-        F.slice(
-            F.col("toks"), F.col("i") * _CHUNK_S + 1, _CHUNK_W
-        ).alias("chunk"),
-    )
-    return c.select(
-        "doc_id",
-        "chunk_idx",
-        F.size("chunk").cast("bigint").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    from ..operators.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id", "text", window=_CHUNK_W, stride=_CHUNK_S,
     ).orderBy("doc_id", "chunk_idx")
 
 

@@ -316,3 +316,46 @@ def test_split_leakage_counts_reconcile(spark, sf_dir):
     leak = _run(spark, sf_dir, "split_leakage_audit")
     sem = _run(spark, sf_dir, "semantic_dedup_clusters")
     assert int(leak["n_pairs"].sum()) == int(sem["n_dup_pairs"].sum())
+
+
+def test_chunker_property_matches_python_model(spark):
+    """Property check on the reusable chunker: for documents of every
+    boundary-relevant token count (and a few odd ones), chunk count,
+    per-chunk sizes, and content hashes all match a pure-Python
+    reference model."""
+    import hashlib
+
+    from etl_airbnb_mex_spark.operators.corpus import chunk_documents
+
+    W, S = 8, 5
+    counts = [1, 2, 7, 8, 9, 12, 13, 14, 20, 21, 33]
+    docs = [
+        (i, " ".join(f"t{i}w{j}" for j in range(n)))
+        for i, n in enumerate(counts)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (
+        chunk_documents(sdf, "doc_id", "text", window=W, stride=S)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    for i, n in enumerate(counts):
+        toks = [f"t{i}w{j}" for j in range(n)]
+        starts = []
+        s0 = 0
+        while True:
+            starts.append(s0)
+            if s0 + W >= n:
+                break
+            s0 += S
+        # model must agree with the closed form the operator uses
+        assert len(starts) == 1 + -(-max(n - W, 0) // S)
+        grp = got[got.doc_id == i]
+        assert len(grp) == len(starts)
+        for idx, st in enumerate(starts):
+            chunk = toks[st:st + W]
+            row = grp[grp.chunk_idx == idx].iloc[0]
+            assert row["n_tokens"] == len(chunk)
+            assert row["chunk_md5"] == hashlib.md5(
+                " ".join(chunk).encode()
+            ).hexdigest()

@@ -1869,3 +1869,69 @@ def test_snapshot_diff_classifies_all_four(spark):
     }
     # NULL == NULL must classify as unchanged (null-safe compare)
     assert out == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Runtime evidence for the AQE half of the skew story
+    (join_salted_skew is the manual half): under adaptive execution
+    with a forced-low skew threshold, a join against a heavily skewed
+    key is re-planned at runtime — the final adaptive plan reads the
+    skewed shuffle partition in slices (AQEShuffleRead ... skewed)
+    instead of giving one straggler task the whole hot key."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    n_hot, n_cold = 200_000, 50
+    left = spark.range(n_hot + n_cold).select(
+        F.when(F.col("id") < n_hot, 0)
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("payload"),
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(50)), "dim": list(range(50))})
+    )
+    prev = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS frame (count() would build and run a
+        # different, aggregated plan), making the AdaptiveSparkPlan
+        # final so the runtime skew re-plan is visible.
+        assert len(joined.collect()) == n_hot + n_cold
+        final_plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "AQEShuffleRead skewed" in final_plan
+    finally:
+        for c, v in prev.items():
+            spark.conf.set(c, v)
