@@ -427,30 +427,38 @@ def stream_session_state(
         start, last, n = (
             state.get if state.exists else (None, None, 0)
         )
+        # Gather ALL chunks before sorting: one micro-batch may deliver
+        # a key's rows as several Arrow chunks with no ordering between
+        # them — folding chunk-by-chunk would record a wrong session
+        # start when a later chunk holds earlier events.
+        all_ts: list[int] = []
         for pdf in pdfs:
-            ts = (
-                pd.to_datetime(pdf[ts_col])
+            all_ts.extend(
+                int(t)
+                for t in pd.to_datetime(pdf[ts_col])
                 .astype("int64")
                 .floordiv(1000)
-                .sort_values()
             )
-            for t in ts:
-                t = int(t)
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last <= gap_us:
-                    last, n = max(last, t), n + 1
-                else:
-                    closed.append((key[0], start, last, n))
-                    start, last, n = t, t, 1
-        state.update((start, last, n))
-        # Event-time timeout: fire once the watermark passes the point
-        # after which this session could still be extended. Spark
-        # rejects a timeout at-or-behind the current watermark (the
-        # session was already un-extendable when folded) — clamp one
-        # ms past it so the close fires on the next watermark advance.
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max((last + gap_us) // 1000, wm_ms + 1))
+        for t in sorted(all_ts):
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = max(last, t), n + 1
+            else:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+        if start is not None:
+            state.update((start, last, n))
+            # Event-time timeout: fire once the watermark passes the
+            # point after which this session could still be extended.
+            # Spark rejects a timeout at-or-behind the current
+            # watermark (the session was already un-extendable when
+            # folded) — clamp one ms past it so the close fires on the
+            # next watermark advance.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max((last + gap_us) // 1000, wm_ms + 1)
+            )
         yield pd.DataFrame(
             closed,
             columns=[
