@@ -58,9 +58,12 @@ def corpus_pipeline(
             <= max_repetition
         )
     )
+    # Two consumers (the md5 dedup build and the semi-join probe) —
+    # without truncation the in-row gates + the PII regex chain (the
+    # CPU-heaviest projection in the chain) re-execute per consumer.
     scrubbed = gated.select(
         id_col, pii_scrub(text_col).alias(text_col)
-    )
+    ).localCheckpoint(eager=False)
     exact_survivors = dedup_text_exact(scrubbed, text_col, id_col).select(
         id_col
     )
