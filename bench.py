@@ -248,6 +248,7 @@ def main() -> None:
             spark.read.parquet(path).count()
 
     timings: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
     # Three passes: pass 0 warms JIT/codegen/page cache (standard
     # steady-state benchmarking; the DuckDB oracle likewise benefits from
     # a warm OS cache); the recorded number is the MIN of passes 1-2 —
@@ -256,15 +257,26 @@ def main() -> None:
     # reports steady-state capability instead of scheduler luck.
     for recorded in (False, True, True):
         for name in HEADLINE:
+            if name in query_errors:
+                continue  # already failed in an earlier pass
             spec = REGISTRY[name]
-            start = time.perf_counter()
-            df = spec.spark(spark, SF_DIR)
-            # Full materialization to the driver (not count(): Catalyst
-            # would drop sorts/projections and under-measure). toPandas
-            # uses the Arrow path — the realistic consumption cost, not
-            # per-Row Python object construction.
-            n = len(df.toPandas())
-            elapsed = time.perf_counter() - start
+            try:
+                start = time.perf_counter()
+                df = spec.spark(spark, SF_DIR)
+                # Full materialization to the driver (not count():
+                # Catalyst would drop sorts/projections and
+                # under-measure). toPandas uses the Arrow path — the
+                # realistic consumption cost, not per-Row Python
+                # object construction.
+                n = len(df.toPandas())
+                elapsed = time.perf_counter() - start
+            except Exception as exc:  # noqa: BLE001
+                # One broken query must NOT kill the whole artifact
+                # (the round-3 "parsed": null disaster class): record
+                # the failure and keep the headline line parseable.
+                query_errors[name] = repr(exc)[:300]
+                print(f"# {name}: FAILED {exc!r}"[:400], file=sys.stderr)
+                continue
             if recorded:
                 prev = timings.get(name)
                 timings[name] = round(
@@ -283,11 +295,17 @@ def main() -> None:
     for recorded in (False, True, True):
         for name in HEADLINE:
             spec = REGISTRY[name]
-            if spec.oracle is None:
+            if spec.oracle is None or f"oracle:{name}" in query_errors:
                 continue
-            start = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            elapsed = time.perf_counter() - start
+            try:
+                start = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                elapsed = time.perf_counter() - start
+            except Exception as exc:  # noqa: BLE001
+                query_errors[f"oracle:{name}"] = repr(exc)[:300]
+                print(f"# oracle:{name}: FAILED {exc!r}"[:400],
+                      file=sys.stderr)
+                continue
             if recorded:
                 prev = oracle_timings.get(name)
                 oracle_timings[name] = round(
@@ -321,7 +339,10 @@ def main() -> None:
         "oracle": oracle_timings,
         "pipeline": pipeline,
         "bench_commit": head,
+        "sf": sf,
     }
+    if query_errors:
+        sidecar["errors"] = query_errors
     try:
         with open("BENCH_SIDECAR.json") as f:
             prior = json.load(f)
