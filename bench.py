@@ -27,7 +27,9 @@ def _git_head() -> str:
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip() or "unknown"
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # TimeoutExpired is not an OSError; a hung git must not crash
+        # the run after all measurements completed.
         return "unknown"
 
 #: Headline set: one per operator family (SURVEY.md §2) — scan+agg+window,

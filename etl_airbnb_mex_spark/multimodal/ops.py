@@ -529,4 +529,9 @@ def video_frame_dedup(
                     rows["kept"].append(kept)
         yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, _VFRAME_SCHEMA)
+    # Per-kind gate first, like image_dhash/audio_features: on a mixed
+    # media table an image/audio payload would make _iter_pngseq raise
+    # before any video row is reached.
+    return df.filter(df["kind"] == "video").mapInPandas(
+        batches, _VFRAME_SCHEMA
+    )

@@ -550,8 +550,10 @@ _KS_BINS = 200
       SELECT min(value) AS lo, max(value) AS hi FROM events
       WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
     binned AS (
-      SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_KS_BINS}))
-                        AS BIGINT), {_KS_BINS - 1}) AS bin,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo)
+                                        / ((hi - lo) / {_KS_BINS}))
+                                  AS BIGINT), {_KS_BINS - 1}) END AS bin,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
              CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS c2
       FROM events, lim
@@ -593,9 +595,18 @@ def ks_drift_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / _KS_BINS
     binned = ev.crossJoin(F.broadcast(lim)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
-            F.lit(_KS_BINS - 1),
+        # Degenerate guard: when every surviving value is equal the bin
+        # width is 0 and x/0.0 is NaN/Inf (Spark floors it to NULL,
+        # DuckDB errors) — collapse to bin 0 for a graceful 0-drift
+        # result on both engines.
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) / width
+                ).cast("long"),
+                F.lit(_KS_BINS - 1),
+            )
         ).alias("bin"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("c2"),

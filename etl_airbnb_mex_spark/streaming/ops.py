@@ -443,7 +443,12 @@ def stream_session_state(
             if start is None:
                 start, last, n = t, t, 1
             elif t - last <= gap_us:
-                last, n = max(last, t), n + 1
+                # A cross-batch late event (behind the stored session
+                # start but inside the watermark) must pull the start
+                # back too, or the emitted session_start diverges from
+                # the batch sessionizer's — min() keeps the promised
+                # batch-equivalence.
+                start, last, n = min(start, t), max(last, t), n + 1
             else:
                 closed.append((key[0], start, last, n))
                 start, last, n = t, t, 1

@@ -74,7 +74,7 @@ def merge_sidecar(results: dict[str, float]) -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10, cwd=REPO,
         ).stdout.strip()
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
         head = ""
     if head:
         sidecar["isolated_commit"] = head
