@@ -62,80 +62,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
 #: rotate to the entries with the weakest driver provenance. After
-#: round 5 every oracle-bearing entry has a green driver row from some
-#: round. Round-6 window = the 23 round-6 additions (TPC-H suite +
-#: LLM-prep batch, never driver-checked) + 27 refresh slots for the
-#: entries whose implementing files changed most recently after their
-#: last green row (joins.py r4+r5: the r3 join family; dedup.py /
-#: corpus.py / timeseries.py / setops.py r4: their r2/r3 rows).
-#: Still-stale after this window (code unchanged since r2, lowest
-#: risk): the functions-family F1-F21 rows in queries/core.py —
-#: rotate those in round 7.
+#: round 6, every oracle-bearing entry has a green driver row from some
+#: round and 0 failures remain — round 7 closes PROVENANCE: the 3
+#: entries with no driver row EVER (the new video_frame_dedup plus
+#: dedup_simhash / ngram_jaccard, previously demoted to the tail and
+#: thus never inside a window), the one entry whose code changed this
+#: round (ks_drift_binned: degenerate zero-width guard), then the
+#: STALEST green rows oldest-first — all 33 remaining r2 rows (the
+#: F1-F21 function family in queries/core.py, untouched since r2, plus
+#: the batch window twins whose timeseries.py changed r4) and the 13
+#: oldest r3 rows whose implementing files changed since (setops.py r4:
+#: set family + sample_stratified; corpus.py r4+r6: the text-function
+#: rows; windows.py: rank/moving-avg).
 _PRIORITY: tuple[str, ...] = (
-    # -- round-6 TPC-H decision-support suite (queries/decision.py) --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_margin",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    # -- round-6 LLM-prep batches (queries/llmprep.py) --
-    "lang_id_confusion",
-    "lang_id_ngram",
-    "doc_chunk_overlap",
-    "semantic_dedup_clusters",
-    "basket_lift",
-    "gini_concentration",
-    "rfm_segments",
+    # -- never driver-ran (VERDICT r6 "Next round" #1) --
+    "video_frame_dedup",   # NEW r7: rows-only multimodal driver surface
+    "dedup_simhash",
+    "ngram_jaccard",
+    # -- code changed r7 after its r6 row --
     "ks_drift_binned",
-    "hard_negative_mining",
-    "bigram_surprisal",
-    "split_leakage_audit",
-    "heavy_hitters_sketch",
-    "activity_streaks",
-    "golden_record_merge",
-    # -- refresh: joins.py changed r4+r5 after these r3 rows --
-    "join_asof",
-    "join_asof_forward",
-    "join_broadcast_dim",
-    "join_left_anti",
-    "join_left_semi",
-    "join_range_binned",
-    "join_range_theta",
-    "join_salted_skew",
-    # -- refresh: dedup.py changed r4 after these r2/r3 rows --
-    "dedup_minhash",
-    "near_dedup_corpus",
-    "decontaminate",
-    "dedup_by_key",
-    "dedup_text_exact",
-    "dup_fullrow_count",
-    "dup_key_count",
-    # -- refresh: corpus.py changed r4+r6 after this r3 row --
-    "bigram_topn",
-    # -- refresh: timeseries.py changed r4 after these r2/r3 rows --
-    "monthly_counts",
-    "date_range",
-    "interval_occupancy",
-    "scd2_intervals",
+    # -- r2-stale: F1-F21 function family (queries/core.py) --
+    "clean_price",
+    "map_categories",
+    "bool_encode",
+    "numeric_coerce",
+    "text_clean",
+    "string_length",
+    "title_case",
+    "date_parts",
+    "clean_price_null",
+    "bool_encode_narrow",
+    "parse_array",
+    "amenities_flags",
+    "date_normalize",
+    # -- r2-stale: core scan/filter/agg family (queries/core.py) --
+    "flagship_topn_pct",
+    "scan_limit",
+    "count_star",
+    "project_subset",
+    "filter_notnull",
+    "filter_quantile",
+    "filter_castable",
+    "groupby_multi_agg",
+    "conditional_agg",
+    # -- r2-stale: batch window twins (timeseries.py changed r4) --
+    "window_tumbling_agg",
+    "window_sliding_agg",
+    "window_session_agg",
+    # -- r2-stale: remaining r2 rows --
+    "agg_rollup",
+    "dataset_split",
+    "pivot_counts",
+    "token_topn",
+    "sentiment_score",
+    "sentiment_dist",
+    "token_count_bpe",
+    "quality_filter",
+    # -- r3-stale, files changed since (setops.py r4; corpus.py r4+r6;
+    #    windows.py) --
+    "set_union_by_name",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "sample_stratified",
+    "doc_fingerprint",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "pii_scrub",
+    "repetition_ratio",
+    "window_rank_topn",
+    "window_moving_avg",
 )
-# Displaced refresh candidates for the round-7 window (files changed
-# r4, rows r2/r3; displaced by the 7 late round-6 additions —
-# never-checked entries outrank stale refreshes): token_topn,
-# doc_fingerprint, set_union_by_name, set_intersect, set_except,
-# sample_stratified, dataset_split.
+# Still-stale after this window (r3 rows, lowest risk — queue for
+# round 8): group_collect, agg_cube, window_dense_rank,
+# window_first_last, window_ntile, window_cume_dist, json_extract,
+# agg_grouping_sets, embedding_centroids, window_range_frame,
+# join_multiway_revenue, subquery_above_avg, merge_upsert_snapshot,
+# unpivot_metrics, linreg_by_group, percentile_by_group,
+# sequence_pack, dq_checks, histogram_equidepth.
 
-_DEMOTED: tuple[str, ...] = ("dedup_simhash", "ngram_jaccard")
+#: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
+#: window (they were the last entries with no driver row ever). The
+#: mechanism stays for any future deliberately-tail-ordered demo.
+_DEMOTED: tuple[str, ...] = ()
 
 
 def _ordered() -> list[QuerySpec]:

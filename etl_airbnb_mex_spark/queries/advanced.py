@@ -915,6 +915,89 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_dedup",
+    None,  # binary media has no DuckDB twin; pytest verifies frame-exact
+    "Multimodal video frame-sample + temporal dedup on the driver "
+    "surface: per document a deterministic PNGSEQ1 container is built "
+    "from real PNG frames arranged as scene runs (scene pattern seeded "
+    "by (doc_id, scene); run lengths cycle 1..3 by doc_id), then "
+    "video_frame_dedup samples every frame, dhashes it (real PNG "
+    "decode, Arrow-batched) and collapses each static run to its first "
+    "frame (multimodal/ops.py:video_frame_dedup). The table is "
+    "MIXED-KIND (an image row per video row) so the kind gate is "
+    "exercised on the driver path too. Output: one row per video with "
+    "sampled/kept counts — kept equals the planted scene count.",
+)
+def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.ops import (
+        MEDIA_SCHEMA,
+        pack_video_pngseq,
+        video_frame_dedup,
+    )
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n = min(int(n_docs), 60)
+
+    def render_video(doc_id: int) -> "bytes":
+        import numpy as np
+
+        n_scenes = 2 + doc_id % 3
+        run_len = 1 + doc_id % 3
+        frames = []
+        for scene in range(n_scenes):
+            blocks = np.random.RandomState(doc_id * 101 + scene).randint(
+                0, 256, (8, 8)
+            )
+            frame = np.kron(blocks, np.ones((2, 2))).astype("uint8")
+            # Static run: repeat the scene frame with a 1-bit pixel
+            # nudge so dup frames are near- (not byte-) identical.
+            for rep in range(run_len):
+                f = frame.copy()
+                f[0, 0] ^= rep & 1
+                frames.append(f)
+        return pack_video_pngseq(frames)
+
+    def render_image(doc_id: int) -> "bytes":
+        import numpy as np
+
+        from ..multimodal.codecs import png_encode
+
+        blocks = np.random.RandomState(doc_id).randint(0, 256, (8, 8))
+        return png_encode(
+            np.kron(blocks, np.ones((2, 2))).astype("uint8")
+        )
+
+    rows = []
+    for i in range(n):
+        n_scenes = 2 + i % 3
+        run_len = 1 + i % 3
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(render_video(i)),
+                (16, 16, None, n_scenes * run_len, "pngseq"),
+            )
+        )
+        # Mixed-kind poison row: without the kind=='video' gate the
+        # PNGSEQ1 iterator would raise on this plain PNG payload.
+        rows.append(
+            (10_000 + i, "image", bytearray(render_image(i)),
+             (16, 16, None, 1, "png"))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = video_frame_dedup(media, every_n=1, max_hamming=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "event_transitions",
     """
     WITH seq AS (

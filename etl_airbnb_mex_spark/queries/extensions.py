@@ -1161,7 +1161,10 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
-        n=3, threshold=0.2, max_ids=100,
+        # 0.02: the synthetic docs are near-unique (max observed 3-gram
+        # Jaccard ~0.03 at sf0.01), so the demo returns a non-empty pair
+        # set the driver's rows-only check can actually witness.
+        n=3, threshold=0.02, max_ids=100,
     )
 
 

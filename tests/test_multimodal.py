@@ -406,3 +406,23 @@ def test_video_pngseq_frame_dedup(spark):
     )
     assert out2["frame_no"].tolist() == [0, 2, 4]
     assert out2["kept"].all()
+
+
+def test_video_frame_dedup_driver_query(spark, sf_dir):
+    """The rows-only driver registration (queries/advanced.py): per
+    planted video, kept == scene count and sampled == scenes*run_len;
+    the mixed-kind poison image rows prove the kind gate on the driver
+    path (without it _iter_pngseq would raise on the PNG payloads)."""
+    from etl_airbnb_mex_spark.queries import all_queries
+
+    out = (
+        all_queries()["video_frame_dedup"](spark, sf_dir)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    assert len(out) > 0
+    for r in out.itertuples():
+        scenes = 2 + r.media_id % 3
+        run_len = 1 + r.media_id % 3
+        assert r.n_kept == scenes
+        assert r.n_sampled == scenes * run_len

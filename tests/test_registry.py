@@ -104,9 +104,11 @@ def test_ordering_is_complete_and_stable():
     names = list(all_queries())
     assert len(names) == len(set(names))
     assert set(names) == set(REGISTRY)
-    # demoted demos trail everything else
-    tail = names[-len(_DEMOTED):]
-    assert tail == [n for n in _DEMOTED if n in REGISTRY]
+    # demoted demos trail everything else (vacuous while _DEMOTED is
+    # empty — the r7 window absorbed the last two demoted entries)
+    if _DEMOTED:
+        tail = names[-len(_DEMOTED):]
+        assert tail == [n for n in _DEMOTED if n in REGISTRY]
     # oracle map iterates in the same order, filtered
     oracle_names = list(all_oracle_sql())
     filtered = [n for n in names if REGISTRY[n].oracle is not None]
@@ -254,6 +256,89 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
         "repartition the window or, if its input is provably "
         "metadata-scale, audit it into _GLOBAL_WINDOW_OK"
     )
+    assert not stale, (
+        f"allowlisted but no longer flagged (remove): {sorted(stale)}"
+    )
+
+
+#: Queries whose physical plan legitimately evaluates Python — every
+#: entry is Arrow-batched (pandas_udf → ArrowEvalPython, mapInPandas →
+#: MapInPandas), never row-at-a-time. Audited (VERDICT.md r6 "What's
+#: wrong" #2: the two pandas_udfs measured 8×/2.4× over the interpreted
+#: higher-order-function forms they replaced):
+#:   cosine_near_dup / knn_cosine_lsh / split_leakage_audit — pair-dot
+#:     einsum + LSH sign-sketch pandas_udfs (operators/similarity.py).
+#:   unicode_normalize — NFC needs unicodedata (no builtin equivalent).
+#:   heavy_hitters_sketch — per-partition Misra-Gries summaries
+#:     (vectorized mapInPandas; operators/corpus.py).
+#:   image_near_dup / video_frame_dedup — real PNG/PNGSEQ1 codec work
+#:     over binary columns (multimodal/ops.py).
+_PYTHON_EVAL_OK: dict[str, set[str]] = {
+    "cosine_near_dup": {"ArrowEvalPython"},
+    "knn_cosine_lsh": {"ArrowEvalPython"},
+    "split_leakage_audit": {"ArrowEvalPython"},
+    "unicode_normalize": {"ArrowEvalPython"},
+    "heavy_hitters_sketch": {"MapInPandas"},
+    "image_near_dup": {"MapInPandas"},
+    "video_frame_dedup": {"MapInPandas"},
+}
+
+_PYTHON_EVAL_NODES = (
+    "BatchEvalPython",       # row-at-a-time UDF — NEVER allowed
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+    "ApplyInPandasWithState",
+)
+
+
+def test_no_row_at_a_time_python_in_any_plan(spark, sf_dir):
+    """Python-eval plan guard (VERDICT.md r6, "Next round" #3): the
+    CartesianProduct/BNLJ/global-Window guards cannot see an
+    accidentally-interpreted row-at-a-time UDF. Walk every registered
+    query's physical plan: ``BatchEvalPython`` (per-row Python, ~10-100×
+    slower than Arrow) is banned outright; the Arrow-batched node types
+    are allowed only for the audited entries in ``_PYTHON_EVAL_OK``.
+    Set-equality both directions keeps the allowlist honest."""
+    import re
+
+    def python_nodes(df) -> set[str]:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        return {
+            pat for pat in _PYTHON_EVAL_NODES
+            if re.search(r"\b" + pat, plan)
+        }
+
+    flagged: dict[str, set[str]] = {}
+    for name, fn in all_queries().items():
+        nodes = python_nodes(fn(spark, sf_dir))
+        if nodes:
+            flagged[name] = nodes
+
+    row_wise = {n for n, v in flagged.items() if "BatchEvalPython" in v}
+    assert not row_wise, (
+        f"row-at-a-time Python UDF (BatchEvalPython) in: {sorted(row_wise)}"
+        " — rewrite as a pandas_udf / builtin expression"
+    )
+    new = {
+        n: sorted(v) for n, v in flagged.items()
+        if v - _PYTHON_EVAL_OK.get(n, set())
+    }
+    assert not new, (
+        f"unaudited Python evaluation in plans: {new} — builtin "
+        "expressions first; audit into _PYTHON_EVAL_OK only with an "
+        "Arrow-batched justification"
+    )
+    stale = {
+        n for n in _PYTHON_EVAL_OK
+        if n not in flagged or not (_PYTHON_EVAL_OK[n] & flagged.get(n, set()))
+    }
     assert not stale, (
         f"allowlisted but no longer flagged (remove): {sorted(stale)}"
     )
