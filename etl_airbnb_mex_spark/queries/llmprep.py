@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _pair_dot_udf, norm
 from ..tables import load_table
 from . import register
 
@@ -192,49 +191,26 @@ def doc_chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "double, rounded 6dp before the cut (knn_cosine convention).",
 )
 def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cluster_pair_cosines
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    # Norms compute ONCE per vector (n rows), not once per pair
-    # (cluster-size² rows); the pair stage then needs only the dot,
-    # which runs as cosine_near_dup's Arrow-batched einsum — the
-    # interpreted aggregate(zip_with(...)) per pair benched ~2x slower
-    # at sf0.1. Rounded-6dp cosine matches DuckDB's
-    # list_cosine_similarity (same convention as cosine_near_dup,
-    # oracle-green since r4).
-    normed = e.select(
-        "vec_id", "label", "v", norm(F.col("v")).alias("__n")
-    ).localCheckpoint(eager=False)
-    a = normed.select(
-        F.col("label"),
-        F.col("vec_id").alias("ka"),
-        F.col("v").alias("va"),
-        F.col("__n").alias("__na"),
-    )
-    b = normed.select(
-        F.col("label").alias("__lb"),
-        F.col("vec_id").alias("kb"),
-        F.col("v").alias("vb"),
-        F.col("__n").alias("__nb"),
-    )
-    pair_dot = _pair_dot_udf()
+    # Pair stage = one BLAS gram matrix per cluster (grouped
+    # applyInPandas): each vector shuffles ONCE to its cluster's task
+    # instead of fanning out as cluster-size² pair rows with two
+    # payload vectors each — 3-4× over the r6 join+einsum form at
+    # sf0.1, more at higher cluster counts. The engine-side
+    # F.round(..., 6) >= 0.4 cut keeps Spark's HALF_UP rounding, so
+    # oracle parity with list_cosine_similarity is unchanged
+    # (operators/similarity.py:cluster_pair_cosines).
     pairs = (
-        a.join(
-            b,
-            (a["label"] == b["__lb"]) & (F.col("ka") < F.col("kb")),
-        )
-        .filter(
-            F.round(
-                pair_dot(F.col("va"), F.col("vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            )
-            >= 0.4
-        )
+        cluster_pair_cosines(e, threshold=0.4)
+        .filter(F.round(F.col("cos_raw"), 6) >= 0.4)
         .select("label", "ka", "kb")
         # two downstream consumers (pair counts + removed counts)
-        # would re-run the cluster²-pair cosine join twice without
-        # lineage truncation
+        # would re-run the cluster² pair stage twice without lineage
+        # truncation
         .localCheckpoint(eager=False)
     )
     pair_counts = pairs.groupBy("label").agg(
@@ -847,6 +823,7 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setops import split_by_hash
+    from ..operators.similarity import cluster_pair_cosines
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
@@ -855,37 +832,13 @@ def split_leakage_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = split_by_hash(
         e, "vec_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    normed = s.select(
-        "vec_id", "label", "v", "split", norm(F.col("v")).alias("__n")
-    ).localCheckpoint(eager=False)
-    a = normed.select(
-        F.col("label"),
-        F.col("vec_id").alias("ka"),
-        F.col("v").alias("va"),
-        F.col("__n").alias("__na"),
-        F.col("split").alias("split_a"),
-    )
-    b = normed.select(
-        F.col("label").alias("__lb"),
-        F.col("vec_id").alias("kb"),
-        F.col("v").alias("vb"),
-        F.col("__n").alias("__nb"),
-        F.col("split").alias("split_b"),
-    )
-    pair_dot = _pair_dot_udf()
+    # Same per-cluster gram-matrix pair stage as
+    # semantic_dedup_clusters; the split column rides through as a
+    # carry, so no join-back is needed to label each pair's endpoints
+    # (ka < kb inside the task == the oracle's a.vec_id < b.vec_id).
     return (
-        a.join(
-            b,
-            (a["label"] == b["__lb"]) & (F.col("ka") < F.col("kb")),
-        )
-        .filter(
-            F.round(
-                pair_dot(F.col("va"), F.col("vb"))
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            )
-            >= 0.4
-        )
+        cluster_pair_cosines(s, threshold=0.4, carry_cols=("split",))
+        .filter(F.round(F.col("cos_raw"), 6) >= 0.4)
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("split_a", "split_b")

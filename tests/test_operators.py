@@ -1935,3 +1935,76 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
     finally:
         for c, v in prev.items():
             spark.conf.set(c, v)
+
+
+def test_cluster_pair_cosines_matches_bruteforce(spark):
+    """The per-cluster gram-matrix pair stage (r7 rewrite behind
+    semantic_dedup_clusters / split_leakage_audit) against an
+    independent per-pair python model: same pair set after the
+    engine-side round(.,6) >= threshold cut, same carry endpoints,
+    cross-cluster pairs never emitted, NULL/ragged vectors dropped."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.operators.similarity import (
+        cluster_pair_cosines,
+    )
+
+    rows = []
+    # three clusters; values chosen to span near-1, mid, negative and
+    # sub-threshold cosines
+    vecs = {
+        0: [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])],
+        1: [(10, [1.0, 1.0, 0.0]), (11, [1.0, 1.0, 0.1]),
+            (12, None)],                     # NULL dropped
+        2: [(20, [1.0, 0.0]), (21, [0.5, 0.5, 0.5])],  # ragged: the
+        # off-dimension vector drops, leaving <2 rows -> no pairs
+    }
+    for label, vs in vecs.items():
+        for vid, v in vs:
+            rows.append((vid, label, v))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+    got = {
+        (r.label, r.ka, r.kb)
+        for r in cluster_pair_cosines(df, threshold=0.4)
+        .filter(F.round(F.col("cos_raw"), 6) >= 0.4)
+        .collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    exp = set()
+    for label, vs in vecs.items():
+        clean = [(i, v) for i, v in vs if v is not None]
+        dim = max((len(v) for _, v in clean), default=0)
+        clean = [(i, v) for i, v in clean if len(v) == dim]
+        for x in range(len(clean)):
+            for y in range(x + 1, len(clean)):
+                (ia, va), (ib, vb) = clean[x], clean[y]
+                if round(cos(va, vb), 6) >= 0.4:
+                    exp.add((label, min(ia, ib), max(ia, ib)))
+    assert got == exp
+    assert (2, 20, 21) not in got  # ragged cluster emitted nothing
+
+    # carry columns label both endpoints in id order
+    df2 = df.withColumn(
+        "split", F.when(F.col("vec_id") % 2 == 0, "train").otherwise("test")
+    )
+    carried = {
+        (r.ka, r.kb): (r.split_a, r.split_b)
+        for r in cluster_pair_cosines(
+            df2, threshold=0.4, carry_cols=("split",)
+        )
+        .filter(F.round(F.col("cos_raw"), 6) >= 0.4)
+        .collect()
+    }
+    for (ka, kb), (sa, sb) in carried.items():
+        assert sa == ("train" if ka % 2 == 0 else "test")
+        assert sb == ("train" if kb % 2 == 0 else "test")
