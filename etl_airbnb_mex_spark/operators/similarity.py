@@ -157,37 +157,6 @@ def _lsh_bucket_udf(planes: list[list[float]], bits_per_table: int):
     return pandas_udf(buckets, "array<bigint>")
 
 
-def _pair_dot_udf():
-    """Arrow-batched pairwise dot product: ONE numpy einsum per batch.
-    Same rationale as :func:`_lsh_bucket_udf` — with hundreds of
-    thousands of candidate pairs the interpreted higher-order
-    ``aggregate(zip_with(...))`` dominates the near-dup residual
-    (measured 6.7 s → 2.9 s at sf0.1); norms are precomputed per vector
-    so the pair stage only needs the dot. NULL/ragged rows yield NaN
-    (filtered by the threshold compare, which is NULL-rejecting)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    def pair_dot(a, b):
-        la, lb = a.tolist(), b.tolist()
-        out = np.full(len(la), np.nan)
-        good = [
-            i for i in range(len(la))
-            if la[i] is not None and lb[i] is not None
-            and len(la[i]) == len(lb[i])
-        ]
-        if good:
-            va = np.asarray([la[i] for i in good], dtype="float64")
-            vb = np.asarray([lb[i] for i in good], dtype="float64")
-            out[good] = np.einsum("ij,ij->i", va, vb)
-        return pd.Series(out)
-
-    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series,
-                                "return": pd.Series}
-    return pandas_udf(pair_dot, "double")
-
-
 def knn_cosine_lsh(
     df: DataFrame,
     query_df: DataFrame,
@@ -454,38 +423,26 @@ def cosine_near_dup_bucketed(
     # and the guard per side (the same invariant-frame discipline as
     # PageRank's edge checkpoint).
     sigs = sigs.localCheckpoint(eager=False)
-    a = sigs.select("t", "b", F.col("id").alias("id_a"))
-    c = sigs.select("t", "b", F.col("id").alias("id_b"))
-    cand = (
-        a.join(c, ["t", "b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Residual = one BLAS gram matrix per (table, bucket) group
+    # (cluster_pair_cosines): each vector ships L times (once per
+    # table it buckets into) instead of once per CANDIDATE PAIR — at
+    # occupancy m that is L·n vector-rows shuffled vs Σ m²/2 pair rows
+    # each dragging two d-double payloads, and the m²/2 dots run as a
+    # single dgemm instead of per-pair einsum rows (r7: sf0.1 wall
+    # 5.2s → 1.5s on the registered 4-bit form). A pair co-bucketing
+    # in several tables is computed once per table; max() collapses
+    # the duplicates (deterministic — the values differ at most in the
+    # last ulp from BLAS blocking, and the 6-dp round erases that).
+    sig_vec = sigs.join(base, "id")
+    pairs = cluster_pair_cosines(
+        sig_vec, label_col=("t", "b"), id_col="id", vec_col="v",
+        threshold=threshold,
     )
-    normed = base.select("id", "v", norm(F.col("v")).alias("__n"))
-    x = normed.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    y = normed.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    pair_dot = _pair_dot_udf()
     return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                pair_dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
-                dp,
-            ).alias("cosine_sim"),
+        pairs.groupBy(
+            F.col("ka").alias("id_a"), F.col("kb").alias("id_b")
         )
+        .agg(F.round(F.max("cos_raw"), dp).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -688,7 +645,7 @@ def quantize_embeddings_int8(
 
 def cluster_pair_cosines(
     df: DataFrame,
-    label_col: str = "label",
+    label_col: str | tuple[str, ...] = "label",
     id_col: str = "vec_id",
     vec_col: str = "v",
     threshold: float = 0.4,
@@ -725,9 +682,12 @@ def cluster_pair_cosines(
 
     import numpy as np  # noqa: F401 — driver-side presence check
 
+    label_cols = (
+        (label_col,) if isinstance(label_col, str) else tuple(label_col)
+    )
     in_schema = df.schema
-    fields = [
-        in_schema[label_col],
+    fields = [in_schema[c] for c in label_cols]
+    fields += [
         T.StructField("ka", T.LongType()),
         T.StructField("kb", T.LongType()),
         T.StructField("cos_raw", T.DoubleType()),
@@ -760,17 +720,15 @@ def cluster_pair_cosines(
         hit = C[ii, jj] >= pre_cut
         ii, jj = ii[hit], jj[hit]
         out = {
-            label_col: pdf[label_col].iloc[0].repeat(len(ii))
-            if hasattr(pdf[label_col].iloc[0], "repeat")
-            else [pdf[label_col].iloc[0]] * len(ii),
-            "ka": ids[ii],
-            "kb": ids[jj],
-            "cos_raw": C[ii, jj],
+            c: [pdf[c].iloc[0]] * len(ii) for c in label_cols
         }
+        out.update(
+            {"ka": ids[ii], "kb": ids[jj], "cos_raw": C[ii, jj]}
+        )
         for c in carry_cols:
             vals = pdf[c].to_numpy()
             out[f"{c}_a"] = vals[ii]
             out[f"{c}_b"] = vals[jj]
         return pd.DataFrame(out, columns=out_cols)
 
-    return df.groupBy(label_col).applyInPandas(per_cluster, out_schema)
+    return df.groupBy(*label_cols).applyInPandas(per_cluster, out_schema)

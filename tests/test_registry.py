@@ -266,20 +266,23 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
 #: MapInPandas), never row-at-a-time. Audited (VERDICT.md r6 "What's
 #: wrong" #2: the two pandas_udfs measured 8×/2.4× over the interpreted
 #: higher-order-function forms they replaced):
-#:   cosine_near_dup / knn_cosine_lsh — pair-dot einsum + LSH
-#:     sign-sketch pandas_udfs (operators/similarity.py).
-#:   split_leakage_audit — per-cluster BLAS gram matrix via grouped
-#:     applyInPandas (operators/similarity.py:cluster_pair_cosines; r7
-#:     rewrite, 16.1s→0.7s at sf1). semantic_dedup_clusters uses the
-#:     SAME operator but its pair frame is localCheckpoint'd, which
-#:     truncates the visible plan — the node can't be asserted there.
+#:   knn_cosine_lsh — LSH sign-sketch pandas_udf
+#:     (operators/similarity.py:_lsh_bucket_udf).
+#:   cosine_near_dup / split_leakage_audit — per-group BLAS gram matrix
+#:     via grouped applyInPandas
+#:     (operators/similarity.py:cluster_pair_cosines; r7 rewrite:
+#:     residual/pair stages compute as one dgemm per bucket/cluster —
+#:     16.1s→0.7s at sf1 for the leakage audit).
+#:     semantic_dedup_clusters uses the SAME grouped operator but its
+#:     pair frame is localCheckpoint'd, which truncates the visible
+#:     plan — the node can't be asserted there.
 #:   unicode_normalize — NFC needs unicodedata (no builtin equivalent).
 #:   heavy_hitters_sketch — per-partition Misra-Gries summaries
 #:     (vectorized mapInPandas; operators/corpus.py).
 #:   image_near_dup / video_frame_dedup — real PNG/PNGSEQ1 codec work
 #:     over binary columns (multimodal/ops.py).
 _PYTHON_EVAL_OK: dict[str, set[str]] = {
-    "cosine_near_dup": {"ArrowEvalPython"},
+    "cosine_near_dup": {"FlatMapGroupsInPandas"},
     "knn_cosine_lsh": {"ArrowEvalPython"},
     "split_leakage_audit": {"FlatMapGroupsInPandas"},
     "unicode_normalize": {"ArrowEvalPython"},
