@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, parallelize_scan
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -1057,9 +1057,15 @@ def golden_record_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang label, count-desc tiebreak-trigram — deterministic), each "
     "document scored by how many of its DISTINCT trigrams hit each "
     "profile, argmax with the fixed de/en/es/fr tie order, zero hits "
-    "→ 'und'. The 80-row profile BROADCASTS onto the distinct "
-    "(doc, trigram) frame — one trigram-keyed join, one doc agg; "
-    "trigram explode is in-row fan-out bounded by text length. "
+    "→ 'und'. Two-pass plan: the profile agg is keyed (lang, tri) so "
+    "its map-side combine collapses each task to its local trigram "
+    "VOCABULARY (alphabet-bounded) — the only shuffle is "
+    "metadata-scale regardless of corpus size; the learned 80-row "
+    "profile collects to the driver (the sort-rank offsets pattern) "
+    "and scoring runs entirely IN-ROW as contains() folds — a doc's "
+    "distinct-trigram hit count against a profile ≡ how many profile "
+    "trigrams its text contains. No corpus-scale (doc, tri) shuffle, "
+    "no join, no second pass over exploded rows. "
     "Output is the (actual, predicted) confusion matrix, comparable "
     "against lang_id_confusion's stopword tier.",
 )
@@ -1071,50 +1077,58 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside transform() an enclosing expression re-evaluates per
     # element (the shingling lesson, README), turning O(n) lowering
     # into O(n·len).
-    low = d.select(
-        "doc_id", "lang", F.lower(F.col("text")).alias("lt")
-    )
+    # parallelize_scan: a compressed single-file documents table scans
+    # as 1-2 splits — the trigram explode would serialize on one core
+    # (tables.py:parallelize_scan).
+    low = parallelize_scan(
+        d.select("doc_id", "lang", F.lower(F.col("text")).alias("lt")),
+        spark,
+    ).localCheckpoint(eager=False)
     tris = F.expr(
         "transform(sequence(1, greatest(length(lt) - 2, 1)),"
         " i -> substring(lt, i, 3))"
     )
-    tg = low.select(
-        "doc_id", "lang", F.explode(tris).alias("tri")
-    )
-    # ONE explode + one hash agg serves both consumers: per-(doc, tri)
-    # counts roll up to the language profiles (sum of k ≡ raw
-    # occurrence counts) AND are already the distinct (doc, tri) frame
-    # the scoring join needs — without this, the corpus-scale explode
-    # executed twice (profile agg + distinct), benched 6.5 s → 2.9 s
-    # at sf0.1.
-    tf = (
-        tg.groupBy("doc_id", "lang", "tri")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint(eager=False)
-    )
+    # Pass 1 — learn the profiles. The explode is the irreducible
+    # corpus scan, but keying the agg by (lang, tri) means partial
+    # aggregation reduces each task's output to its local trigram
+    # vocabulary before anything shuffles. 80 result rows (20 per
+    # language) come back to the driver — metadata-scale, like the
+    # 32-row partition-offset collects in the sort-rank family.
     top = (
-        tf.groupBy(F.col("lang").alias("plang"), "tri")
-        .agg(F.sum("k").alias("cnt"))
+        low.select("lang", F.explode(tris).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(
-            Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("tri"))
+            Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
         ))
         .filter(F.col("rn") <= 20)
-        .select("plang", "tri")
+        .select("lang", "tri")
+        .collect()
     )
-    dt = tf.select("doc_id", "lang", "tri")
-    hit = lambda lang: F.count(  # noqa: E731
-        F.when(F.col("plang") == lang, F.lit(1))
-    )
-    sc = (
-        dt.join(F.broadcast(top), "tri", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.min("lang").alias("lang"),
-            hit("de").alias("s_de"),
-            hit("en").alias("s_en"),
-            hit("es").alias("s_es"),
-            hit("fr").alias("s_fr"),
-        )
+    profiles: dict[str, list[str]] = {}
+    for r in top:
+        profiles.setdefault(r["lang"], []).append(r["tri"])
+
+    # Pass 2 — score in-row. "Number of DISTINCT doc trigrams hitting
+    # the profile" ≡ "number of profile trigrams the text contains":
+    # a shared trigram between two languages' profiles scores for
+    # both, exactly like the reference LEFT JOIN fan-out. 20
+    # contains() per language stay inside whole-stage codegen.
+    def hits(plang: str):
+        ts = profiles.get(plang, [])
+        if not ts:
+            return F.lit(0)
+        total = F.col("lt").contains(F.lit(ts[0])).cast("int")
+        for t in ts[1:]:
+            total = total + F.col("lt").contains(F.lit(t)).cast("int")
+        return total
+
+    sc = low.select(
+        "lang",
+        hits("de").alias("s_de"),
+        hits("en").alias("s_en"),
+        hits("es").alias("s_es"),
+        hits("fr").alias("s_fr"),
     )
     z = (
         (F.col("s_de") == 0) & (F.col("s_en") == 0)

@@ -54,6 +54,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen an under-split scan before CPU-heavy in-row fan-out.
+
+    Spark sizes scan partitions by BYTES (``maxPartitionBytes``), which
+    wildly underestimates the work downstream of a compressed text
+    column feeding an explode (a 6 MB zstd documents file is ~50× that
+    in trigram rows) — a handful of splits serializes the whole corpus
+    pass on a 32-core executor. When the scan yields fewer partitions
+    than the session's shuffle width, repartition up: the one-time
+    byte shuffle is linear in input size while the CPU it unblocks is
+    the len×fan-out multiple. At real multi-TB scale the input arrives
+    as thousands of splits and this is a no-op — the guard exists for
+    the small-file/compressed-text regime, the same reason production
+    pipelines repartition after reading gzip shards."""
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every available test table as a dict (the engine's 'named
     table set' — the Spark analogue of the reference's dict[str,

@@ -162,6 +162,8 @@ def run_tier(label: str) -> dict:
         out[name] = row
         gc.collect()
     for name, (spark_fn, sql) in _extra_queries().items():
+        if only and name not in only:
+            continue
         row = {}
         try:
             class _Spec:  # duck-typed QuerySpec for _time_spark
