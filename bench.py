@@ -118,6 +118,13 @@ HEADLINE = [
     "activity_streaks",
     "golden_record_merge",
     "lang_id_ngram",
+    # round 7: ML-eval / feature-prep batch
+    "roc_auc",
+    "psi_drift",
+    "woe_iv",
+    "calibration_bins",
+    "feature_hashing",
+    "mutual_info",
 ]
 
 

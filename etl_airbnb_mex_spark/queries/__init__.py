@@ -79,8 +79,22 @@ _PRIORITY: tuple[str, ...] = (
     "video_frame_dedup",   # NEW r7: rows-only multimodal driver surface
     "dedup_simhash",
     "ngram_jaccard",
-    # -- code changed r7 after its r6 row --
-    "ks_drift_binned",
+    # -- NEW r7 ML-eval batch (queries/mleval.py) — never-ran, so they
+    #    claim window slots ahead of stale refreshes --
+    "roc_auc",
+    "psi_drift",
+    "woe_iv",
+    "calibration_bins",
+    "feature_hashing",
+    "mutual_info",
+    # -- code changed r7 after its last row (behavior-relevant edits
+    #    outrank r3-stale refreshes: a changed-code entry with an old
+    #    green row is the weakest provenance class after never-ran) --
+    "ks_drift_binned",        # r7 zero-width guard
+    "lang_id_ngram",          # r7 two-pass in-row contains() rewrite
+    "cosine_near_dup",        # r7 per-bucket gram-matrix residual
+    "semantic_dedup_clusters",  # r7 cluster_pair_cosines rewrite
+    "split_leakage_audit",    # r7 cluster_pair_cosines rewrite
     # -- r2-stale: F1-F21 function family (queries/core.py) --
     "clean_price",
     "map_categories",
@@ -118,24 +132,21 @@ _PRIORITY: tuple[str, ...] = (
     "sentiment_dist",
     "token_count_bpe",
     "quality_filter",
-    # -- r3-stale, files changed since (setops.py r4; corpus.py r4+r6;
-    #    windows.py) --
-    "set_union_by_name",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
+    # -- r3-stale, files changed since (setops.py r4; windows.py).
+    #    The four set-ops and six corpus.py text-function rows ceded
+    #    their slots to the changed-in-r7 and never-ran-mleval blocks
+    #    above (never-ran > changed-code > stale-row; the ceded rows
+    #    are single-expression plans with green r3 rows — queued for
+    #    round 8) --
     "sample_stratified",
-    "doc_fingerprint",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "pii_scrub",
-    "repetition_ratio",
     "window_rank_topn",
     "window_moving_avg",
 )
 # Still-stale after this window (r3 rows, lowest risk — queue for
-# round 8): group_collect, agg_cube, window_dense_rank,
+# round 8): set_union_by_name, set_intersect, set_except,
+# set_except_all, doc_fingerprint, token_count, lang_id,
+# quality_score, pii_scrub, repetition_ratio,
+# group_collect, agg_cube, window_dense_rank,
 # window_first_last, window_ntile, window_cume_dist, json_extract,
 # agg_grouping_sets, embedding_centroids, window_range_frame,
 # join_multiway_revenue, subquery_above_avg, merge_upsert_snapshot,
@@ -182,4 +193,5 @@ def _load() -> None:
         from . import advanced  # noqa: F401
         from . import decision  # noqa: F401
         from . import llmprep  # noqa: F401
+        from . import mleval  # noqa: F401
         _loaded = True

@@ -1,0 +1,505 @@
+"""Round-7 model-evaluation / feature-preparation batch: the metrics a
+training-data pipeline computes AFTER the corpus ops — distributed
+ROC-AUC (rank-based Mann-Whitney), PSI population drift, WOE/IV
+categorical encoding, probability calibration bins, the hashing trick,
+and categorical mutual information.
+
+None exist in the reference (its analysis stops at descriptive stats,
+``nb:cell5-14``) — they extend §2's analytics family the same way the
+LLM-prep batch extends §2.11. Shared determinism rules as the
+queries/__init__ docstring: identical aliases both engines, integer
+math until the final division wherever a statistic allows it, round 6dp
+on emitted doubles.
+
+Scale posture (the 100 TB designs):
+  * roc_auc — never sorts rows globally: aggregate by DISTINCT score
+    first (the shuffle is score-cardinality-bounded), then rank the
+    aggregated axis with the sort-rank partition-offset pattern
+    (``gini_concentration``'s shape), so ties get exact average ranks
+    from integer prefix sums and no single task ever sees the data.
+  * psi_drift / calibration_bins — fixed-grid binning from a 1-row
+    min/max broadcast (``ks_drift_binned``'s shape): one hash agg keyed
+    by bin, everything after runs on ≤B rows.
+  * woe_iv / mutual_info — one hash agg keyed by the category axis
+    (map-side combine collapses each task to the category cardinality),
+    margins re-aggregated from the joint frame, 1-row totals broadcast.
+  * feature_hashing — explode is in-row fan-out; the agg is keyed
+    (bucket, token) so the shuffle is vocabulary-bounded, then 64-row
+    bucket rollup. The hash is md5-hex → int, portable across engines
+    (same buckets everywhere — the train/serve skew killer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+from .extensions import _TOKS_SQL
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC — distributed rank-based Mann-Whitney with exact tie handling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "roc_auc",
+    """
+    WITH s AS (
+      SELECT l_extendedprice AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np
+      FROM s GROUP BY score),
+    c AS (
+      SELECT n, np,
+             CAST(coalesce(sum(n) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum
+      FROM g),
+    t AS (
+      SELECT CAST(sum(np * (2 * cum + n + 1)) AS BIGINT) AS pr2,
+             CAST(sum(np) AS BIGINT) AS npos,
+             CAST(sum(n) - sum(np) AS BIGINT) AS nneg
+      FROM c)
+    SELECT npos AS n_pos, nneg AS n_neg,
+           round(CAST(pr2 - npos * (npos + 1) AS DOUBLE)
+                 / (2.0 * npos * nneg), 6) AS auc
+    FROM t
+    """,
+    "Distributed ROC-AUC of a score column against a binary label "
+    "(here: does l_extendedprice separate returned lineitems?) via the "
+    "rank formulation AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2)/(n⁺n⁻). "
+    "Ties are exact: aggregate by DISTINCT score (n, n_pos per value), "
+    "rank the aggregated axis, avg rank of a tie group = rows-below + "
+    "(n+1)/2 — all integer via the ×2 trick, one float division at the "
+    "end. The oracle states the prefix sum with a global window; the "
+    "engine computes it DISTRIBUTED with the sort-rank pattern "
+    "(gini_concentration's shape): repartitionByRange(score) → 32-row "
+    "per-partition-total collect → per-partition window + driver "
+    "prefix offset. The shuffle is distinct-score-bounded; no global "
+    "sort, no single-partition window, no per-row rank frame.",
+)
+def roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_extendedprice").alias("score"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
+        .repartitionByRange(spark_parts, "score")
+        .localCheckpoint()
+    )
+    # 32-row metadata collect: rows BELOW each range partition = prefix
+    # of per-partition Σn (not row counts — ranks count underlying
+    # rows, not distinct scores).
+    totals = {
+        r["pid"]: r["tn"]
+        for r in g.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n").alias("tn"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    part = g.withColumn("pid", F.spark_partition_id())
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_expr = F.when(
+            F.col("pid") == pid, F.lit(off).cast("long")
+        ).otherwise(off_expr)
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = part.select(
+        "n",
+        "np",
+        (off_expr + F.coalesce(F.sum("n").over(w), F.lit(0))).alias("cum"),
+    )
+    t = cum.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum") + F.col("n") + F.lit(1))
+        ).alias("pr2"),
+        F.sum("np").alias("npos"),
+        (F.sum("n") - F.sum("np")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("pr2") - F.col("npos") * (F.col("npos") + 1))
+            .cast("double")
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI population drift — fixed-grid bins, Laplace-smoothed.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 20
+
+
+@register(
+    "psi_drift",
+    f"""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL),
+    lim AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+    agg AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo)
+                                        / ((hi - lo) / {_PSI_BINS}))
+                                  AS BIGINT), {_PSI_BINS - 1}) END AS bin,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM ev, lim GROUP BY 1),
+    grid AS (
+      SELECT CAST(unnest(range(0, {_PSI_BINS})) AS BIGINT) AS bin),
+    full_g AS (
+      SELECT grid.bin, coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+      FROM grid LEFT JOIN agg ON grid.bin = agg.bin),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM full_g),
+    terms AS (
+      SELECT (n1 + 0.5) / (t1 + 0.5 * {_PSI_BINS}) AS p,
+             (n2 + 0.5) / (t2 + 0.5 * {_PSI_BINS}) AS q,
+             t1, t2
+      FROM full_g, tot)
+    SELECT CAST(max(t1) AS BIGINT) AS n_ref,
+           CAST(max(t2) AS BIGINT) AS n_cur,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM terms
+    """,
+    "Population Stability Index between the click-value (reference) "
+    "and error-value (current) distributions — the model-monitoring "
+    "companion to ks_drift_binned (KS gives the sup-distance, PSI the "
+    "expected log-odds shift). Values bin to a fixed 20-bin grid from "
+    "the global 1-row min/max broadcast (degenerate hi=lo collapses to "
+    "bin 0), ONE (bin)-keyed hash agg, then the full grid is "
+    "enumerated via sequence-explode + left join so empty bins "
+    "contribute their Laplace-smoothed (+0.5) terms identically on "
+    "both engines. Everything after the agg runs on 20 rows.",
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "error")
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "value")
+    )
+    lim = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _PSI_BINS
+    binned = ev.crossJoin(F.broadcast(lim)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(_PSI_BINS - 1),
+            )
+        )
+        .alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("c2"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    grid = lim.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("b")
+    ).select(F.col("b").cast("long").alias("bin"))
+    full_g = (
+        grid.join(agg, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    tot = full_g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    p = (F.col("n1") + 0.5) / (F.col("t1") + 0.5 * _PSI_BINS)
+    q = (F.col("n2") + 0.5) / (F.col("t2") + 0.5 * _PSI_BINS)
+    return (
+        full_g.crossJoin(F.broadcast(tot))
+        .select(p.alias("p"), q.alias("q"), "t1", "t2")
+        .agg(
+            F.max("t1").cast("bigint").alias("n_ref"),
+            F.max("t2").cast("bigint").alias("n_cur"),
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV categorical encoding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "woe_iv",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    g AS (
+      SELECT category, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM s GROUP BY category),
+    tot AS (
+      SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g),
+    w AS (
+      SELECT category, np, nn,
+             (np + 0.5) / (tp + 0.5 * k) AS pd,
+             (nn + 0.5) / (tn + 0.5 * k) AS qd
+      FROM g, tot)
+    SELECT category, np AS n_pos, nn AS n_neg,
+           round(ln(pd / qd), 6) AS woe,
+           round(sum((pd - qd) * ln(pd / qd)) OVER (), 6) AS iv
+    FROM w ORDER BY category
+    """,
+    "Weight-of-evidence / information-value encoding of a categorical "
+    "feature against a binary label (order priority vs order-finished) "
+    "— the credit-scoring-style supervised encoder next to "
+    "target_encode's mean encoder. One (category)-keyed hash agg "
+    "(map-side combine collapses each task to the category "
+    "cardinality), totals re-aggregated from the k-row joint frame and "
+    "broadcast back as a 1-row scalar; WOE and the summed IV are "
+    "Laplace-smoothed (+0.5) so empty cells stay finite on both "
+    "engines. The oracle's OVER () runs on the k-row category axis — "
+    "the engine computes IV as a second scalar broadcast instead of "
+    "any window.",
+)
+def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("category"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("category")
+        .agg(
+            F.sum("y").cast("long").alias("np"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = g.agg(
+        F.sum("np").alias("tp"),
+        F.sum("nn").alias("tn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    pd_ = (F.col("np") + 0.5) / (F.col("tp") + 0.5 * F.col("k"))
+    qd = (F.col("nn") + 0.5) / (F.col("tn") + 0.5 * F.col("k"))
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "category", "np", "nn",
+        pd_.alias("pd"), qd.alias("qd"),
+    )
+    iv = w.agg(
+        F.sum(
+            (F.col("pd") - F.col("qd")) * F.log(F.col("pd") / F.col("qd"))
+        ).alias("iv_raw")
+    )
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select(
+            "category",
+            F.col("np").cast("bigint").alias("n_pos"),
+            F.col("nn").cast("bigint").alias("n_neg"),
+            F.round(F.log(F.col("pd") / F.col("qd")), 6).alias("woe"),
+            F.round(F.col("iv_raw"), 6).alias("iv"),
+        )
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probability calibration bins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calibration_bins",
+    """
+    WITH s AS (
+      SELECT least(CAST(floor(l_discount / 0.1 * 10) AS BIGINT), 9) AS bin,
+             CAST(l_discount AS DECIMAL(18,2)) AS d,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(d) AS DOUBLE) / count(*) / 0.1, 6) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+    FROM s GROUP BY bin ORDER BY bin
+    """,
+    "Reliability-diagram calibration bins: a [0,1] score (discount "
+    "rescaled by its 0.1 domain max) vs the returned-flag label, 10 "
+    "equal-width bins, per-bin mean predicted score and observed "
+    "positive rate — the calibration audit every scored dataset ships "
+    "with. Pure single hash agg keyed by the 10-bin axis; in-row "
+    "binning, no totals, no window.",
+)
+def calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.col("l_discount") / 0.1
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.least(F.floor(p * 10).cast("long"), F.lit(9)).alias("bin"),
+        # the mean goes through DECIMAL (registry rule #2: double sums
+        # are partition-order-dependent; discounts are exact 2dp)
+        F.col("l_discount").cast("decimal(18,2)").alias("d"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    return (
+        s.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("d").cast("double") / F.count(F.lit(1)) / 0.1, 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — portable md5-hex buckets.
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS t FROM documents),
+    tk AS (
+      SELECT t, ('0x' || substr(md5(t), 1, 8))::BIGINT % {_FH_BUCKETS}
+               AS bucket
+      FROM tok),
+    g AS (SELECT bucket, t, count(*) AS k FROM tk GROUP BY 1, 2)
+    SELECT bucket, CAST(sum(k) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM g GROUP BY bucket ORDER BY bucket
+    """,
+    "The hashing trick: whitespace tokens hashed into a fixed "
+    f"{_FH_BUCKETS}-bucket feature space — the unbounded-vocabulary "
+    "featurizer (no dictionary to build, ship, or version). The hash "
+    "is md5-hex-prefix → int, PORTABLE across engines (Spark conv() ≡ "
+    "DuckDB hex cast), so train-side and serve-side buckets agree — "
+    "the same property the dataset_split / sampling family gets from "
+    "the multiplicative hash. Explode is in-row fan-out; the first agg "
+    "is keyed (bucket, token) so the shuffle is vocabulary-bounded "
+    "(never corpus-scale), then a 64-row bucket rollup reports load "
+    "and collision pressure per bucket.",
+)
+def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(F.explode(tokenize("text")).alias("t")).select(
+        "t",
+        F.pmod(
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"),
+            F.lit(_FH_BUCKETS),
+        ).alias("bucket"),
+    )
+    g = tk.groupBy("bucket", "t").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        g.groupBy("bucket")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mutual_info",
+    """
+    WITH j AS (
+      SELECT c_mktsegment AS x, c_nationkey AS yk,
+             CAST(count(*) AS BIGINT) AS nxy
+      FROM customer GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+    my AS (SELECT yk, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY yk),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j)
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(nxy AS DOUBLE) / n)
+                     * ln((CAST(nxy AS DOUBLE) * n)
+                          / (CAST(nx AS DOUBLE) * ny))), 6) AS mi_nats
+    FROM j JOIN mx USING (x) JOIN my USING (yk), tot
+    """,
+    "Mutual information (nats) between two categorical columns — "
+    "market segment × nation: the dependence screen next to "
+    "chi_square_assoc (χ² tests significance, MI measures shared "
+    "information; both read off the same contingency table). ONE "
+    "(x, y)-keyed hash agg builds the joint table (map-side combine "
+    "collapses each task to the cell cardinality); margins re-"
+    "aggregate FROM the joint frame (never re-scan the fact table) "
+    "and broadcast-join back onto it with a 1-row total. The log "
+    "argument is composed identically on both engines "
+    "((nxy·n)/(nx·ny) in double) so the rounded sums agree bitwise.",
+)
+def mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("x"),
+            F.col("c_nationkey").alias("yk"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+        .localCheckpoint(eager=False)
+    )
+    mx = j.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = j.groupBy("yk").agg(F.sum("nxy").alias("ny"))
+    tot = j.agg(F.sum("nxy").alias("n"))
+    mi_term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        (F.col("nxy").cast("double") * F.col("n"))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "yk")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum(mi_term), 6).alias("mi_nats"),
+        )
+    )

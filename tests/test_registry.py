@@ -154,6 +154,12 @@ _SCALAR_BNLJ_OK: set[str] = {
     "hard_negative_mining",
     "bigram_surprisal",
     "heavy_hitters_sketch",
+    # r7 ML-eval batch: 1-row scalar broadcasts — bin limits + side
+    # totals (psi_drift), class totals + the k-row IV scalar (woe_iv),
+    # joint-table total (mutual_info)
+    "psi_drift",
+    "woe_iv",
+    "mutual_info",
 }
 
 
