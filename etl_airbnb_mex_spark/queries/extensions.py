@@ -50,7 +50,7 @@ from ..operators.windows import (
     rank_topn_per_group,
     scd2_intervals,
 )
-from ..tables import load_table
+from ..tables import load_table, parallelize_scan
 from . import register
 
 TS_FMT = "%Y-%m-%d %H:%M:%S"
@@ -1136,8 +1136,12 @@ def dedup_text_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup strategy.",
 )
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallelize_scan: the shingle explode + 32-way hash agg is the
+    # cost; a 1-2 split compressed scan would serialize it
+    # (tables.py:parallelize_scan).
     return minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8
+        parallelize_scan(load_table(spark, sf_dir, "documents"), spark),
+        num_hashes=32, bands=8,
     )
 
 
@@ -1148,7 +1152,7 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops); hamming-distance bucketing is the near-dup variant.",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return simhash_signatures(d).orderBy("doc_id")
 
 
@@ -1230,7 +1234,7 @@ def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dedup_corpus
 
     return near_dedup_corpus(
-        load_table(spark, sf_dir, "documents")
+        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     ).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
@@ -1564,7 +1568,7 @@ def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import decontaminate_ngram_overlap
 
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
     return decontaminate_ngram_overlap(corpus, eval_set, n=5).orderBy("doc_id")
@@ -2660,7 +2664,7 @@ def mode_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.corpus import corpus_pipeline
 
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
     return corpus_pipeline(corpus, eval_set).orderBy("doc_id")
@@ -2914,9 +2918,17 @@ def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        # widen the single-file fact scan so the partial distinct
+        # parallelizes (tables.py:parallelize_scan); only keys ship.
+        # The lazy checkpoint stops the self-join from re-running the
+        # scan + repartition + distinct for BOTH join sides.
+        parallelize_scan(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey"),
+            spark,
+        )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -3244,9 +3256,17 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        # widen the single-file fact scan so the partial distinct
+        # parallelizes (tables.py:parallelize_scan); only keys ship.
+        # The lazy checkpoint stops the self-join from re-running the
+        # scan + repartition + distinct for BOTH join sides.
+        parallelize_scan(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey"),
+            spark,
+        )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (

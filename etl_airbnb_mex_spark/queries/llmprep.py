@@ -280,8 +280,14 @@ def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        # widen the single-file fact scan so the map-side partial
+        # distinct parallelizes (tables.py:parallelize_scan); only the
+        # two key columns ship
+        parallelize_scan(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey"),
+            spark,
+        )
         .distinct()
         # four consumers (order count, item freqs, both pair sides)
         # would each re-run the scan+distinct without truncation
