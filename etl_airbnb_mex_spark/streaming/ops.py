@@ -16,6 +16,7 @@ counter state uses processing-time timeout for the same reason.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -315,6 +316,82 @@ def stream_interval_join(
         & (rts <= lts)
         & (rts >= lts - F.expr(f"INTERVAL {lookback}")),
         "inner",
+    )
+
+
+def stream_drift_monitor(
+    sdf: DataFrame,
+    ref_lo: float,
+    ref_hi: float,
+    ref_counts: list[int],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-window PSI drift against a fixed reference distribution — the
+    streaming twin of the batch ``psi_drift`` query (queries/mleval.py)
+    and the standard production model-input monitor: the reference
+    histogram is learned offline (training-time feature distribution),
+    ships with the job as literals, and every event-time window emits
+    one (window_start, n, psi) row when its watermark closes.
+
+    Scale/state posture: the stream bins IN-ROW on the reference grid
+    (clamped to [0, B); a degenerate lo = hi reference collapses to bin
+    0, matching the batch twin's guard), then ONE stateful tumbling
+    aggregation holds exactly B+1 longs per open window — per-bin
+    conditional counts via sum(when(bin = i)) — and PSI is computed
+    in-row on the emitted row from Laplace-smoothed (+0.5) terms, the
+    reference side folded to literals at plan build. No second
+    stateful operator, no stream-stream join, no per-event state.
+    """
+    nbins = len(ref_counts)
+    ref_total = sum(ref_counts)
+    # reference probabilities (and their logs) are plain python floats
+    # folded into the plan — the broadcast-as-literal deployment shape
+    p_ref = [
+        (c + 0.5) / (ref_total + 0.5 * nbins) for c in ref_counts
+    ]
+    if ref_hi == ref_lo:
+        bin_expr = F.lit(0)
+    else:
+        width = (ref_hi - ref_lo) / nbins
+        bin_expr = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(ref_lo)) / F.lit(width))
+                .cast("long"),
+                F.lit(0),
+            ),
+            F.lit(nbins - 1),
+        )
+    agg = (
+        _event_time(sdf, ts_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("__bin", bin_expr)
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(F.col("__bin") == i, 1).otherwise(0))
+                .alias(f"c{i}")
+                for i in range(nbins)
+            ],
+        )
+    )
+    denom = F.col("n") + 0.5 * nbins
+    psi = F.lit(0.0)
+    for i in range(nbins):
+        q_i = (F.col(f"c{i}") + 0.5) / denom
+        psi = psi + (F.lit(p_ref[i]) - q_i) * (
+            F.lit(math.log(p_ref[i])) - F.log(q_i)
+        )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(psi, 6).alias("psi"),
     )
 
 

@@ -490,3 +490,67 @@ def test_stateful_sessionizer_on_rocksdb_state_store(spark, events_dir,
     # the state operator's custom metrics only exist under RocksDB
     metrics = progress["stateOperators"][0]["customMetrics"]
     assert any("rocksdb" in k.lower() for k in metrics)
+
+
+def test_stream_drift_monitor_matches_python_model(spark, events_dir):
+    """Windowed PSI vs a reference histogram: the streamed per-window
+    rows must equal an INDEPENDENT python recomputation (bin counts per
+    closed hour window -> smoothed PSI terms) on the same data — and
+    the reference window itself must score ~0 drift against its own
+    distribution."""
+    import math
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.streaming import stream_drift_monitor
+
+    events = spark.read.parquet(events_dir)
+    vals = [
+        (r["ts"], r["value"])
+        for r in events.select("ts", "value").collect()
+        if r["value"] is not None
+    ]
+    lo = min(v for _, v in vals)
+    hi = max(v for _, v in vals)
+    bins = 20
+    width = (hi - lo) / bins
+
+    def to_bin(v):
+        return min(max(int(math.floor((v - lo) / width)), 0), bins - 1)
+
+    # reference = the global distribution (self-drift ≈ 0 overall)
+    ref = Counter(to_bin(v) for _, v in vals)
+    ref_counts = [ref.get(i, 0) for i in range(bins)]
+
+    got = {
+        (r["window_start"], r["n"]): r["psi"]
+        for r in _run_stream(
+            spark,
+            events_dir,
+            lambda s: stream_drift_monitor(
+                s, lo, hi, ref_counts, watermark_delay="0 seconds"
+            ),
+            "drift",
+        ).collect()
+    }
+    assert len(got) > 0
+
+    # independent model: per-hour bin counts -> PSI
+    per_window = defaultdict(Counter)
+    for ts, v in vals:
+        w = ts.replace(minute=0, second=0, microsecond=0)
+        per_window[w.strftime("%Y-%m-%d %H:%M:%S")][to_bin(v)] += 1
+    t_ref = sum(ref_counts)
+    p = [(c + 0.5) / (t_ref + 0.5 * bins) for c in ref_counts]
+    for (wstart, n), psi in got.items():
+        cnt = per_window[wstart]
+        assert n == sum(cnt.values())
+        want = 0.0
+        for i in range(bins):
+            q = (cnt.get(i, 0) + 0.5) / (n + 0.5 * bins)
+            want += (p[i] - q) * (math.log(p[i]) - math.log(q))
+        assert abs(psi - round(want, 6)) <= 1e-6, (wstart, psi, want)
+        assert psi >= 0.0  # PSI is Gibbs-nonnegative
+    # emitted set = all closed windows (watermark 0s: all but the last)
+    assert len(got) >= len(per_window) - 1
