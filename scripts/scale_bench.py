@@ -110,21 +110,38 @@ def _time_spark(spec, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
-def _time_duckdb(sql: str, sf_dir: str) -> float:
-    from etl_airbnb_mex_spark.oracle import duckdb_connection
+_DUCKDB_RUNNER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from etl_airbnb_mex_spark.oracle import duckdb_connection
+con = duckdb_connection({sf_dir!r})
+sql = sys.stdin.read()
+best = float("inf")
+for recorded in (False, True, True):
+    t0 = time.perf_counter()
+    con.execute(sql).fetch_df()
+    dt = time.perf_counter() - t0
+    if recorded:
+        best = min(best, dt)
+print(round(best, 3))
+"""
 
-    con = duckdb_connection(sf_dir)
-    try:
-        best = float("inf")
-        for recorded in (False, True, True):
-            t0 = time.perf_counter()
-            con.execute(sql).fetch_df()
-            dt = time.perf_counter() - t0
-            if recorded:
-                best = min(best, dt)
-        return round(best, 3)
-    finally:
-        con.close()
+
+def _time_duckdb(sql: str, sf_dir: str) -> float:
+    """Time the oracle in a FRESH subprocess. In-process DuckDB shares
+    RSS with the co-resident Spark JVM; once the heap has grown, large
+    oracle joins spill and a 1-2 s query reads as 10-20 s (observed:
+    triangle_count sf1 oracle 1.4 s fresh vs 22 s co-resident). A
+    subprocess gives DuckDB the memory headroom a standalone baseline
+    would actually have — the comparison the trend claims to make."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _DUCKDB_RUNNER.format(repo=REPO, sf_dir=sf_dir)],
+        input=sql, capture_output=True, text=True, timeout=600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr.strip()[-200:])
+    return float(out.stdout.strip())
 
 
 def run_tier(label: str) -> dict:
@@ -199,8 +216,9 @@ def merge_sidecar(trend: dict) -> None:
     st["method"] = (
         "scripts/scale_bench.py: per-SF Spark session (local[32], "
         "get_spark parity conf), warm pass 0 + min of passes 1-2, full "
-        "toPandas; DuckDB = registered oracle SQL via "
-        "duckdb_connection on the SAME parquet, warm + min of 2. "
+        "toPandas; DuckDB = registered oracle SQL on the SAME parquet, "
+        "warm + min of 2 in a FRESH subprocess (co-resident timing "
+        "understates DuckDB once the JVM heap grows — r7 fix). "
         "sf>0.1 inputs: scripts/make_scaledata.py (replica-shifted "
         "keys, cross-replica near-dup structure removed)."
     )

@@ -142,6 +142,75 @@ def main() -> None:
             ),
             "rocksdb_metrics_last_batch": rocks_metrics,
         }
+
+        # Second query through the same drained feed: the windowed PSI
+        # drift monitor (stream_drift_monitor) — the light-state
+        # contrast to the sessionizer (B+1 longs per open window vs a
+        # row per active user). Reference histogram = the batch
+        # distribution of the same data (self-drift, psi≈0 — the
+        # numerically-busiest case: every bin term participates).
+        from etl_airbnb_mex_spark.streaming.ops import stream_drift_monitor
+
+        lim = ev.agg(
+            F.min("value").alias("lo"), F.max("value").alias("hi")
+        ).collect()[0]
+        bins = 20
+        width = (lim["hi"] - lim["lo"]) / bins
+        ref_rows = (
+            ev.filter(F.col("value").isNotNull())
+            .select(
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            (F.col("value") - F.lit(lim["lo"]))
+                            / F.lit(width)
+                        ).cast("long"),
+                        F.lit(0),
+                    ),
+                    F.lit(bins - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin").count().collect()
+        )
+        by_bin = {r["bin"]: r["count"] for r in ref_rows}
+        ref_counts = [by_bin.get(i, 0) for i in range(bins)]
+        sdf2 = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(feed_dir)
+        )
+        t0 = time.perf_counter()
+        q2 = (
+            stream_drift_monitor(
+                sdf2, lim["lo"], lim["hi"], ref_counts,
+                window="1 hour", watermark_delay="0 seconds",
+            )
+            .writeStream.format("memory")
+            .queryName("stream_bench_drift")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(600)
+        wall2 = time.perf_counter() - t0
+        drift_batches = [
+            json.loads(str(p))
+            for p in q2.recentProgress
+            if json.loads(str(p)).get("numInputRows", 0) > 0
+        ]
+        d_durations = [
+            p["batchDuration"] for p in drift_batches
+            if "batchDuration" in p
+        ]
+        result["drift_monitor"] = {
+            "n_windows_emitted": spark.table("stream_bench_drift").count(),
+            "wall_sec": round(wall2, 3),
+            "events_per_sec": round(n_events / wall2, 1),
+            "batch_duration_ms_median": (
+                statistics.median(d_durations) if d_durations else None
+            ),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
