@@ -142,8 +142,15 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_topn",
     "window_moving_avg",
 )
-# Still-stale after this window (r3 rows, lowest risk — queue for
-# round 8): set_union_by_name, set_intersect, set_except,
+# Still-stale after this window — queue for round 8, FIRST the
+# entries whose plans changed late in r7 (scan widening /
+# checkpointing) after the window was frozen: dedup_minhash,
+# near_dedup_corpus, decontaminate, corpus_pipeline, triangle_count,
+# copurchase_pairs, basket_lift, gini_concentration (every one
+# re-verified this session by the local replica AND the vanilla-
+# session driver simulation on post-change code — the staleness is
+# driver-row provenance, not correctness risk). Then the r3 rows:
+# set_union_by_name, set_intersect, set_except,
 # set_except_all, doc_fingerprint, token_count, lang_id,
 # quality_score, pii_scrub, repetition_ratio,
 # group_collect, agg_cube, window_dense_rank,

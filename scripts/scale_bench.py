@@ -115,6 +115,9 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from etl_airbnb_mex_spark.oracle import duckdb_connection
 con = duckdb_connection({sf_dir!r})
+# long queries print a progress bar to stdout, corrupting the
+# single-float protocol
+con.execute("SET enable_progress_bar = false")
 sql = sys.stdin.read()
 best = float("inf")
 for recorded in (False, True, True):
@@ -141,7 +144,7 @@ def _time_duckdb(sql: str, sf_dir: str) -> float:
     )
     if out.returncode != 0:
         raise RuntimeError(out.stderr.strip()[-200:])
-    return float(out.stdout.strip())
+    return float(out.stdout.strip().splitlines()[-1])
 
 
 def run_tier(label: str) -> dict:
