@@ -57,6 +57,8 @@ HEAVY = [
     "basket_lift",
     "split_leakage_audit",
     "gini_concentration",
+    # r7 ML-eval heavyweight: distributed rank AUC
+    "roc_auc",
 ]
 
 
