@@ -355,7 +355,11 @@ def main() -> None:
     try:
         with open("BENCH_SIDECAR.json") as f:
             prior = json.load(f)
-        for key in ("isolated", "isolated_notes", "isolated_commit"):
+        # scale_trend / streaming_bench are produced by their own
+        # scripts and carry their own commit stamps — preserved, not
+        # regenerated, by a bench run
+        for key in ("isolated", "isolated_notes", "isolated_commit",
+                    "scale_trend", "streaming_bench"):
             if key in prior:
                 sidecar[key] = prior[key]
     except (OSError, ValueError):
