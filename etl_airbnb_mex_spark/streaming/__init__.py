@@ -9,6 +9,7 @@ are oracle-checked; the streaming variants here add watermarks and state.
 from .ops import (
     stream_dedup_within_watermark,
     stream_drift_monitor,
+    stream_heavy_hitters,
     stream_interval_join,
     stream_merge_upsert_sink,
     stream_session_agg,
@@ -21,6 +22,7 @@ from .ops import (
 __all__ = [
     "stream_dedup_within_watermark",
     "stream_drift_monitor",
+    "stream_heavy_hitters",
     "stream_interval_join",
     "stream_merge_upsert_sink",
     "stream_session_agg",

@@ -435,6 +435,154 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
+_MG_STATE_SCHEMA = "vals array<string>, cnts array<long>, n bigint"
+
+
+def stream_heavy_hitters(
+    sdf: DataFrame,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    k: int = 16,
+    n_shards: int = 8,
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Windowed streaming heavy hitters with BOUNDED state — the
+    streaming face of ``operators.corpus.heavy_hitters``' Misra-Gries
+    sketch (realtime trending-items / hot-key detection). A windowed
+    ``groupBy(window, value).count()`` holds state proportional to the
+    full value cardinality per open window; this holds ``k`` counters
+    per (window, shard) regardless of cardinality.
+
+    Mechanics: events route to (window_start, shard = hash(value) mod
+    n_shards) groups — sharding keeps a hot window from funneling
+    through one task AND preserves the MG superset guarantee, because
+    every occurrence of a value lands in the SAME shard: a value with
+    shard-local count > n_shard/(k+1) survives its shard's sketch.
+    Each group's state is a weighted MG summary (batch rows are
+    pre-counted vectorized, only the ≤distinct-per-batch merge touches
+    Python — the corpus operator's fold). When the watermark passes
+    the window end (event-time timeout) the sketch emits its
+    candidates with the MG error contract — count_min ≤ true count ≤
+    count_min + err_bound, err_bound = floor(n_shard/(k+1)) — and the
+    state evicts, so memory is O(open windows × n_shards × k).
+
+    Emitted candidates are a SUPERSET of the shard-heavy values; an
+    exact count needs the batch verify pass (heavy_hitters) — the
+    sketch-now/verify-later split every realtime trending pipeline
+    makes. Window start emits as epoch microseconds (integer,
+    timezone-proof), like the stateful sessionizer.
+    """
+    import pandas as pd  # noqa: F401 — executor-side
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_us = {
+        "1 hour": 3_600_000_000,
+    }.get(window)
+    if win_us is None:
+        # parse "N unit" for the simple grammar the engine's windows use
+        num, unit = window.split()
+        win_us = int(num) * {
+            "second": 1_000_000, "seconds": 1_000_000,
+            "minute": 60_000_000, "minutes": 60_000_000,
+            "hour": 3_600_000_000, "hours": 3_600_000_000,
+        }[unit]
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start_us", T.LongType()),
+            T.StructField("shard", T.IntegerType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("count_min", T.LongType()),
+            T.StructField("err_bound", T.LongType()),
+            T.StructField("n_shard", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        wstart_us, shard = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            vals, cnts, n = state.get
+            state.remove()
+            err = n // (k + 1)
+            yield pd.DataFrame(
+                [
+                    (wstart_us, shard, v, int(c), err, n)
+                    for v, c in sorted(
+                        zip(vals, cnts), key=lambda vc: (-vc[1], vc[0])
+                    )
+                ],
+                columns=[
+                    "window_start_us", "shard", "value", "count_min",
+                    "err_bound", "n_shard",
+                ],
+            )
+            return
+        if state.exists:
+            vals, cnts, n = state.get
+            counters = dict(zip(vals, cnts))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for val, w in pdf["__v"].value_counts().items():
+                if val in counters:
+                    counters[val] += int(w)
+                elif len(counters) < k:
+                    counters[val] = int(w)
+                else:
+                    m = min(int(w), min(counters.values()))
+                    counters = {
+                        t: c - m for t, c in counters.items() if c > m
+                    }
+                    if int(w) > m:
+                        counters[val] = int(w) - m
+        state.update(
+            (list(counters), [int(c) for c in counters.values()], n)
+        )
+        # close when the watermark passes the window end (clamped a ms
+        # ahead, as in stream_session_state — Spark rejects a timeout
+        # at-or-behind the current watermark)
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max((wstart_us + win_us) // 1000, wm_ms + 1)
+        )
+        yield pd.DataFrame(
+            [],
+            columns=[
+                "window_start_us", "shard", "value", "count_min",
+                "err_bound", "n_shard",
+            ],
+        )
+
+    keyed = (
+        _event_time(sdf, ts_col)
+        .withWatermark(ts_col, watermark_delay)
+        .select(
+            ts_col,
+            F.col(value_col).cast("string").alias("__v"),
+            (
+                F.unix_micros(F.window(ts_col, window).start)
+            ).alias("__wstart_us"),
+            F.pmod(F.xxhash64(F.col(value_col).cast("string")),
+                   F.lit(n_shards)).cast("int").alias("__shard"),
+        )
+    )
+    return keyed.groupBy("__wstart_us", "__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_session_state(
     sdf: DataFrame,
     key_col: str = "user_id",

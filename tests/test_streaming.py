@@ -554,3 +554,69 @@ def test_stream_drift_monitor_matches_python_model(spark, events_dir):
         assert psi >= 0.0  # PSI is Gibbs-nonnegative
     # emitted set = all closed windows (watermark 0s: all but the last)
     assert len(got) >= len(per_window) - 1
+
+
+def test_stream_heavy_hitters_mg_contract(spark, events_dir):
+    """Windowed streaming Misra-Gries: for every CLOSED (window, shard)
+    the emitted candidates must (a) be a superset of the true
+    shard-heavy values (count > n_shard/(k+1)), (b) bracket every true
+    count within [count_min, count_min + err_bound], and (c) report the
+    exact shard row count — checked against a python recomputation
+    using Spark's own shard assignment."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.streaming import stream_heavy_hitters
+
+    K, SHARDS = 16, 4
+    got = _run_stream(
+        spark,
+        events_dir,
+        lambda s: stream_heavy_hitters(
+            s, value_col="user_id", k=K, n_shards=SHARDS,
+            watermark_delay="0 seconds",
+        ),
+        "hh",
+    ).collect()
+    assert len(got) > 0
+
+    events = spark.read.parquet(events_dir)
+    shard_of = {
+        r["user_id"]: r["s"]
+        for r in events.select("user_id").distinct().select(
+            "user_id",
+            F.pmod(
+                F.xxhash64(F.col("user_id").cast("string")), F.lit(SHARDS)
+            ).cast("int").alias("s"),
+        ).collect()
+    }
+    rows = events.select("ts", "user_id").collect()
+    max_ts = max(r["ts"] for r in rows)
+    truth = defaultdict(Counter)
+    for r in rows:
+        w = r["ts"].replace(minute=0, second=0, microsecond=0)
+        truth[(int(w.timestamp() * 1_000_000),
+               shard_of[r["user_id"]])][str(r["user_id"])] += 1
+
+    import datetime as _dt
+    wm_us = int(max_ts.timestamp() * 1_000_000)
+    emitted = defaultdict(dict)
+    for r in got:
+        emitted[(r["window_start_us"], r["shard"])][r["value"]] = r
+    for (wstart, shard), cnt in truth.items():
+        if wstart + 3_600_000_000 > wm_us:
+            continue  # window still open at end of drain
+        n_shard = sum(cnt.values())
+        cand = emitted.get((wstart, shard), {})
+        # every emitted row honors the MG bracket + exact n
+        for v, row in cand.items():
+            true_c = cnt.get(v, 0)
+            assert row["n_shard"] == n_shard, (wstart, shard)
+            assert row["count_min"] <= true_c <= (
+                row["count_min"] + row["err_bound"]
+            ), (wstart, shard, v, true_c, dict(row.asDict()))
+        # superset guarantee for shard-heavy values
+        for v, c in cnt.items():
+            if c * (K + 1) > n_shard:
+                assert v in cand, (wstart, shard, v, c, n_shard)
