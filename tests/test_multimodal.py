@@ -426,3 +426,50 @@ def test_video_frame_dedup_driver_query(spark, sf_dir):
         run_len = 1 + r.media_id % 3
         assert r.n_kept == scenes
         assert r.n_sampled == scenes * run_len
+
+
+def test_audio_resample_preserves_tone_and_length(spark):
+    """16 kHz -> 8 kHz halves the sample count and keeps a speech-band
+    tone's spectral centroid; an already-at-rate clip round-trips with
+    identical length; upsampling 8k -> 16k doubles it. Feature check
+    runs through audio_features ON the resampled payloads - the real
+    downstream consumer."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import wav_encode
+    from etl_airbnb_mex_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        audio_features,
+        audio_resample,
+    )
+
+    tone = 440.0
+    rows = []
+    for mid, rate in [(0, 16000), (1, 8000)]:
+        t = np.arange(rate) / rate  # 1 second at the native rate
+        samples = 0.5 * np.sin(2 * np.pi * tone * t)
+        rows.append(
+            (mid, "audio", bytearray(wav_encode(samples, rate)),
+             (None, None, rate, None, "wav"))
+        )
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in audio_resample(df, 8000).collect()}
+    assert out[0].sr_in == 16000 and out[0].sr_out == 8000
+    assert out[0].n_in == 16000 and out[0].n_out == 8000
+    # at-rate clip untouched in length
+    assert out[1].n_in == 8000 and out[1].n_out == 8000
+
+    # resampled payloads are real WAVs the feature op consumes; the
+    # 440 Hz tone (well under the 4 kHz Nyquist) survives
+    res_rows = [
+        (mid, "audio", bytearray(bytes(r.data)),
+         (None, None, r.sr_out, None, "wav"))
+        for mid, r in out.items()
+    ]
+    rdf = spark.createDataFrame(res_rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in audio_features(rdf).collect()}
+    assert feats[0].spectral_centroid_hz == pytest.approx(tone, rel=0.15)
+
+    # upsample doubles the count
+    up = {r.media_id: r for r in audio_resample(df, 16000).collect()}
+    assert up[1].n_out == 16000
