@@ -431,6 +431,84 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+_AUG_SCHEMA = (
+    "media_id bigint, variant string, width int, height int, data binary"
+)
+
+
+def image_augment(
+    df: DataFrame,
+    crop_frac: float = 0.8,
+    brightness: float = 1.25,
+) -> DataFrame:
+    """Deterministic image augmentation fan-out — the corpus-expansion
+    step of a vision training pipeline: each decodable image emits
+    three variants (``hflip`` mirror, ``crop`` center-crop of
+    ``crop_frac`` then nearest-resize back to the original size,
+    ``bright`` channel-clipped brightness scale), all REAL pixel math
+    over the engine's own codecs, re-encoded PNG. Variants are
+    ENUMERATED, not sampled, so the op is deterministic end-to-end —
+    a sampled policy would seed from a hash of (media_id, epoch) at
+    this seam, never from an RNG (the engine's no-nondeterminism
+    rule). In-row fan-out bounded ×3, kind-gated Arrow mapInPandas
+    like decode/resize; undecodable payloads (JPEG — native-lib
+    constraint) are skipped, as in the codec-gated decode path.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        def decode(raw: bytes):
+            fmt = codecs.sniff_format(raw)
+            if fmt == "png":
+                return codecs.png_decode(raw)
+            if fmt == "bmp":
+                return codecs.bmp_decode(raw)
+            if fmt in ("pgm", "ppm", "pnm"):
+                return codecs.pnm_decode(raw)
+            return None
+
+        for pdf in it:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                img = decode(bytes(data))
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                ch, cw = max(1, int(h * crop_frac)), max(
+                    1, int(w * crop_frac)
+                )
+                y0, x0 = (h - ch) // 2, (w - cw) // 2
+                variants = {
+                    "hflip": img[:, ::-1],
+                    "crop": codecs.resize_nearest(
+                        img[y0:y0 + ch, x0:x0 + cw], w, h
+                    ),
+                    "bright": np.clip(
+                        img.astype(np.float64) * brightness, 0, 255
+                    ).astype(np.uint8),
+                }
+                for name in sorted(variants):
+                    out = np.ascontiguousarray(variants[name])
+                    rows.append(
+                        (
+                            int(media_id), name, w, h,
+                            bytearray(codecs.png_encode(out)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "variant", "width", "height", "data"],
+            )
+
+    return df.filter(df["kind"] == "image").mapInPandas(
+        batches, _AUG_SCHEMA
+    )
+
+
 _AUDIO_RESAMPLE_SCHEMA = (
     "media_id bigint, sr_in int, sr_out int, n_in bigint, n_out bigint, "
     "data binary"

@@ -473,3 +473,42 @@ def test_audio_resample_preserves_tone_and_length(spark):
     # upsample doubles the count
     up = {r.media_id: r for r in audio_resample(df, 16000).collect()}
     assert up[1].n_out == 16000
+
+
+def test_image_augment_variants_are_real_pixel_math(spark):
+    """Three deterministic variants per decodable image: hflip is the
+    exact mirror, crop keeps the original dimensions, bright raises
+    mean luminance and clips; every payload round-trips through the
+    PNG codec; non-image kinds are gated out."""
+    import numpy as np
+
+    from etl_airbnb_mex_spark.multimodal.codecs import (
+        png_decode,
+        png_encode,
+    )
+    from etl_airbnb_mex_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        image_augment,
+    )
+
+    # a 8x6 horizontal gradient (asymmetric so hflip is detectable)
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(8, dtype=np.uint8)[None, :] * 30
+    img[:, :, 1] = 100
+    rows = [
+        (0, "image", bytearray(png_encode(img)),
+         (8, 6, None, None, "png")),
+        (1, "audio", bytearray(b"\x00" * 16), (None, None, 16000, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.variant: r for r in image_augment(df).collect()}
+    assert set(got) == {"hflip", "crop", "bright"}  # audio row gated out
+    for r in got.values():
+        assert (r.media_id, r.width, r.height) == (0, 8, 6)
+    flipped = png_decode(bytes(got["hflip"].data))
+    assert np.array_equal(flipped, img[:, ::-1])
+    cropped = png_decode(bytes(got["crop"].data))
+    assert cropped.shape == img.shape
+    bright = png_decode(bytes(got["bright"].data))
+    assert bright.mean() > img.mean()
+    assert bright.max() <= 255

@@ -171,3 +171,26 @@ def test_read_csv_quarantines_corrupt_records(spark, tmp_path):
     df.unpersist()
     assert sorted(r.id for r in good) == [1, 3]
     assert len(bad) == 1 and "notanumber" in bad[0]._corrupt_record
+
+
+def test_parallelize_scan_widens_only_under_split(spark, sf_dir):
+    """The scan-widening guard (tables.parallelize_scan): an
+    under-split scan repartitions up to the session shuffle width; a
+    frame already at-or-above it passes through IDENTICALLY (no extra
+    exchange at real split counts). Results are unaffected either way."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.tables import load_table, parallelize_scan
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    assert d.rdd.getNumPartitions() < target  # single-file fixture
+    widened = parallelize_scan(d, spark)
+    assert widened.rdd.getNumPartitions() == target
+    # identical results (count + checksum over ids)
+    a = d.agg(F.count("*"), F.sum("doc_id")).collect()[0]
+    b = widened.agg(F.count("*"), F.sum("doc_id")).collect()[0]
+    assert tuple(a) == tuple(b)
+    # already-wide input: the SAME DataFrame comes back (no-op)
+    wide = d.repartition(target + 4)
+    assert parallelize_scan(wide, spark) is wide
