@@ -330,3 +330,72 @@ def test_asof_join_right_tiebreak_is_deterministic(spark):
     ).orderBy("ts").collect()
     # at ts=10: minimum tiebreak 1 → "a"; ts=25 → no later row → None
     assert [r["asof_v"] for r in fwd] == ["a", None]
+
+
+def test_entity_resolution_end_to_end(spark):
+    """Entity resolution composed ONLY from the engine's shipped
+    operators — the capability story, wired: normalize → length-band
+    blocked levenshtein matching (levenshtein_pairs) → min-label
+    connected components → survivorship golden record (latest
+    attribute by event time). Dirty spellings of the same person merge
+    into one entity carrying the newest email; distinct people stay
+    separate."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.operators.dedup import (
+        connected_components,
+        levenshtein_pairs,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # one person, three spellings, email changes over time
+        (1, "Jonathan Smith", "js@old.com", T0),
+        (2, "Jonathon Smith", "js@mid.com", T0 + dt.timedelta(days=10)),
+        (3, " jonathan  SMITH ", "js@new.com", T0 + dt.timedelta(days=20)),
+        # second person, one typo variant
+        (4, "Maria Garcia", "mg@a.com", T0),
+        (5, "Marla Garcia", "mg@b.com", T0 + dt.timedelta(days=5)),
+        # distinct person — must NOT merge
+        (6, "Wei Chen", "wc@c.com", T0),
+    ]
+    df = spark.createDataFrame(
+        rows, "record_id long, name string, email string, ts timestamp"
+    )
+    norm = F.trim(F.regexp_replace(F.lower("name"), r"\s+", " "))
+    recs = df.withColumn("norm", norm)
+
+    vocab = recs.select("norm").distinct()
+    edges = levenshtein_pairs(vocab, "norm", max_dist=2)
+    labels = connected_components(edges, "word_a", "word_b").select(
+        F.col("node").alias("norm"), F.col("label").alias("entity"),
+    )
+    # singletons never appear in an edge — they are their own entity
+    resolved = recs.join(labels, "norm", "left").withColumn(
+        "entity", F.coalesce("entity", "norm")
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.desc("ts"), F.desc("record_id")
+    )
+    golden = (
+        resolved.withColumn("rn", F.row_number().over(w))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.max(F.when(F.col("rn") == 1, F.col("email"))).alias(
+                "latest_email"
+            ),
+            F.min("record_id").alias("entity_id"),
+        )
+    )
+    got = {r["entity_id"]: r for r in golden.collect()}
+    assert set(got) == {1, 4, 6}
+    assert got[1]["n_records"] == 3
+    assert got[1]["latest_email"] == "js@new.com"
+    assert got[4]["n_records"] == 2
+    assert got[4]["latest_email"] == "mg@b.com"
+    assert got[6]["n_records"] == 1
+    assert got[6]["latest_email"] == "wc@c.com"
