@@ -42,7 +42,11 @@ TIERS = {
     "0.1": "/root/testdata/sf0.1",
     "0.5": os.path.join(REPO, ".scaledata", "sf0.5"),
     "1.0": os.path.join(REPO, ".scaledata", "sf1"),
+    # crossover-trajectory tier (measured on demand, not by default)
+    "2.0": os.path.join(REPO, ".scaledata", "sf2"),
 }
+#: tiers run when none are named on the CLI (sf2 is opt-in)
+DEFAULT_TIERS = ["0.1", "0.5", "1.0"]
 
 #: The ten heavyweights named by VERDICT r6 (the compute-real tail
 #: whose sf0.1 Spark/DuckDB ratios the round-6 judge flagged).
@@ -239,7 +243,7 @@ def merge_sidecar(trend: dict) -> None:
 
 
 def main() -> None:
-    labels = sys.argv[1:] or list(TIERS)
+    labels = sys.argv[1:] or DEFAULT_TIERS
     trend = {}
     for label in labels:
         if not os.path.isdir(TIERS[label]):
