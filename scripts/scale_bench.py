@@ -94,6 +94,106 @@ def _extra_queries():
             threshold=0.3, max_bucket=1000,
         )
 
+    def auc_quant_fn(spark, sf_dir):
+        """roc_auc with the documented scale axis applied: scores
+        quantized to the nearest 10 before ranking (replica-shifted
+        prices otherwise make distinct-score cardinality ~ n, and the
+        rank frame stops reducing — the sf2 probe's finding). Exact
+        tie-group average ranks survive quantization unchanged; same
+        sort-rank pipeline as the registered query."""
+        from pyspark.sql import Window, functions as F
+
+        from etl_airbnb_mex_spark.tables import load_table
+
+        spark_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        g = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.round(F.col("l_extendedprice"), -1).alias("score"),
+                F.when(F.col("l_returnflag") == "R", 1)
+                .otherwise(0).alias("y"),
+            )
+            .groupBy("score")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("np"),
+            )
+            .repartitionByRange(spark_parts, "score")
+            .localCheckpoint()
+        )
+        totals = {
+            r["pid"]: r["tn"]
+            for r in g.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.sum("n").alias("tn"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        part = g.withColumn("pid", F.spark_partition_id())
+        off_expr = F.lit(0).cast("long")
+        for pid, off in offsets.items():
+            off_expr = F.when(
+                F.col("pid") == pid, F.lit(off).cast("long")
+            ).otherwise(off_expr)
+        w = (
+            Window.partitionBy("pid")
+            .orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = part.select(
+            "n", "np",
+            (off_expr + F.coalesce(F.sum("n").over(w), F.lit(0)))
+            .alias("cum"),
+        )
+        t = cum.agg(
+            F.sum(
+                F.col("np")
+                * (F.lit(2) * F.col("cum") + F.col("n") + F.lit(1))
+            ).alias("pr2"),
+            F.sum("np").alias("npos"),
+            (F.sum("n") - F.sum("np")).alias("nneg"),
+        )
+        return t.select(
+            F.col("npos").cast("bigint").alias("n_pos"),
+            F.col("nneg").cast("bigint").alias("n_neg"),
+            F.round(
+                (F.col("pr2") - F.col("npos") * (F.col("npos") + 1))
+                .cast("double")
+                / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+                6,
+            ).alias("auc"),
+        )
+
+    auc_quant_sql = """
+    WITH s AS (
+      SELECT round(l_extendedprice, -1) AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem),
+    g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np
+      FROM s GROUP BY score),
+    c AS (
+      SELECT n, np,
+             CAST(coalesce(sum(n) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum
+      FROM g),
+    t AS (
+      SELECT CAST(sum(np * (2 * cum + n + 1)) AS BIGINT) AS pr2,
+             CAST(sum(np) AS BIGINT) AS npos,
+             CAST(sum(n) - sum(np) AS BIGINT) AS nneg
+      FROM c)
+    SELECT npos AS n_pos, nneg AS n_neg,
+           round(CAST(pr2 - npos * (npos + 1) AS DOUBLE)
+                 / (2.0 * npos * nneg), 6) AS auc
+    FROM t
+    """
+
     return {
         "cosine_near_dup_b6": (
             spark_fn,
@@ -102,6 +202,7 @@ def _extra_queries():
                 threshold=0.3, max_bucket=1000,
             ),
         ),
+        "roc_auc_quantized": (auc_quant_fn, auc_quant_sql),
     }
 
 
