@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Scale-trend benchmark: the ten heavyweight queries at sf0.1 / sf0.5 /
-sf1, Spark vs the DuckDB oracle on the SAME parquet inputs (VERDICT r6
-"Next round" #2).
+"""Scale-trend benchmark: the heavyweight queries at sf0.1 / sf0.5 /
+sf1 (and an opt-in sf2 crossover-trajectory tier), Spark vs the DuckDB
+oracle on the SAME parquet inputs (VERDICT r6 "Next round" #2).
 
 Every per-query gap recorded at sf0.1 has carried the argument "the
 distributed machinery's fixed overhead amortizes with volume while the
