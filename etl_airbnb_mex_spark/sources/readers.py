@@ -140,6 +140,26 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC reader (S6 breadth — the other columnar interchange format a
+    lakehouse ingests next to parquet). Spark's native ORC source
+    carries the same optimizer contract as parquet: column pruning and
+    predicate pushdown reach the scan (asserted in the round-trip
+    test), min/max stripe statistics prune row groups. With an
+    explicit schema, evolution is by-name like the parquet path."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink twin of the parquet overwrite writer (S7 breadth)."""
+    df.write.mode(mode).orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

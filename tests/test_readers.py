@@ -194,3 +194,38 @@ def test_parallelize_scan_widens_only_under_split(spark, sf_dir):
     # already-wide input: the SAME DataFrame comes back (no-op)
     wide = d.repartition(target + 4)
     assert parallelize_scan(wide, spark) is wide
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path_factory):
+    """ORC format breadth (S6/S7): parquet -> ORC round-trip preserves
+    rows and schema, and the optimizer contract holds on the ORC scan
+    - the filter reaches PushedFilters and the projection prunes
+    ReadSchema, same as the parquet path."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.sources.readers import read_orc, write_orc
+    from etl_airbnb_mex_spark.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("orc") / "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_orc(orders, path)
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+
+    q = back.filter(F.col("o_totalprice") > 1000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    assert "o_custkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # values parity on an aggregate through the ORC scan
+    a = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    assert a == b
