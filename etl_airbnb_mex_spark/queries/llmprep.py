@@ -373,64 +373,49 @@ def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Gini coefficient of customer revenue concentration — the "
     "inequality KPI next to pareto_revenue_share. Needs a GLOBAL "
     "dense rank; the oracle states it with row_number() over the full "
-    "sort, the engine computes it DISTRIBUTED with the sort-rank "
-    "pattern (exact_percentiles_sortrank's shape): repartitionByRange "
-    "on (rev, custkey) → per-partition row_number + a 32-row "
-    "partition-count collect → global rank = driver-prefix offset + "
-    "local rank, then ONE exact-decimal aggregate of "
-    "(2r - n - 1)·rev. Never a single-partition window over the "
-    "customer axis. Ranks tie-break on custkey so both engines order "
-    "identically.",
+    "sort, the engine computes it DISTRIBUTED and LAZY with the "
+    "bucketed two-level prefix rank (operators/stats.py:"
+    "global_order_prefix): 4096 equal-width revenue buckets from a "
+    "1-row broadcast min/max, bucket counts prefixed on ≤4096 rows, "
+    "offsets broadcast back, per-bucket row_number windows in "
+    "parallel, then ONE exact-decimal aggregate of (2r − n − 1)·rev "
+    "then n is folded out ALGEBRAICALLY — Σ(2r−n−1)·rev = 2·Σ(r·rev) "
+    "− (n+1)·Σrev with n = max(rk) — so the whole statistic is ONE "
+    "final aggregate over the ranked frame: a single Spark action, no "
+    "localCheckpoint, no driver offset round-trips, no second pass "
+    "for n (the r7 sf2 probe billed 10× DuckDB to exactly that fixed "
+    "job latency). Never a single-partition window over the customer "
+    "axis; ranks tie-break on custkey so both engines order "
+    "identically; the r·rev moment sums in exact DECIMAL before the "
+    "one double division.",
 )
 def gini_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    from ..operators.stats import global_order_prefix
+
     c = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
-        .repartitionByRange(spark_parts, "rev", "o_custkey")
-        .localCheckpoint()
     )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in c.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
-    }
-    n = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    # pid materializes as a column in a Project BELOW the window's
-    # exchange (spark_partition_id() is nondeterministic, so Catalyst
-    # cannot move it above the shuffle) — the sortrank pattern; using
-    # spark_partition_id() directly in the post-window projection
-    # would read the POST-shuffle task id.
-    part = c.withColumn("pid", F.spark_partition_id())
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        off_expr = F.when(
-            F.col("pid") == pid, F.lit(off)
-        ).otherwise(off_expr)
-    w = Window.partitionBy("pid").orderBy("rev", "o_custkey")
-    ranked = part.select(
-        "rev",
-        (off_expr + F.row_number().over(w)).cast("long").alias("rk"),
+    ranked = global_order_prefix(
+        c, "rev", tie_cols=("o_custkey",), rank=True
+    ).select("rev", "rk")
+    a = ranked.agg(
+        F.max("rk").cast("bigint").alias("__n"),
+        F.sum("rev").alias("__s0"),
+        F.sum(F.col("rk") * F.col("rev")).alias("__s1"),
     )
-    return ranked.agg(
-        F.lit(n).cast("bigint").alias("n_customers"),
-        F.sum("rev").cast("double").alias("total_rev"),
+    return a.select(
+        F.col("__n").alias("n_customers"),
+        F.col("__s0").cast("double").alias("total_rev"),
         F.round(
-            F.sum(
-                (F.lit(2) * F.col("rk") - F.lit(n) - F.lit(1))
-                * F.col("rev")
+            (
+                F.lit(2) * F.col("__s1")
+                - (F.col("__n") + F.lit(1)) * F.col("__s0")
             ).cast("double")
-            / (F.lit(n) * F.sum("rev").cast("double")),
+            / (F.col("__n") * F.col("__s0").cast("double")),
             6,
         ).alias("gini"),
     )

@@ -2008,3 +2008,60 @@ def test_cluster_pair_cosines_matches_bruteforce(spark):
     for (ka, kb), (sa, sb) in carried.items():
         assert sa == ("train" if ka % 2 == 0 else "test")
         assert sb == ("train" if kb % 2 == 0 else "test")
+
+
+# ---------------------------------------------------------------------------
+# global_order_prefix — the bucketed two-level prefix sum behind
+# roc_auc / gini_concentration (r8 rewrite of the sort-rank pattern).
+# ---------------------------------------------------------------------------
+
+
+def test_global_order_prefix_matches_sequential(spark):
+    from etl_airbnb_mex_spark.operators.stats import global_order_prefix
+
+    rows = [
+        Row(k=i, v=float((i * 37) % 101), w=(i % 5) + 1) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # weighted exclusive prefix sum over global v order (ties by k)
+    got = {
+        r.k: r.cum
+        for r in global_order_prefix(
+            df, "v", tie_cols=("k",), weight_col="w", n_buckets=16
+        ).collect()
+    }
+    seq = sorted(rows, key=lambda r: (r.v, r.k))
+    acc = 0
+    for r in seq:
+        assert got[r.k] == acc, (r.k, got[r.k], acc)
+        acc += r.w
+
+    # unit-weight rank mode: rk is the exact 1-based global row_number
+    ranked = {
+        r.k: (r.cum, r.rk)
+        for r in global_order_prefix(
+            df, "v", tie_cols=("k",), rank=True, n_buckets=16
+        ).collect()
+    }
+    for pos, r in enumerate(seq):
+        assert ranked[r.k] == (pos, pos + 1)
+
+
+def test_global_order_prefix_degenerate_and_guard(spark):
+    import pytest as _pytest
+
+    from etl_airbnb_mex_spark.operators.stats import global_order_prefix
+
+    # all-equal order column collapses to bucket 0 (hi == lo) — rank
+    # must still be a permutation of 1..n via the tie column
+    df = spark.createDataFrame([Row(k=i, v=7.0) for i in range(50)])
+    rks = sorted(
+        r.rk
+        for r in global_order_prefix(df, "v", tie_cols=("k",), rank=True)
+        .collect()
+    )
+    assert rks == list(range(1, 51))
+
+    with _pytest.raises(ValueError):
+        global_order_prefix(df, "v", weight_col="v", rank=True)

@@ -160,6 +160,10 @@ _SCALAR_BNLJ_OK: set[str] = {
     "psi_drift",
     "woe_iv",
     "mutual_info",
+    # r8: global_order_prefix's 1-row min/max broadcast (bucket
+    # bounds) — operators/stats.py:global_order_prefix
+    "roc_auc",
+    "gini_concentration",
 }
 
 
@@ -228,6 +232,12 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "mom_growth",
     "zipf_slope",
     "pareto_revenue_share",
+    # r8: global_order_prefix's bucket-offset window runs over the
+    # ≤4096-row BUCKET-TOTAL frame (operators/stats.py), never the
+    # order axis — the two-level prefix replaces the r7 sort-rank
+    # driver round-trips in both queries.
+    "roc_auc",
+    "gini_concentration",
 }
 
 
