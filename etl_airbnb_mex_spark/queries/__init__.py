@@ -61,104 +61,83 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
-#: rotate to the entries with the weakest driver provenance. After
-#: round 6, every oracle-bearing entry has a green driver row from some
-#: round and 0 failures remain — round 7 closes PROVENANCE: the 3
-#: entries with no driver row EVER (the new video_frame_dedup plus
-#: dedup_simhash / ngram_jaccard, previously demoted to the tail and
-#: thus never inside a window), the one entry whose code changed this
-#: round (ks_drift_binned: degenerate zero-width guard), then the
-#: STALEST green rows oldest-first — all 33 remaining r2 rows (the
-#: F1-F21 function family in queries/core.py, untouched since r2, plus
-#: the batch window twins whose timeseries.py changed r4) and the 13
-#: oldest r3 rows whose implementing files changed since (setops.py r4:
-#: set family + sample_stratified; corpus.py r4+r6: the text-function
-#: rows; windows.py: rank/moving-avg).
+#: rotate to the entries with the weakest driver provenance. Round 9
+#: rotation (VERDICT r8 "Next round" #1, two rounds overdue): FIRST the
+#: two plans rewritten in r8 with zero driver rows on current code
+#: (gini_concentration, triangle_count), then everything whose code
+#: changes THIS round (roc_auc scale-safe registration, cosine_near_dup
+#: b6 params, basket_lift / copurchase_pairs pair-expansion port, the
+#: rows-only→oracle conversions near_dup_components / doc_winnowing /
+#: image_near_dup), then the r7 changed-after-freeze queue
+#: (dedup_minhash, near_dedup_corpus, decontaminate, corpus_pipeline),
+#: then the 29 r3-era rows whose implementing files changed since
+#: (queued verbatim from the r7/r8 comments below). Every name here was
+#: re-verified by the local oracle replica this session before the
+#: window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-ran (VERDICT r6 "Next round" #1) --
-    "video_frame_dedup",   # NEW r7: rows-only multimodal driver surface
-    "dedup_simhash",
-    "ngram_jaccard",
-    # -- NEW r7 ML-eval batch (queries/mleval.py) — never-ran, so they
-    #    claim window slots ahead of stale refreshes --
-    "roc_auc",
-    "psi_drift",
-    "woe_iv",
-    "calibration_bins",
-    "feature_hashing",
-    "mutual_info",
-    # -- code changed r7 after its last row (behavior-relevant edits
-    #    outrank r3-stale refreshes: a changed-code entry with an old
-    #    green row is the weakest provenance class after never-ran) --
-    "ks_drift_binned",        # r7 zero-width guard
-    "lang_id_ngram",          # r7 two-pass in-row contains() rewrite
-    "cosine_near_dup",        # r7 per-bucket gram-matrix residual
-    "semantic_dedup_clusters",  # r7 cluster_pair_cosines rewrite
-    "split_leakage_audit",    # r7 cluster_pair_cosines rewrite
-    # -- r2-stale: F1-F21 function family (queries/core.py) --
-    "clean_price",
-    "map_categories",
-    "bool_encode",
-    "numeric_coerce",
-    "text_clean",
-    "string_length",
-    "title_case",
-    "date_parts",
-    "clean_price_null",
-    "bool_encode_narrow",
-    "parse_array",
-    "amenities_flags",
-    "date_normalize",
-    # -- r2-stale: core scan/filter/agg family (queries/core.py) --
-    "flagship_topn_pct",
-    "scan_limit",
-    "count_star",
-    "project_subset",
-    "filter_notnull",
-    "filter_quantile",
-    "filter_castable",
-    "groupby_multi_agg",
-    "conditional_agg",
-    # -- r2-stale: batch window twins (timeseries.py changed r4) --
-    "window_tumbling_agg",
-    "window_sliding_agg",
-    "window_session_agg",
-    # -- r2-stale: remaining r2 rows --
-    "agg_rollup",
-    "dataset_split",
-    "pivot_counts",
-    "token_topn",
-    "sentiment_score",
-    "sentiment_dist",
-    "token_count_bpe",
-    "quality_filter",
-    # -- r3-stale, files changed since (setops.py r4; windows.py).
-    #    The four set-ops and six corpus.py text-function rows ceded
-    #    their slots to the changed-in-r7 and never-ran-mleval blocks
-    #    above (never-ran > changed-code > stale-row; the ceded rows
-    #    are single-expression plans with green r3 rows — queued for
-    #    round 8) --
-    "sample_stratified",
-    "window_rank_topn",
-    "window_moving_avg",
+    # -- rewritten in r8, no driver row on current code (VERDICT #1) --
+    "gini_concentration",
+    "triangle_count",
+    # -- code changed in r9 (this round) --
+    "roc_auc",             # r9: scale-safe cardinality-gated registration
+    "cosine_near_dup",     # r9: b6 parameters (scale-safe >16k vectors)
+    "basket_lift",         # r9: in-row pair-expansion edge build
+    "copurchase_pairs",    # r9: in-row pair-expansion edge build
+    "near_dup_components",  # r9: rows-only → WITH RECURSIVE oracle
+    "doc_winnowing",       # r9: rows-only → oracle conversion
+    "image_near_dup",      # r9: rows-only → oracle conversion
+    # -- r7 changed-after-freeze queue (no row on current code) --
+    "dedup_minhash",
+    "near_dedup_corpus",
+    "decontaminate",
+    "corpus_pipeline",
+    # -- r3-era rows whose implementing files changed since --
+    "set_union_by_name",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "doc_fingerprint",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "pii_scrub",
+    "repetition_ratio",
+    "group_collect",
+    "agg_cube",
+    "window_dense_rank",
+    "window_first_last",
+    "window_ntile",
+    "window_cume_dist",
+    "json_extract",
+    "agg_grouping_sets",
+    "embedding_centroids",
+    "window_range_frame",
+    "join_multiway_revenue",
+    "subquery_above_avg",
+    "merge_upsert_snapshot",
+    "unpivot_metrics",
+    "linreg_by_group",
+    "percentile_by_group",
+    "sequence_pack",
+    "dq_checks",
+    "histogram_equidepth",
+    # -- next-stalest after the r3 block: r4-era rows (fill to 50) --
+    "window_lag_delta",
+    "outliers_iqr",
+    "histogram",
+    "percentiles",
+    "describe_stats",
+    "scalar_stats",
+    "null_profile",
+    "corr_matrix",
 )
-# Still-stale after this window — queue for round 8, FIRST the
-# entries whose plans changed late in r7 (scan widening /
-# checkpointing) after the window was frozen: dedup_minhash,
-# near_dedup_corpus, decontaminate, corpus_pipeline, triangle_count,
-# copurchase_pairs, basket_lift, gini_concentration (every one
-# re-verified this session by the local replica AND the vanilla-
-# session driver simulation on post-change code — the staleness is
-# driver-row provenance, not correctness risk). Then the r3 rows:
-# set_union_by_name, set_intersect, set_except,
-# set_except_all, doc_fingerprint, token_count, lang_id,
-# quality_score, pii_scrub, repetition_ratio,
-# group_collect, agg_cube, window_dense_rank,
-# window_first_last, window_ntile, window_cume_dist, json_extract,
-# agg_grouping_sets, embedding_centroids, window_range_frame,
-# join_multiway_revenue, subquery_above_avg, merge_upsert_snapshot,
-# unpivot_metrics, linreg_by_group, percentile_by_group,
-# sequence_pack, dq_checks, histogram_equidepth.
+# Still-stale after this window — queue for round 10: the r4 rows not
+# admitted above (topn_by_count, mode_value, pct_of_total,
+# sample_weighted, dup_fullrow_count, dup_key_count, dedup_by_key,
+# dedup_text_exact, and the r5/r6 join family join_inner_fk /
+# join_broadcast_dim / join_left_semi / join_left_anti /
+# join_range_theta / join_asof / join_salted_skew). None have
+# changed code since their green rows — pure age-based refresh.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The
