@@ -4,6 +4,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The final line's "queries" dict holds the 25 slowest queries only — the
+driver's tail capture is 2000 chars and the full ~100-query map
+overflows it ("parsed": null, rounds 6-8); the complete per-query map
+is written to BENCH_SIDECAR.json under "spark" at the same commit.
+
 Each query is executed to completion (collect) so the number is the full
 scan→shuffle→result wall clock, not plan construction.
 """
@@ -345,6 +350,7 @@ def main() -> None:
     # can tell when an isolated number predates a plan rewrite.
     head = _git_head()
     sidecar = {
+        "spark": timings,
         "oracle": oracle_timings,
         "pipeline": pipeline,
         "bench_commit": head,
@@ -371,13 +377,25 @@ def main() -> None:
             json.dump(sidecar, f, separators=(",", ":"))
     except OSError:
         pass
+    # The driver captures only the LAST 2000 chars of output and parses
+    # the final line as JSON — the full ~100-query dict is ~2.5k chars,
+    # which truncated the line and left "parsed": null in rounds 6-8
+    # (VERDICT.md r8 "What's wrong" #6). The final line therefore
+    # carries only the 25 SLOWEST queries (the ones a perf reader needs
+    # first); the complete per-query map is in BENCH_SIDECAR.json under
+    # "spark" (same commit stamp).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_full": "BENCH_SIDECAR.json:spark",
                 "pipeline_rows_per_sec": pipeline["rows_per_sec"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },

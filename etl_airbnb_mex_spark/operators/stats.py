@@ -433,6 +433,11 @@ def global_order_prefix(
        (parallelism = occupied buckets, ~n/4096 rows each) adds the
        within-bucket prefix.
 
+    NULL order values take a dedicated first bucket and NaN the last,
+    matching Spark's ascending sort (nulls first, NaN greatest) so
+    ranks equal a true global sort's; ±Inf order values are a
+    precondition violation (infinite limits make every width NaN).
+
     ``df`` feeds three branches (min/max, bucket totals, the main
     join). ReuseExchange dedups the upstream SHUFFLE, but each branch
     still re-runs the post-shuffle operators — for a high-cardinality
@@ -449,18 +454,30 @@ def global_order_prefix(
     if materialize:
         df = df.localCheckpoint(eager=False)
     w_expr = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    v = F.col(order_col).cast("double")
+    # NaN-masked limits: max() would otherwise return NaN (NaN sorts
+    # greatest) and poison every bucket via a NaN width.
+    vn = F.when(~F.isnan(v), v)
     lim = df.agg(
-        F.min(order_col).cast("double").alias("__lo"),
-        F.max(order_col).cast("double").alias("__hi"),
+        F.min(vn).alias("__lo"),
+        F.max(vn).alias("__hi"),
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    # Bucket order must equal Spark's ascending sort order end to end:
+    # NULL order_col sorts FIRST → dedicated bucket -1 (the r8 form let
+    # nulls fall through floor→null→least→LAST bucket while still
+    # sorting nulls-first inside it — ranks inconsistent with a true
+    # global sort, ADVICE r8 #3); NaN sorts LAST (greater than +Inf)
+    # → pinned to the top bucket, where the within-bucket orderBy also
+    # places it after every number. ±Inf order_col stays a documented
+    # precondition (an infinite lo/hi makes width NaN).
     bkt = (
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+        F.when(F.col(order_col).isNull(), F.lit(-1).cast("long"))
+        .when(F.isnan(v), F.lit(n_buckets - 1).cast("long"))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
         .otherwise(
             F.least(
-                F.floor(
-                    (F.col(order_col).cast("double") - F.col("__lo")) / width
-                ).cast("long"),
+                F.floor((v - F.col("__lo")) / width).cast("long"),
                 F.lit(n_buckets - 1).cast("long"),
             )
         )

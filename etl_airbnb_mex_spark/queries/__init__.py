@@ -79,7 +79,8 @@ _PRIORITY: tuple[str, ...] = (
     "gini_concentration",
     "triangle_count",
     # -- code changed in r9 (this round) --
-    "roc_auc",             # r9: scale-safe cardinality-gated registration
+    "roc_auc",             # r9: scale-safe quantized-grid registration
+    "roc_auc_exact",       # NEW r9: bit-exact form, never driver-ran
     "cosine_near_dup",     # r9: b6 parameters (scale-safe >16k vectors)
     "basket_lift",         # r9: in-row pair-expansion edge build
     "copurchase_pairs",    # r9: in-row pair-expansion edge build
@@ -129,10 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     "describe_stats",
     "scalar_stats",
     "null_profile",
-    "corr_matrix",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
-# admitted above (topn_by_count, mode_value, pct_of_total,
+# admitted above (corr_matrix — ceded its slot to the never-ran
+# roc_auc_exact — plus topn_by_count, mode_value, pct_of_total,
 # sample_weighted, dup_fullrow_count, dup_key_count, dedup_by_key,
 # dedup_text_exact, and the r5/r6 join family join_inner_fk /
 # join_broadcast_dim / join_left_semi / join_left_anti /

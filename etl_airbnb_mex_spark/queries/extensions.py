@@ -1300,14 +1300,21 @@ def _bucketed_near_dup_sql(
 @register(
     "cosine_near_dup",
     _bucketed_near_dup_sql(
-        _fixed_planes(n=8), bits_per_table=4, threshold=0.3, max_bucket=1000,
+        _fixed_planes(n=12), bits_per_table=6, threshold=0.3,
+        max_bucket=1000,
     ),
     "§2.11 — embedding-cosine near-dup pairs via the SCALE form: "
     "2-table random-hyperplane LSH bucket equi-join (no BNLJ, no "
     "all-pairs), hot-bucket guard, exact rounded cosine ≥ 0.3 as the "
     "residual filter. Deterministic planes → the oracle replays the "
     "identical buckets, so this is hash-checked despite being an LSH "
-    "plan. The O(n²) exact form survives only as the pytest oracle "
+    "plan. Registered at 6 bits/table (64 buckets/table) — the r8 "
+    "4-bit form saturated the max_bucket=1000 hot-bucket guard above "
+    "~16k vectors (buckets silently dropped, work collapsed); at b6 "
+    "occupancy stays ~n/64 per table (sf1 measured 0.5× DuckDB in the "
+    "scale series), and the documented scale axis remains 'raise bits "
+    "with n' so bucket size tracks n/2^bits. The O(n²) exact form "
+    "survives only as the pytest oracle "
     "(operators/similarity.py:cosine_near_dup_pairs).",
 )
 def cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,7 +1322,7 @@ def cosine_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cosine_near_dup_bucketed(
         load_table(spark, sf_dir, "embeddings"),
-        planes=_fixed_planes(n=8), bits_per_table=4,
+        planes=_fixed_planes(n=12), bits_per_table=6,
         threshold=0.3, max_bucket=1000,
     )
 
@@ -2895,6 +2902,71 @@ def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+#: Unordered-pair encoding base: pair key = least·2³¹ + greatest, one
+#: 8-byte long per pair. Exact while every part id < 2³¹ (TPC-H partkey
+#: = 200k·SF → SF ≈ 10,000); the decode below is INTEGER arithmetic
+#: (shiftright / %), so there is no floating-point bound — the r8 form
+#: decoded with F.floor(pc / enc), whose DOUBLE division loses exactness
+#: past 2⁵³ ≈ partkey 4.2M (ADVICE r8 #1).
+_PAIR_ENC = 2_147_483_648
+
+
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → one row per order with its DISTINCT part set.
+
+    The shared edge-build head for the market-basket family
+    (copurchase_pairs / basket_lift / triangle_count / graph seeds):
+    ONE groupBy(order) shuffle — collect_set dedups (order, part)
+    without a separate distinct shuffle, and the groupBy IS the
+    co-locating exchange (a pre-repartition would just double the
+    round-trip). Item sets are bounded by lineitems-per-order (≤7 in
+    TPC-H), so the per-row array never skews.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("__ps"))
+    )
+
+
+def _basket_pair_counts(baskets: DataFrame) -> DataFrame:
+    """In-row unordered-pair expansion + ONE hash agg on the encoded
+    pair key: the k² fan-out (k = distinct items/order) runs inside
+    codegen via transform/slice, each pair ships as a single 8-byte
+    long, and the count agg keys on that long — the r8 triangle_count
+    edge build (measured 18.2 s → 6.5 s at sf2 vs the order-keyed
+    self-join), now shared by copurchase_pairs / basket_lift. Returns
+    (__pc encoded pair, n_orders).
+    """
+    enc = F.lit(_PAIR_ENC)
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ps"), i + 2, F.size(F.col("__ps"))),
+                        lambda y: F.least(x, y).cast("long") * enc
+                        + F.greatest(x, y).cast("long"),
+                    ),
+                )
+            )
+        ).alias("__pc")
+    )
+    return pairs.groupBy("__pc").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _decode_pair(a: str, b: str) -> list:
+    """Integer-exact decode of the encoded pair long: shiftright for the
+    low id (enc is 2³¹) and long % for the high id — both pure integer
+    ops, exact over the full encodable range."""
+    return [
+        F.shiftright(F.col("__pc"), 31).cast("long").alias(a),
+        (F.col("__pc") % F.lit(_PAIR_ENC)).cast("long").alias(b),
+    ]
+
+
 @register(
     "copurchase_pairs",
     """
@@ -2908,40 +2980,21 @@ def ffill_timeseries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_orders DESC, part_a ASC, part_b ASC LIMIT 20
     """,
     "Market-basket co-occurrence: top part pairs ordered together, "
-    "counted per ORDER. Distinct (order, part) pre-agg FIRST — an "
-    "order listing the same part on two lineitems contributes each "
-    "pair once, so n_orders really counts orders — then self-join ON "
-    "the order key (co-partitioned equi-join, AQE-sized) with the a<b "
-    "guard; pair fan-out is bounded by distinct items-per-order "
-    "squared (~tens), never corpus-squared; then one pair hash agg + "
-    "TakeOrderedAndProject.",
+    "counted per ORDER. The oracle states the distinct-(order,part) "
+    "self-join; the engine builds the same pairs with ONE "
+    "groupBy(order) + IN-ROW pair expansion (_basket_pair_counts — "
+    "collect_set dedups without a distinct shuffle, the k² fan-out "
+    "(k = items/order, ≤7) runs inside codegen, each unordered pair "
+    "ships as one encoded 8-byte long), then one pair hash agg + "
+    "integer decode + TakeOrderedAndProject. Replaces the r7 "
+    "order-keyed self-join (two reads of a checkpointed distinct scan "
+    "+ a key join) that the r8 triangle rewrite measured 3× slower at "
+    "sf2 on the identical shape.",
 )
 def copurchase_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        # widen the single-file fact scan so the partial distinct
-        # parallelizes (tables.py:parallelize_scan); only keys ship.
-        # The lazy checkpoint stops the self-join from re-running the
-        # scan + repartition + distinct for BOTH join sides.
-        parallelize_scan(
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey"),
-            spark,
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
     return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _basket_pair_counts(_order_baskets(spark, sf_dir))
+        .select(*_decode_pair("part_a", "part_b"), "n_orders")
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
@@ -3258,48 +3311,18 @@ def histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
-    # r8 edge build: the r7 order-keyed SELF-JOIN (two reads of a
-    # distinct-ed scan + a 24M-row join at sf2) is replaced by ONE
-    # groupBy(order) + IN-ROW pair expansion — collect_set dedups
-    # (order, part) without a separate distinct shuffle, the k² pair
-    # fan-out (k = items/order, ≤7 in this schema) happens inside
-    # codegen via transform/slice, and each unordered pair ships as a
-    # single encoded LONG so the ≥2-orders count shuffles one 8-byte
-    # key instead of two columns (sf2 edge build measured 18.2 s →
-    # 6.5 s; AQE re-splits the post-explode skew). No parallelize_scan:
-    # the groupBy IS the co-locating shuffle, a pre-repartition just
-    # doubles the 12M-row round-trip.
-    enc = F.lit(2_147_483_648)  # 2^31 > max partkey at every tier
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("__ps"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("__ps"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("__ps"), i + 2, F.size(F.col("__ps"))
-                            ),
-                            lambda y: F.least(x, y).cast("long") * enc
-                            + F.greatest(x, y).cast("long"),
-                        ),
-                    )
-                )
-            ).alias("__pc")
-        )
-    )
+    # r8 edge build, r9-shared as _order_baskets/_basket_pair_counts:
+    # ONE groupBy(order) + IN-ROW pair expansion, each unordered pair
+    # one encoded 8-byte long (sf2 edge build measured 18.2 s → 6.5 s
+    # vs the r7 self-join; AQE re-splits the post-explode skew). The
+    # decode is integer (shiftright/%) — the r8 F.floor(pc/enc) DOUBLE
+    # division was exact only below partkey 2^53/2^31 ≈ 4.2M
+    # (ADVICE r8 #1); shiftright holds over the full 2^31 encoding
+    # range.
     edges = (
-        pairs.groupBy("__pc")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select(
-            F.floor(F.col("__pc") / enc).cast("long").alias("src"),
-            (F.col("__pc") % enc).cast("long").alias("dst"),
-        )
+        _basket_pair_counts(_order_baskets(spark, sf_dir))
+        .filter(F.col("n_orders") >= 2)
+        .select(*_decode_pair("src", "dst"))
     )
     return triangle_count(edges)
 

@@ -271,50 +271,33 @@ def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Market-basket association lift: P(A,B)/(P(A)·P(B)) over distinct "
     "(order, part) baskets — the normalization that separates 'bought "
-    "together because both are popular' from real affinity. Same "
-    "bounded self-join as copurchase_pairs (fan-out ≤ items-per-"
-    "order², both sides deduplicated first); item frequencies join "
-    "back BROADCAST (item axis ≪ pair axis); the order count is a "
-    "1-row broadcast scalar. All counts integer-exact; lift quantizes "
-    "to PPM (products stay < 2^53, so the double math is exact).",
+    "together because both are popular' from real affinity. The oracle "
+    "states the distinct self-join; the engine shares copurchase_pairs' "
+    "r9 build (extensions._order_baskets + _basket_pair_counts): ONE "
+    "groupBy(order) + in-row pair expansion, pairs as encoded 8-byte "
+    "longs — the form the r8 triangle rewrite measured 3× faster at "
+    "sf2 than the order-keyed self-join used here through r8. Item "
+    "frequencies and the order count come from the SAME lazily-"
+    "checkpointed basket frame (order-axis-sized, never raw-lineitem-"
+    "sized) and join back BROADCAST (item axis ≪ pair axis). All "
+    "counts integer-exact; lift quantizes to PPM (products stay "
+    "< 2^53, so the double math is exact).",
 )
 def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
-        # widen the single-file fact scan so the map-side partial
-        # distinct parallelizes (tables.py:parallelize_scan); only the
-        # two key columns ship
-        parallelize_scan(
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey"),
-            spark,
-        )
-        .distinct()
-        # four consumers (order count, item freqs, both pair sides)
-        # would each re-run the scan+distinct without truncation
-        .localCheckpoint(eager=False)
+    from .extensions import _basket_pair_counts, _decode_pair, _order_baskets
+
+    # three consumers (order count, item freqs, pair expansion) would
+    # each re-run the scan + groupBy without truncation
+    baskets = _order_baskets(spark, sf_dir).localCheckpoint(eager=False)
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        baskets.select(F.explode("__ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
     )
-    n_orders = op.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    item = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("n_item")
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("__ok"),
-        F.col("l_partkey").alias("part_a"),
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("__ok2"),
-        F.col("l_partkey").alias("part_b"),
-    )
-    pair = (
-        a.join(
-            b,
-            (F.col("__ok") == F.col("__ok2"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    pair = _basket_pair_counts(baskets).select(
+        *_decode_pair("part_a", "part_b"),
+        F.col("n_orders").alias("n_pair"),
     )
     ia = item.select(
         F.col("l_partkey").alias("__pa"), F.col("n_item").alias("__na")
@@ -382,8 +365,10 @@ def basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then n is folded out ALGEBRAICALLY — Σ(2r−n−1)·rev = 2·Σ(r·rev) "
     "− (n+1)·Σrev with n = max(rk) — so the whole statistic is ONE "
     "final aggregate over the ranked frame: a single Spark action, no "
-    "localCheckpoint, no driver offset round-trips, no second pass "
-    "for n (the r7 sf2 probe billed 10× DuckDB to exactly that fixed "
+    "eager checkpoint, no driver offset round-trips, no second pass "
+    "for n (one LAZY localCheckpoint of the customer-axis frame inside "
+    "global_order_prefix keeps its three branches from re-running the "
+    "groupBy; the r7 sf2 probe billed 10× DuckDB to the removed fixed "
     "job latency). Never a single-partition window over the customer "
     "axis; ranks tie-break on custkey so both engines order "
     "identically; the r·rev moment sums in exact DECIMAL before the "

