@@ -347,19 +347,53 @@ def ngram_jaccard_verified_pairs(
     )
 
 
+def positional_shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram sequence IN POSITION ORDER (duplicates kept) —
+    the winnowing input, where the i-th gram must be the gram starting
+    at token i. Same zip_with/slice build as :func:`shingles` (O(tokens),
+    no lambda re-tokenization), but sliced to the full-gram prefix
+    instead of distinct+filtered: a doc with t tokens yields exactly
+    max(t-n+1, 0) grams."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    acc = toks
+    for j in range(2, n + 1):
+        shifted = F.slice(toks, j, F.size(toks))
+        acc = F.zip_with(
+            acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def md5_prefix_hash(col: Column) -> Column:
+    """Portable 60-bit string hash: the first 15 hex chars of md5 as a
+    long. ~3× slower than xxhash64 but ENGINE-PORTABLE — DuckDB replays
+    it as CAST('0x' || substr(md5(g),1,15) AS BIGINT), which makes
+    hash-keyed operators (winnowing) oracle-checkable. Production swap
+    at 100 TB: xxhash64 (same operator shape, 8-byte keys)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     window: int = 4,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """§2.11 — winnowing document fingerprints (Schleimer et al.): hash
-    every k-gram (rolling shingle hash), then keep the MINIMUM hash of
-    each sliding window of ``window`` consecutive k-gram hashes; the
-    distinct minima are the document's fingerprint set (guaranteed to
-    share a fingerprint with any document overlapping by ≥ window+k-1
-    tokens). Returns one row per (id, fingerprint).
+    every POSITIONAL k-gram (duplicates kept — through r8 this ran over
+    the distinct-gram sequence, which breaks the textbook guarantee
+    window and has no order-stable SQL twin), then keep the MINIMUM
+    hash of each sliding window of ``window`` consecutive k-gram
+    hashes; the distinct minima are the document's fingerprint set
+    (guaranteed to share a fingerprint with any document overlapping by
+    ≥ window+k-1 tokens). Returns one row per (id, fingerprint).
+
+    ``hash_fn`` defaults to xxhash64 (production); pass
+    :func:`md5_prefix_hash` for the engine-portable form the DuckDB
+    oracle can replay.
 
     The windowed minimum folds via zip_with against shifted copies of
     the hash array (per-element lambdas only — no enclosing-expression
@@ -367,10 +401,10 @@ def winnowing_fingerprints(
     explode ships (id, 8-byte hash) rows to the distinct shuffle.
     """
     sh = df.select(
-        F.col(id_col), shingles(text_col, k).alias("__sh")
+        F.col(id_col), positional_shingles(text_col, k).alias("__sh")
     ).select(
         id_col,
-        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform("__sh", lambda s: hash_fn(s)).alias("__h"),
     )
     # min over sliding window of `window` consecutive entries:
     # acc_j = zip_with(acc_{j-1}, shift_j(h), least); after window-1

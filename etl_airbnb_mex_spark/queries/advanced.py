@@ -861,16 +861,64 @@ def pit_lookup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "image_near_dup",
-    None,  # binary media has no DuckDB twin; pytest verifies vs brute force
+    """
+    WITH docs AS (
+      SELECT unnest(generate_series(0,
+        CAST(least((SELECT count(*) FROM documents), 200) - 1 AS BIGINT)))
+        AS doc),
+    d AS (SELECT doc, CASE WHEN doc % 4 = 1 THEN doc - 1 ELSE doc END
+                 AS base FROM docs),
+    ij AS (SELECT d.doc, d.base, ii.i, jj.j
+           FROM d, (SELECT unnest(generate_series(0,7)) AS i) ii,
+                  (SELECT unnest(generate_series(0,8)) AS j) jj),
+    px AS (
+      SELECT doc, i, j,
+        least(255, greatest(0,
+          CAST('0x' || substr(md5('b:' || base || ':' || i || ':' ||
+               (([0,3,7,10,14,17,21,24,28][j+1]) // 4)), 1, 15)
+               AS BIGINT) % 256
+          + CASE WHEN doc % 4 = 1 THEN
+              CAST('0x' || substr(md5('n:' || doc || ':' || (3*i) || ':' ||
+                   ([0,3,7,10,14,17,21,24,28][j+1])), 1, 15)
+                   AS BIGINT) % 5 - 2
+            ELSE 0 END)) AS px
+      FROM ij),
+    bits AS (
+      SELECT doc, i, j,
+             CASE WHEN lead(px) OVER (PARTITION BY doc, i ORDER BY j) > px
+                  THEN 1 ELSE 0 END AS b
+      FROM px QUALIFY j < 8),
+    hs AS (
+      SELECT doc,
+             CAST(sum(CASE WHEN b = 1 THEN
+                   CASE WHEN i*8 + j = 0 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << (63 - (i*8 + j))) END
+                 ELSE 0 END) AS BIGINT) AS h
+      FROM bits GROUP BY doc),
+    pairs AS (
+      SELECT CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+      FROM hs a JOIN hs b ON a.doc < b.doc)
+    SELECT hamming, count(*) AS n_pairs
+    FROM pairs WHERE hamming <= 6 GROUP BY hamming ORDER BY hamming
+    """,
     "Multimodal image near-dedup, end to end on the driver surface: "
-    "deterministic PNG images are rendered per document (smooth "
-    "gradient seeded by doc_id; every doc_id % 4 == 1 row re-renders "
-    "its predecessor's image with light deterministic noise), then "
-    "perceptual dhash (Arrow-batched real PNG decode) and the "
-    "band-bucket hamming join find the planted near-duplicate pairs "
-    "(multimodal/ops.py:image_dhash/image_near_dup_pairs — recall 1.0 "
-    "for max_hamming < bands by pigeonhole; pixels never shuffle). "
-    "Output: one row per hamming distance with the pair count.",
+    "deterministic PNG images are rendered per document (8×8 block "
+    "pattern from an md5-keyed PRNG upscaled ×(3,4); every doc_id % 4 "
+    "== 1 row re-renders its predecessor's blocks with ±2 md5-keyed "
+    "noise — block patterns, not gradients, because every monotone "
+    "gradient dhashes to the same all-ones bits), then perceptual "
+    "dhash (Arrow-batched REAL PNG decode) and the band-bucket hamming "
+    "join find the planted near-duplicate pairs (multimodal/ops.py:"
+    "image_dhash/image_near_dup_pairs — recall 1.0 for max_hamming < "
+    "bands by pigeonhole; pixels never shuffle). Oracle-checked since "
+    "r9 (was rows-only): PNG is lossless and nearest-resize indices "
+    "are fixed integer arithmetic, so the oracle reconstructs every "
+    "SAMPLED pixel algebraically from the md5 generator (never "
+    "touching an image), packs the 64 gradient bits into the same "
+    "signed BIGINT, and counts all-pairs hamming ≤ 6 — bit-exact "
+    "parity with the decode→resize→dhash path, verified across the "
+    "sign bit. Output: one row per hamming distance with the pair "
+    "count.",
 )
 def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.ops import (
@@ -883,22 +931,39 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(int(n_docs), 200)
 
     def render(doc_id: int) -> "bytes":
+        import hashlib
+
         import numpy as np
 
         from ..multimodal.codecs import png_encode
 
+        def h15(s: str) -> int:
+            # md5-keyed PRNG: the oracle SQL replays it as
+            # CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
         base_id = doc_id - 1 if doc_id % 4 == 1 else doc_id
         # Coarse 8x8 block pattern upscaled to 24x32: distinct per
-        # base (seeded), and stable under the +-2 noise below — smooth
+        # base, and stable under the +-2 noise below — smooth
         # gradients would NOT work here, every monotone gradient
         # dhashes to the same all-ones bits.
-        blocks = np.random.RandomState(base_id).randint(
-            0, 256, (8, 8)
+        blocks = np.array(
+            [
+                [h15(f"b:{base_id}:{r}:{c}") % 256 for c in range(8)]
+                for r in range(8)
+            ],
+            dtype="float64",
         )
-        g = np.kron(blocks, np.ones((3, 4))).astype("float64")
+        g = np.kron(blocks, np.ones((3, 4)))
         if doc_id % 4 == 1:  # planted near-duplicate of doc_id-1
-            rng = np.random.RandomState(doc_id)
-            g = g + rng.randint(-2, 3, g.shape)
+            noise = np.array(
+                [
+                    [h15(f"n:{doc_id}:{r}:{c}") % 5 - 2 for c in range(32)]
+                    for r in range(24)
+                ],
+                dtype="float64",
+            )
+            g = g + noise
         return png_encode(g.clip(0, 255).astype("uint8"))
 
     rows = [

@@ -1075,15 +1075,47 @@ def ngram_jaccard_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_winnowing",
-    None,  # xxhash64-based — rows-only; invariants unit-tested
-    "§2.11 — winnowing fingerprints (rolling k-gram hash, sliding-window "
-    "minima): the overlap-detection fingerprint family, one row per "
-    "(doc, fingerprint).",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, tk, ng, unnest(generate_series(1, ng)) AS pos
+      FROM (SELECT doc_id, tk, len(tk) - 2 AS ng FROM toks)),
+    g AS (
+      SELECT doc_id, pos, ng,
+             CAST('0x' || substr(
+               md5(tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2]), 1, 15)
+               AS BIGINT) AS h
+      FROM pos),
+    m AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS fingerprint
+      FROM g QUALIFY pos <= ng - 3)
+    SELECT DISTINCT doc_id, fingerprint
+    FROM m ORDER BY doc_id, fingerprint
+    """,
+    "§2.11 — winnowing fingerprints (Schleimer et al. SIGMOD'03: "
+    "positional k-gram hashes, sliding-window minima, k=3 window=4): "
+    "the overlap-detection fingerprint family, one row per (doc, "
+    "fingerprint). Oracle-checked since r9: the registered form hashes "
+    "grams with the portable md5-prefix long (CAST('0x'||substr(md5,1,"
+    "15)) in DuckDB ≡ conv(substring(md5,1,15),16,10) in Spark) so "
+    "both engines replay identical fingerprints; the production 100 TB "
+    "swap is hash_fn=xxhash64 (same plan shape, documented in "
+    "operators/dedup.py:md5_prefix_hash). In-row work until one "
+    "(id, 8-byte hash) distinct shuffle — text never shuffles.",
 )
 def doc_winnowing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import winnowing_fingerprints
+    from ..operators.dedup import md5_prefix_hash, winnowing_fingerprints
 
-    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    return winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), hash_fn=md5_prefix_hash
+    )
 
 
 @register(
@@ -1893,19 +1925,83 @@ def linreg_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_components",
-    None,  # edges come from xxhash64 MinHash estimates — rows-only
-    "§2.11 — connected components over the thresholded near-dup graph "
+    r"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS pos
+      FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2] || ' ' ||
+             tk[pos+3] || ' ' || tk[pos+4] AS gram
+      FROM pos),
+    ok AS (
+      SELECT doc_id, gram FROM grams
+      QUALIFY count(*) OVER (PARTITION BY gram) <= 50),
+    e0 AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM ok a JOIN ok b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 3),
+    e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+    n AS (SELECT DISTINCT s AS node FROM e),
+    r AS (
+      SELECT node, node AS lab FROM n
+      UNION
+      SELECT e.d, r.lab FROM r JOIN e ON e.s = r.node)
+    SELECT node, CAST(min(lab) AS BIGINT) AS component
+    FROM r GROUP BY node ORDER BY node
+    """,
+    "§2.11 — connected components over the near-dup graph "
     "(operators/dedup.py:connected_components): iterative min-label "
     "propagation, localCheckpoint-truncated lineage, O(diameter) "
     "rounds. The cluster-exact companion to near_dedup_corpus's greedy "
-    "policy (near_dedup_canonical keeps exactly one doc per component).",
+    "policy (near_dedup_canonical keeps exactly one doc per component). "
+    "Oracle-checked since r9 (was rows-only): edges are docs sharing "
+    "≥3 distinct word 5-grams (exact gram STRINGS both engines — the "
+    "decontaminate portability pattern; production swap xxhash64(gram) "
+    "or the MinHash estimate), hot grams capped at document-frequency "
+    "50 BEFORE the gram self-join so fan-out is df²-bounded per gram, "
+    "never corpus²; the oracle replays the component labels with WITH "
+    "RECURSIVE min-label reachability, mirroring graph_reachability's "
+    "BFS twin.",
 )
 def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import connected_components, shingles
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d).filter(F.col("est_jaccard") >= 0.5)
-    return connected_components(pairs, src="id_a", dst="id_b").orderBy("node")
+    g = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles("text", 5)).alias("gram")
+    )
+    # document-frequency cap: one gram-keyed shuffle, then the filter
+    # bounds the self-join fan-out at 50²/2 pairs per gram
+    ok = (
+        g.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("__df") <= 50)
+        .drop("__df")
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    edges = (
+        a.join(b, "gram")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 3)
+        .select("id_a", "id_b")
+    )
+    return (
+        connected_components(edges, src="id_a", dst="id_b")
+        .select("node", F.col("label").cast("bigint").alias("component"))
+        .orderBy("node")
+    )
 
 
 @register(
