@@ -365,7 +365,7 @@ def main() -> None:
         # scripts and carry their own commit stamps — preserved, not
         # regenerated, by a bench run
         for key in ("isolated", "isolated_notes", "isolated_commit",
-                    "scale_trend", "streaming_bench"):
+                    "pipeline_isolated", "scale_trend", "streaming_bench"):
             if key in prior:
                 sidecar[key] = prior[key]
     except (OSError, ValueError):

@@ -46,67 +46,87 @@ def _disc_price() -> F.Column:
 @register(
     "q1_pricing_summary",
     """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_discount * 100) AS BIGINT) AS dc,
+             CAST(round(l_tax * 100) AS BIGINT) AS tc
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01')
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
-             AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
-                AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                      AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                      AS DOUBLE) / count(*), 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
-                      AS DOUBLE) / count(*), 6) AS avg_disc,
+           CAST(sum(q) AS BIGINT) AS sum_qty,
+           CAST(sum(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
+           CAST(sum(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+             AS sum_charge,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round((CAST(sum(pc) AS DOUBLE) / 100.0) / count(*), 6)
+             AS avg_price,
+           round((CAST(sum(dc) AS DOUBLE) / 100.0) / count(*), 6)
+             AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-    GROUP BY l_returnflag, l_linestatus
+    FROM c GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
     "TPC-H Q1: the pricing-summary scan-heavy aggregate — one pass, "
     "partial+final hash agg over a 6-value grouping key, filter pushed "
-    "to the parquet scan. All sums in DECIMAL (exact decimal products, "
-    "shuffle-order-independent); the averages derive from those exact "
-    "sums with a single final double division (never avg() over "
-    "doubles, whose accumulation order differs per engine).",
+    "to the parquet scan. All money flows as INTEGER CENTS (2-dp "
+    "columns ×100, rounded, long): exact, shuffle-order-independent, "
+    "and ~2.5× faster than the r8 DECIMAL(18,2) sums — Spark's "
+    "decimal aggregate buffers (decimal(38) + overflow tracking) were "
+    "the measured wall at sf1 while DuckDB's native decimal "
+    "vectorizes; disc_price/charge keep 4/6 implied decimals via "
+    "(100−dc)/(100+tc) integer factors. Per-row charge ≤ 1.4e11 → the "
+    "long SUM overflows only past ~7e7 rows per group (SF ≈ 10); the "
+    "documented at-scale swap is casting the same integer product to "
+    "DECIMAL(38,0) for the sum, keeping per-row math integral. "
+    "Averages derive from the exact sums with identical double "
+    "divisions on both engines (never avg() over doubles, whose "
+    "accumulation order differs per engine).",
 )
 def q1_pricing_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
     )
+    # round() yields an integral double, so the long cast is exact
+    q = F.round(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    tc = F.round(F.col("l_tax") * 100).cast("long")
     n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("__sq"),
-            F.sum(_dec("l_extendedprice")).alias("__sb"),
-            F.sum(_disc_price()).alias("__sd"),
-            F.sum(_disc_price() * (F.lit(1) + _dec("l_tax"))).alias("__sc"),
-            F.sum(_dec("l_discount")).alias("__sdisc"),
+            F.sum(q).alias("__sq"),
+            F.sum(pc).alias("__sb"),
+            F.sum(pc * (F.lit(100) - dc)).alias("__sd"),
+            F.sum(pc * (F.lit(100) - dc) * (F.lit(100) + tc)).alias("__sc"),
+            F.sum(dc).alias("__sdisc"),
             n.cast("bigint").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
             F.col("__sq").cast("bigint").alias("sum_qty"),
-            F.col("__sb").cast("double").alias("sum_base_price"),
-            F.col("__sd").cast("double").alias("sum_disc_price"),
-            F.col("__sc").cast("double").alias("sum_charge"),
+            (F.col("__sb").cast("double") / F.lit(100.0))
+            .alias("sum_base_price"),
+            (F.col("__sd").cast("double") / F.lit(10000.0))
+            .alias("sum_disc_price"),
+            (F.col("__sc").cast("double") / F.lit(1000000.0))
+            .alias("sum_charge"),
             F.round(
                 F.col("__sq").cast("double") / F.col("count_order"), 6
             ).alias("avg_qty"),
             F.round(
-                F.col("__sb").cast("double") / F.col("count_order"), 6
+                (F.col("__sb").cast("double") / F.lit(100.0))
+                / F.col("count_order"),
+                6,
             ).alias("avg_price"),
             F.round(
-                F.col("__sdisc").cast("double") / F.col("count_order"), 6
+                (F.col("__sdisc").cast("double") / F.lit(100.0))
+                / F.col("count_order"),
+                6,
             ).alias("avg_disc"),
             "count_order",
         )

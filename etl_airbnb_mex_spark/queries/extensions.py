@@ -3400,9 +3400,11 @@ def histogram2d_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so out-degree is O(√m), then count per EDGE as "
     "size(array_intersect(N⁺(a), N⁺(b))) over sorted out-neighbor "
     "arrays — the O(m^1.5) term runs in-row inside codegen instead of "
-    "materializing + shuffling the wedge set (r8; 18.2 s → <6 s at "
-    "sf2), immune to hub vertices; the oracle counts the same "
-    "triangles by id-order (operators/graph.py:triangle_count).",
+    "materializing + shuffling the wedge set, immune to hub vertices. "
+    "r9 per-process sf2 probe: 8.2 s end-to-end vs 18.2 s for the r7 "
+    "self-join form and 17.6 s for the DuckDB oracle (0.47×, inverted "
+    "— sidecar scale_trend). The oracle counts the same triangles by "
+    "id-order (operators/graph.py:triangle_count).",
 )
 def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count

@@ -78,12 +78,34 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static broadcast threshold uses COMPRESSED file-size estimates:
+        # at 64 MiB the sf1 orders table (23 MB parquet, 1.5M rows,
+        # ~10x that in-memory) broadcast — a single-threaded driver
+        # hash-table build that made TPC-H q5 SLOWER at sf1 (5.1 s)
+        # than at sf2 (2.4 s, where it tipped to SortMergeJoin). 16 MiB
+        # keeps every real dimension (nation/region/supplier/customer
+        # ≤ 2 MB) on the broadcast path and leaves fact-fact joins to
+        # AQE, which re-plans with ACTUAL shuffle sizes at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Keep partition files at a size that parallelizes well at 100 TB
-        # (default 128 MiB is fine; stated here so it is a deliberate choice).
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split size. The 128 MiB default assumes the multi-file
+        # layout a production table actually has; the local test tables
+        # are ONE compressed parquet file each (sf1 lineitem = 110 MB,
+        # 6×1M-row row groups), so at 128 MiB the whole fact scan is a
+        # single task while DuckDB reads row groups on 32 threads — the
+        # r9 join-suite probe measured q1 at 28× DuckDB purely on that
+        # parallelism floor. 16 MiB splits along row-group boundaries
+        # restore the parallelism the same data would have as a real
+        # multi-file table; AQE coalesces the extra post-shuffle
+        # partitions, and openCostInBytes keeps tiny dims at one task.
+        # On a real 100 TB cluster, set 128m+ via spark-submit (inputs
+        # arrive as thousands of files; this knob stops mattering).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                           str(16 * 1024 * 1024)),
+        )
         # Managed-table warehouse (bucketed tables): keep out of the repo.
         .config(
             "spark.sql.warehouse.dir",

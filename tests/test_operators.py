@@ -554,6 +554,72 @@ def test_ngram_jaccard_verified_matches_bruteforce(spark, docs):
     assert len(missed) <= max(1, 0.05 * len(brute)), missed
 
 
+def test_pair_encoding_integer_exact_near_2_31(spark):
+    """The encoded-pair decode must be integer-exact over the FULL
+    2^31 encoding range: the r8 form decoded src with F.floor(pc/enc)
+    whose DOUBLE division loses exactness past partkey ~4.2M
+    (2^53/2^31, ADVICE r8 #1); the shiftright/% decode has no
+    floating-point bound. Exercise ids right at the top of the range."""
+    import itertools
+
+    from etl_airbnb_mex_spark.queries.extensions import (
+        _basket_pair_counts,
+        _decode_pair,
+    )
+
+    ids = [2**31 - 1, 2**31 - 2, 4_200_000, 4_200_001, 123]
+    baskets = spark.createDataFrame(
+        [(1, ids), (2, ids[:3])], "l_orderkey long, __ps array<long>"
+    )
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in _basket_pair_counts(baskets)
+        .select(*_decode_pair("part_a", "part_b"), "n_orders")
+        .collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for basket in (ids, ids[:3]):
+        for a, b in itertools.combinations(basket, 2):
+            key = (min(a, b), max(a, b))
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_global_order_prefix_null_nan_rank_order(spark):
+    """Null and NaN order values must rank exactly as Spark's ascending
+    sort places them (nulls FIRST, NaN LAST) — the r8 form dropped
+    nulls into the last bucket while sorting them first inside it,
+    producing ranks inconsistent with a true global sort (ADVICE r8 #3).
+    """
+    from pyspark.sql import Window
+
+    from etl_airbnb_mex_spark.operators.stats import global_order_prefix
+
+    df = spark.createDataFrame(
+        [(None,), (float("nan"),), (1.0,), (5.0,), (None,),
+         (3.0,), (float("nan"),), (2.0,)],
+        "v double",
+    )
+    got = [
+        (r["v"], r["rk"])
+        for r in global_order_prefix(df, "v", rank=True)
+        .orderBy("rk").collect()
+    ]
+    want = [
+        (r["v"], r["rk"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v"))
+        ).orderBy("rk").collect()
+    ]
+
+    def key(x):  # NaN != NaN; compare by repr class
+        return [("nan" if v != v else v, rk) for v, rk in x if v is not None]
+
+    assert key(got) == key(want)
+    assert [rk for v, rk in got if v is None] == \
+        [rk for v, rk in want if v is None]
+
+
 def test_winnowing_overlap_guarantee(spark):
     """Winnowing property: two docs sharing a long run of tokens share
     at least one fingerprint; disjoint docs share none; fingerprints are
