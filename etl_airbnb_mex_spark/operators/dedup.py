@@ -96,12 +96,39 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda g: g.isNotNull()))
 
 
+#: Modulus of the PORTABLE minhash mix family: the Mersenne prime
+#: 2^31−1. With h, a, b < 2^31 every product in (a·h + b) % p stays
+#: below 2^62, so the arithmetic is exact long/BIGINT math in BOTH
+#: engines — no wraparound semantics to emulate (DuckDB checks integer
+#: overflow; Spark wraps silently; staying under 2^62 sidesteps both).
+MINHASH_P = 2_147_483_647
+
+#: Band-fold multiplier (2^17−1): p·K < 2^48, so the iterated
+#: ((acc·K + m) % p) band hash is likewise exact in both engines.
+MINHASH_BAND_K = 131_071
+
+
+def minhash_mix_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the portable affine mix family
+    ((a·h + b) % p) — same no-RNG LCG discipline as the LSH planes
+    (queries/extensions.py:_fixed_planes); a is never 0 mod p."""
+    out, state = [], 987_654_321
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (2 ** 31)
+        a = state % (MINHASH_P - 1) + 1
+        state = (1103515245 * state + 12345) % (2 ** 31)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as (id, sig array<bigint>) via
     explode → hash-once → multi-min aggregation.
@@ -111,26 +138,40 @@ def minhash_signatures(
     (regex tokenize + slice + concat) into *every* one of the 32 hash
     expressions — measured 118 s for 5 000 docs at sf0.1. Here shingles
     are computed and string-hashed exactly ONCE; the 32 seeded hashes are
-    cheap long→long xxhash64 mixes inside a hash aggregate with map-side
+    cheap long→long mixes inside a hash aggregate with map-side
     partial min, so the shuffle ships 32 longs per doc regardless of
     document size — the property that matters at 100 TB.
+
+    ``portable=False`` (production): xxhash64 gram hash + xxhash64
+    seeded mixes. ``portable=True``: md5-prefix gram hash reduced mod
+    the Mersenne prime 2^31−1, then the affine family
+    ((a_i·h + b_i) % p) — every step exact BIGINT math DuckDB replays
+    verbatim, which makes the LSH pipeline oracle-checkable; same plan
+    shape, ~31-bit hash width (collision odds 2^−31 per pair — fine for
+    dedup, and the estimate column is a signature-agreement rate either
+    way).
 
     Docs with no shingles (fewer than ``shingle_n`` tokens) drop out, the
     same as the previous ``size(sig) > 0`` filter.
     """
-    base_hash = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(text_col, shingle_n)).alias("sh"),
-        )
-        .select("id", F.xxhash64("sh").alias("h"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
     )
-    agg = base_hash.groupBy("id").agg(
-        *[
+    if portable:
+        p = F.lit(MINHASH_P)
+        base_hash = base.select("id", (md5_prefix_hash(F.col("sh")) % p).alias("h"))
+        mixes = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
+        ]
+    else:
+        base_hash = base.select("id", F.xxhash64("sh").alias("h"))
+        mixes = [
             F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
-    )
+    agg = base_hash.groupBy("id").agg(*mixes)
     return agg.select(
         "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -144,6 +185,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """§2.11 — MinHash + LSH banding near-dup candidate pairs.
 
@@ -158,7 +200,24 @@ def minhash_near_dup_pairs(
     Jaccard (signature agreement rate).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, portable=portable
+    )
+
+    def band_hash(b: int):
+        members = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if not portable:
+            return F.xxhash64(*members)
+        # portable fold: ((acc·K + m) % p) per member — exact BIGINT
+        # math (p·K < 2^48) the DuckDB oracle replays verbatim
+        acc = members[0]
+        for m in members[1:]:
+            acc = (acc * F.lit(MINHASH_BAND_K) + m) % F.lit(MINHASH_P)
+        return acc
+
     banded = sig.select(
         "id",
         "sig",
@@ -167,12 +226,7 @@ def minhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -234,6 +288,7 @@ def near_dedup_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """§2.11 — the full training-data near-dedup operation: drop every
     document that is a near-duplicate (estimated Jaccard ≥ ``threshold``)
@@ -256,7 +311,8 @@ def near_dedup_corpus(
     shuffles on the 8-byte id — never the text payload.
     """
     pairs = minhash_near_dup_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        portable=portable,
     )
     victims = (
         pairs.filter(F.col("est_jaccard") >= threshold)
@@ -271,22 +327,29 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
-    """§2.11 — 64-bit SimHash per document as (doc_id, simhash bigint).
+    """§2.11 — ``bits``-wide SimHash per document as (doc_id, simhash
+    bigint).
 
-    Explode tokens → xxhash64 once per token → per-bit ±1 vote sums as
+    Explode tokens → hash once per token → per-bit ±1 vote sums as
     ``bits`` aggregate expressions (map-side partial sums; shuffle ships
-    64 longs per doc) → sign-fold into one long. Same
+    ``bits`` longs per doc) → sign-fold into one long. Same
     inline-once rationale as :func:`minhash_signatures`: an
     ``aggregate(transform(tokens, …))`` column expression would recompute
     tokenize+hash per bit. Docs with zero tokens drop out.
+
+    ``hash_fn`` defaults to xxhash64 with the full 64 bits (production);
+    pass :func:`md5_prefix_hash` with ``bits=60`` for the
+    engine-portable form the DuckDB oracle replays (the md5-prefix hash
+    carries 60 entropy bits).
     """
     hashed = (
         df.select(
             F.col(id_col).alias(id_col),
             F.explode(tokenize(text_col)).alias("tok"),
         )
-        .select(id_col, F.xxhash64("tok").alias("h"))
+        .select(id_col, hash_fn(F.col("tok")).alias("h"))
     )
     votes = hashed.groupBy(id_col).agg(
         *[

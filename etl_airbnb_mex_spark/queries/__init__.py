@@ -87,6 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "near_dup_components",  # r9: rows-only → WITH RECURSIVE oracle
     "doc_winnowing",       # r9: rows-only → oracle conversion
     "image_near_dup",      # r9: rows-only → oracle conversion
+    "ngram_jaccard",       # r9: rows-only → oracle conversion
+    "dedup_simhash",       # r9: rows-only → portable-hash oracle
+    "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
     # -- r7 changed-after-freeze queue (no row on current code) --
     "dedup_minhash",
     "near_dedup_corpus",
@@ -127,13 +130,12 @@ _PRIORITY: tuple[str, ...] = (
     "outliers_iqr",
     "histogram",
     "percentiles",
-    "describe_stats",
-    "scalar_stats",
-    "null_profile",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
-# admitted above (corr_matrix — ceded its slot to the never-ran
-# roc_auc_exact — plus topn_by_count, mode_value, pct_of_total,
+# admitted above (describe_stats / scalar_stats / null_profile /
+# corr_matrix — ceded their slots to the six r9 rows-only→oracle
+# conversions and the never-ran roc_auc_exact, all of which have no
+# driver row on their oracle — plus topn_by_count, mode_value, pct_of_total,
 # sample_weighted, dup_fullrow_count, dup_key_count, dedup_by_key,
 # dedup_text_exact, and the r5/r6 join family join_inner_fk /
 # join_broadcast_dim / join_left_semi / join_left_anti /

@@ -1160,12 +1160,96 @@ def dedup_text_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _minhash_pairs_sql(
+    num_hashes: int = 32, bands: int = 8, max_bucket: int = 1000,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of the PORTABLE minhash_near_dup_pairs: md5-prefix
+    gram hash mod the Mersenne prime 2^31−1, the same deterministic
+    affine mixes (operators/dedup.py:minhash_mix_params), the same
+    band fold / hot-bucket guard / bucket equi-join / agreement-rate
+    estimate — exact BIGINT math end to end, so the driver hash-checks
+    the full LSH pipeline."""
+    from ..operators.dedup import (
+        MINHASH_BAND_K,
+        MINHASH_P,
+        minhash_mix_params,
+    )
+
+    p, k = MINHASH_P, MINHASH_BAND_K
+    rows_per_band = num_hashes // bands
+    gram = " || ' ' || ".join(
+        f"tk[p+{r}]" if r else "tk[p]" for r in range(shingle_n)
+    )
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = f"m{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * {k} + m{b * rows_per_band + r}) % {p}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, ({acc}) AS band_hash FROM sig"
+        )
+    union = "\n      UNION ALL\n      ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - {shingle_n - 1})) AS p
+      FROM toks),
+    g AS (SELECT DISTINCT doc_id, {gram} AS gram FROM pos),
+    gh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {p} AS h
+      FROM g),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM gh GROUP BY doc_id),
+    banded AS (
+      {union}),
+    ok AS (
+      SELECT doc_id, band_id, band_hash FROM banded
+      QUALIFY count(*) OVER (PARTITION BY band_id, band_hash)
+              <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM ok a JOIN ok b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT ia AS id_a, ib AS id_b,
+           round(({agree}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = ia
+    JOIN sig sb ON sb.doc_id = ib
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "dedup_minhash",
-    None,  # xxhash64-based — not expressible in DuckDB; rows-only check
+    _minhash_pairs_sql(num_hashes=32, bands=8, max_bucket=1000),
     "§2.11 — MinHash+LSH near-dup candidate pairs (shingle → 32-hash "
-    "signature → 8-band bucket equi-join). O(n·bands) shuffle, the 100 TB "
-    "near-dup strategy.",
+    "signature → 8-band bucket equi-join). O(n·bands) shuffle, the "
+    "100 TB near-dup strategy. Oracle-checked since r9 (was rows-only): "
+    "the registered form uses the PORTABLE hash family — md5-prefix "
+    "gram hash mod 2^31−1 + deterministic affine mixes, every step "
+    "exact BIGINT math in both engines (operators/dedup.py:"
+    "minhash_signatures portable=True) — so DuckDB replays the "
+    "identical signatures, band buckets, hot-bucket guard, and "
+    "agreement-rate estimates. Production swap: portable=False "
+    "(xxhash64, full 64-bit width), same plan shape.",
 )
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize_scan: the shingle explode + 32-way hash agg is the
@@ -1173,26 +1257,86 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tables.py:parallelize_scan).
     return minhash_near_dup_pairs(
         parallelize_scan(load_table(spark, sf_dir, "documents"), spark),
-        num_hashes=32, bands=8,
+        num_hashes=32, bands=8, portable=True,
     )
 
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64 bit votes — rows-only check
-    "§2.11 — 64-bit SimHash per document (token bit votes, native bit "
-    "ops); hamming-distance bucketing is the near-dup variant.",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                   '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, b.b,
+             CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN (CAST(1 AS BIGINT) << b.b) ELSE 0 END AS bit
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    "§2.11 — SimHash per document (token bit votes, native bit ops); "
+    "hamming-distance bucketing is the near-dup variant. Oracle-checked "
+    "since r9 (was rows-only): the registered form votes over the "
+    "60-bit portable md5-prefix token hash so DuckDB replays identical "
+    "signatures (each occurrence votes, ties fold to 0, sign-fold into "
+    "one long); the production 100 TB swap is hash_fn=xxhash64 at the "
+    "full 64 bits (operators/dedup.py:simhash_signatures).",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_prefix_hash
+
     d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_signatures(d).orderBy("doc_id")
+    return simhash_signatures(
+        d, bits=60, hash_fn=md5_prefix_hash
+    ).orderBy("doc_id")
 
 
 @register(
     "ngram_jaccard",
-    None,  # DuckDB list-slicing construction differs; verified by unit test
-    "§2.11 — exact token-3-gram Jaccard pairs (gated to doc_id < 100; at "
-    "scale fed by minhash candidates, not the cross product).",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE doc_id < 100),
+    pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+      FROM toks),
+    g AS (
+      SELECT DISTINCT doc_id,
+             tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS gram
+      FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+      FROM g a JOIN g b USING (gram)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    j AS (
+      SELECT ia AS id_a, ib AS id_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = ia
+      JOIN sz sb ON sb.doc_id = ib)
+    SELECT id_a, id_b, jaccard FROM j
+    WHERE jaccard >= 0.02 ORDER BY id_a, id_b
+    """,
+    "§2.11 — exact token-3-gram Jaccard pairs (gated to doc_id < 100; "
+    "at scale fed by minhash candidates, not the cross product). "
+    "Oracle-checked since r9 (was rows-only): grams are exact STRINGS "
+    "on both engines, |A∪B| = |A|+|B|−|A∩B| from the distinct-gram "
+    "equi-join, identical rounded division — zero-intersection pairs "
+    "fall out of the join on the oracle side and fail the rounded "
+    "threshold on the Spark side, so the pair sets agree exactly.",
 )
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
@@ -1241,11 +1385,57 @@ def _fixed_planes(dim: int = 64, n: int = 32) -> list[list[float]]:
     return planes
 
 
+def _knn_lsh_sql(
+    planes: list[list[float]], bits_per_table: int, k: int,
+    query_id: int = 0,
+) -> str:
+    """DuckDB twin of knn_cosine_lsh for a fixed query id: replays the
+    identical sign-bit buckets per table (deterministic plane
+    literals), probes the query's bucket in every table, unions the
+    candidate hits, and ranks exact rounded cosine with the same
+    (sim desc, id asc) tie-break and LIMIT k."""
+    n_tables = len(planes) // bits_per_table
+    table_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            lits = ",".join(repr(x) for x in plane)
+            bits.append(
+                f"(CASE WHEN list_dot_product(e, CAST([{lits}] AS DOUBLE[]))"
+                f" >= 0 THEN {2 ** i} ELSE 0 END)"
+            )
+        table_exprs.append(
+            f"SELECT vec_id, {t} AS t, ({' + '.join(bits)}) AS b FROM v"
+        )
+    union = "\n    UNION ALL\n    ".join(table_exprs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, t, b FROM ({union})),
+    cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM sig s JOIN sig q ON s.t = q.t AND s.b = q.b
+      WHERE q.vec_id = {query_id} AND s.vec_id <> {query_id})
+    SELECT c.vec_id,
+           round(list_cosine_similarity(
+             x.e, (SELECT e FROM v WHERE vec_id = {query_id})), 6)
+             AS cosine_sim
+    FROM cand c JOIN v x ON c.vec_id = x.vec_id
+    ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT {k}
+    """
+
+
 @register(
     "knn_cosine_lsh",
-    None,  # approximate variant — recall checked in unit tests vs exact
+    _knn_lsh_sql(_fixed_planes(), bits_per_table=4, k=10, query_id=0),
     "§2.11 — LSH-bucketed ANN: 8-table random-hyperplane bucket probe, "
-    "exact cosine over the candidate union (the 100 TB probe path).",
+    "exact cosine over the candidate union (the 100 TB probe path). "
+    "Oracle-checked since r9 (was rows-only): planes are deterministic "
+    "literals, so the oracle replays the identical per-table sign-bit "
+    "buckets, the same candidate union, and the same rounded-cosine "
+    "(desc, id asc) top-k — exact semantic parity with the LSH probe, "
+    "not a recall check (the recall-vs-exact property stays in pytest).",
 )
 def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1257,16 +1447,26 @@ def knn_cosine_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dedup_corpus",
-    None,  # minhash-based victims — rows-only; policy tested vs brute force
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (
+      SELECT id_b FROM ({_minhash_pairs_sql(32, 8, 1000)})
+      WHERE est_jaccard >= 0.5)
+    ORDER BY doc_id
+    """,
     "§2.11 — full near-dedup operation: drop docs with est. Jaccard >= "
-    "0.5 to a lower-id doc (MinHash candidates → threshold → anti join); "
-    "returns the surviving corpus rows.",
+    "0.5 to a lower-id doc (MinHash candidates → threshold → anti "
+    "join); returns the surviving corpus rows. Oracle-checked since r9 "
+    "(was rows-only): same portable hash family as dedup_minhash, so "
+    "the oracle replays the exact victim set with a NOT IN over the "
+    "replayed pair estimates.",
 )
 def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dedup_corpus
 
     return near_dedup_corpus(
-        parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+        parallelize_scan(load_table(spark, sf_dir, "documents"), spark),
+        portable=True,
     ).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
