@@ -381,6 +381,7 @@ def ngram_jaccard_verified_pairs(
     threshold: float = 0.5,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """§2.11 — the PRODUCTION near-dup shape: MinHash-LSH candidates,
     then EXACT n-gram Jaccard computed only on candidate pairs (shingle
@@ -390,7 +391,7 @@ def ngram_jaccard_verified_pairs(
     ids and shingle arrays for candidates only.
     """
     candidates = minhash_near_dup_pairs(
-        df, text_col, id_col, num_hashes, bands, n
+        df, text_col, id_col, num_hashes, bands, n, portable=portable
     ).select("id_a", "id_b")
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")

@@ -38,6 +38,7 @@ def corpus_pipeline(
     max_repetition: float = 0.6,
     near_dup_threshold: float = 0.5,
     decontam_ngram: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Returns the cleaned corpus: (id, clean_text, n_tokens).
 
@@ -48,6 +49,10 @@ def corpus_pipeline(
     ``near_dup_threshold``, and — when ``eval_set`` is given —
     removal of documents sharing a distinct word ``decontam_ngram``-gram
     with it.
+
+    ``portable=True`` swaps the MinHash stage to the engine-portable
+    hash family (operators/dedup.py:minhash_signatures) so the whole
+    composed pipeline is DuckDB-replayable; production keeps xxhash64.
     """
     q = quality_score_cols(text_col)
     gated = (
@@ -69,7 +74,8 @@ def corpus_pipeline(
     )
     deduped = scrubbed.join(exact_survivors, id_col, "left_semi")
     near = near_dedup_corpus(
-        deduped, text_col, id_col, threshold=near_dup_threshold
+        deduped, text_col, id_col, threshold=near_dup_threshold,
+        portable=portable,
     )
     if eval_set is not None:
         flagged = decontaminate_ngram_overlap(

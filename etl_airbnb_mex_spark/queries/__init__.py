@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_winnowing",       # r9: rows-only → oracle conversion
     "image_near_dup",      # r9: rows-only → oracle conversion
     "ngram_jaccard",       # r9: rows-only → oracle conversion
+    "ngram_jaccard_verified",  # r9: rows-only → portable-candidate oracle
     "dedup_simhash",       # r9: rows-only → portable-hash oracle
     "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
     # -- r7 changed-after-freeze queue (no row on current code) --
@@ -129,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "outliers_iqr",
     "histogram",
-    "percentiles",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
 # admitted above (describe_stats / scalar_stats / null_profile /

@@ -1058,18 +1058,130 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_pairs_sql(
+    num_hashes: int = 32, bands: int = 8, max_bucket: int = 1000,
+    shingle_n: int = 3, source: str = "documents",
+) -> str:
+    """DuckDB twin of the PORTABLE minhash_near_dup_pairs: md5-prefix
+    gram hash mod the Mersenne prime 2^31−1, the same deterministic
+    affine mixes (operators/dedup.py:minhash_mix_params), the same
+    band fold / hot-bucket guard / bucket equi-join / agreement-rate
+    estimate — exact BIGINT math end to end, so the driver hash-checks
+    the full LSH pipeline."""
+    from ..operators.dedup import (
+        MINHASH_BAND_K,
+        MINHASH_P,
+        minhash_mix_params,
+    )
+
+    p, k = MINHASH_P, MINHASH_BAND_K
+    rows_per_band = num_hashes // bands
+    gram = " || ' ' || ".join(
+        f"tk[p+{r}]" if r else "tk[p]" for r in range(shingle_n)
+    )
+    mins = ",\n             ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
+    )
+    band_selects = []
+    for b in range(bands):
+        acc = f"m{b * rows_per_band}"
+        for r in range(1, rows_per_band):
+            acc = f"(({acc}) * {k} + m{b * rows_per_band + r}) % {p}"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, ({acc}) AS band_hash FROM sig"
+        )
+    union = "\n      UNION ALL\n      ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM {source}),
+    pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk) - {shingle_n - 1})) AS p
+      FROM toks),
+    g AS (SELECT DISTINCT doc_id, {gram} AS gram FROM pos),
+    gh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {p} AS h
+      FROM g),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM gh GROUP BY doc_id),
+    banded AS (
+      {union}),
+    ok AS (
+      SELECT doc_id, band_id, band_hash FROM banded
+      QUALIFY count(*) OVER (PARTITION BY band_id, band_hash)
+              <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM ok a JOIN ok b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT ia AS id_a, ib AS id_b,
+           round(({agree}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = ia
+    JOIN sig sb ON sb.doc_id = ib
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "ngram_jaccard_verified",
-    None,  # minhash candidate generation — rows-only; vs-brute-force test
+    rf"""
+    WITH cand AS (
+      SELECT id_a, id_b FROM ({_minhash_pairs_sql(32, 8, 1000)})),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    pos AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS p
+      FROM toks),
+    g AS (
+      SELECT DISTINCT doc_id,
+             tk[p] || ' ' || tk[p+1] || ' ' || tk[p+2] AS gram
+      FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN g a ON a.doc_id = c.id_a
+      JOIN g b ON b.doc_id = c.id_b AND b.gram = a.gram
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b,
+             round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM j
+    WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """,
     "§2.11 — production near-dup verification: exact 3-gram Jaccard "
     "computed ONLY on MinHash-LSH candidate pairs (no O(n²) cross "
-    "product anywhere).",
+    "product anywhere). Oracle-checked since r9 (was rows-only): "
+    "candidates come from the portable MinHash family (dedup_minhash's "
+    "oracle) and the verification Jaccard is exact gram-string math, "
+    "so DuckDB replays the identical candidate set AND the identical "
+    "verified pairs. Production swap: portable=False (xxhash64).",
 )
 def ngram_jaccard_verified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_verified_pairs
 
     return ngram_jaccard_verified_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5,
+        portable=True,
     )
 
 
@@ -1158,83 +1270,6 @@ def dedup_text_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text_exact(
         load_table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
-
-
-def _minhash_pairs_sql(
-    num_hashes: int = 32, bands: int = 8, max_bucket: int = 1000,
-    shingle_n: int = 3,
-) -> str:
-    """DuckDB twin of the PORTABLE minhash_near_dup_pairs: md5-prefix
-    gram hash mod the Mersenne prime 2^31−1, the same deterministic
-    affine mixes (operators/dedup.py:minhash_mix_params), the same
-    band fold / hot-bucket guard / bucket equi-join / agreement-rate
-    estimate — exact BIGINT math end to end, so the driver hash-checks
-    the full LSH pipeline."""
-    from ..operators.dedup import (
-        MINHASH_BAND_K,
-        MINHASH_P,
-        minhash_mix_params,
-    )
-
-    p, k = MINHASH_P, MINHASH_BAND_K
-    rows_per_band = num_hashes // bands
-    gram = " || ' ' || ".join(
-        f"tk[p+{r}]" if r else "tk[p]" for r in range(shingle_n)
-    )
-    mins = ",\n             ".join(
-        f"min(({a} * h + {b}) % {p}) AS m{i}"
-        for i, (a, b) in enumerate(minhash_mix_params(num_hashes))
-    )
-    band_selects = []
-    for b in range(bands):
-        acc = f"m{b * rows_per_band}"
-        for r in range(1, rows_per_band):
-            acc = f"(({acc}) * {k} + m{b * rows_per_band + r}) % {p}"
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, ({acc}) AS band_hash FROM sig"
-        )
-    union = "\n      UNION ALL\n      ".join(band_selects)
-    agree = " + ".join(
-        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                         x -> x <> '') AS tk
-      FROM documents),
-    pos AS (
-      SELECT doc_id, tk,
-             unnest(generate_series(1, len(tk) - {shingle_n - 1})) AS p
-      FROM toks),
-    g AS (SELECT DISTINCT doc_id, {gram} AS gram FROM pos),
-    gh AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % {p} AS h
-      FROM g),
-    sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM gh GROUP BY doc_id),
-    banded AS (
-      {union}),
-    ok AS (
-      SELECT doc_id, band_id, band_hash FROM banded
-      QUALIFY count(*) OVER (PARTITION BY band_id, band_hash)
-              <= {max_bucket}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      FROM ok a JOIN ok b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id)
-    SELECT ia AS id_a, ib AS id_b,
-           round(({agree}) / {num_hashes}.0, 4) AS est_jaccard
-    FROM cand
-    JOIN sig sa ON sa.doc_id = ia
-    JOIN sig sb ON sb.doc_id = ib
-    ORDER BY id_a, id_b
-    """
 
 
 @register(
@@ -2955,14 +2990,75 @@ def mode_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_pipeline",
-    None,  # MinHash stage (xxhash64 LSH) is not DuckDB-expressible — rows-only
+    rf"""
+    WITH cp_toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+      WHERE doc_id % 97 <> 0 AND text IS NOT NULL),
+    cp_gated AS (
+      SELECT doc_id, text FROM cp_toks
+      WHERE len(l) >= 5
+        AND coalesce(1.0 - len(list_distinct(l))::DOUBLE / len(l), 0.0)
+            <= 0.6),
+    cp_exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{{1,3}}(\.\d{{1,3}}){{3}}\b', '<IP>', 'g'),
+                 '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g')
+                 AS text
+        FROM cp_gated) s
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                             'g')))
+        ORDER BY doc_id) = 1),
+    cp_near AS (
+      SELECT doc_id, text FROM cp_exact
+      WHERE doc_id NOT IN (
+        SELECT id_b
+        FROM ({_minhash_pairs_sql(32, 8, 1000, source="cp_exact")})
+        WHERE est_jaccard >= 0.5)),
+    cp_flagged AS (
+      SELECT DISTINCT cg.doc_id
+      FROM (
+        SELECT doc_id, unnest(list_distinct(
+          [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                || ' ' || l[i+4]
+           for i in generate_series(1, len(l) - 4)])) AS gram
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS l
+              FROM cp_near)) cg
+      JOIN (
+        SELECT DISTINCT unnest(list_distinct(
+          [l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                || ' ' || l[i+4]
+           for i in generate_series(1, len(l) - 4)])) AS gram
+        FROM (SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE doc_id % 97 = 0)) ev
+      USING (gram))
+    SELECT doc_id, text AS clean_text,
+           len(string_split_regex(text, '\s+')) AS n_tokens
+    FROM cp_near
+    WHERE doc_id NOT IN (SELECT doc_id FROM cp_flagged)
+    ORDER BY doc_id
+    """,
     "End-to-end LLM hygiene pipeline (plans/corpus.py): quality gate -> "
     "PII scrub -> exact dedup -> MinHash near-dedup -> decontamination "
     "vs an eval slice, composed as ONE lazy plan. Text never enters a "
-    "shuffle (md5 / band-hash / gram keys only). Rows-only because the "
-    "LSH stage has no SQL oracle; every component stage is itself "
-    "oracle-checked (quality_filter, pii_scrub, dedup_text_exact, "
-    "decontaminate).",
+    "shuffle (md5 / band-hash / gram keys only). Oracle-checked since "
+    "r9 (was rows-only): the registered form runs the MinHash stage on "
+    "the portable hash family, so the ENTIRE composed pipeline — gates, "
+    "scrub regexes, md5 dedup, LSH victims, 5-gram decontamination, "
+    "final token counts — replays in one DuckDB statement. Production "
+    "swap: portable=False (xxhash64 LSH stage).",
 )
 def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.corpus import corpus_pipeline
@@ -2970,7 +3066,7 @@ def corpus_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
-    return corpus_pipeline(corpus, eval_set).orderBy("doc_id")
+    return corpus_pipeline(corpus, eval_set, portable=True).orderBy("doc_id")
 
 
 @register(
