@@ -65,15 +65,17 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: rotation (VERDICT r8 "Next round" #1, two rounds overdue): FIRST the
 #: two plans rewritten in r8 with zero driver rows on current code
 #: (gini_concentration, triangle_count), then everything whose code
-#: changes THIS round (roc_auc scale-safe registration, cosine_near_dup
-#: b6 params, basket_lift / copurchase_pairs pair-expansion port, the
-#: rows-only→oracle conversions near_dup_components / doc_winnowing /
-#: image_near_dup), then the r7 changed-after-freeze queue
-#: (dedup_minhash, near_dedup_corpus, decontaminate, corpus_pipeline),
-#: then the 29 r3-era rows whose implementing files changed since
-#: (queued verbatim from the r7/r8 comments below). Every name here was
-#: re-verified by the local oracle replica this session before the
-#: window was frozen.
+#: changes THIS round (roc_auc scale-safe registration + the new
+#: roc_auc_exact, cosine_near_dup b6 params, basket_lift /
+#: copurchase_pairs pair-expansion port, and the ELEVEN rows-only→
+#: oracle conversions: near_dup_components, doc_winnowing,
+#: image_near_dup, ngram_jaccard, ngram_jaccard_verified,
+#: dedup_simhash, knn_cosine_lsh, video_frame_dedup, dedup_minhash,
+#: near_dedup_corpus, corpus_pipeline — the last three doubling as the
+#: r7 changed-after-freeze queue), then decontaminate, then the 29
+#: r3-era rows whose implementing files changed since (queued verbatim
+#: from the r7/r8 comments below). Every name here was re-verified by
+#: the local oracle replica this session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
     # -- rewritten in r8, no driver row on current code (VERDICT #1) --
     "gini_concentration",
@@ -91,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_verified",  # r9: rows-only → portable-candidate oracle
     "dedup_simhash",       # r9: rows-only → portable-hash oracle
     "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
+    "video_frame_dedup",   # r9: rows-only → recursive-chain dhash oracle
     # -- r7 changed-after-freeze queue (no row on current code) --
     "dedup_minhash",
     "near_dedup_corpus",
@@ -129,7 +132,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- next-stalest after the r3 block: r4-era rows (fill to 50) --
     "window_lag_delta",
     "outliers_iqr",
-    "histogram",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
 # admitted above (describe_stats / scalar_stats / null_profile /

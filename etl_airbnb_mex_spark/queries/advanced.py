@@ -981,17 +981,79 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "video_frame_dedup",
-    None,  # binary media has no DuckDB twin; pytest verifies frame-exact
+    """
+    WITH RECURSIVE vids AS (
+      SELECT unnest(generate_series(0,
+        CAST(least((SELECT count(*) FROM documents), 60) - 1 AS BIGINT)))
+        AS vid),
+    vf AS (
+      SELECT vid, 2 + vid % 3 AS n_scenes, 1 + vid % 3 AS run_len
+      FROM vids),
+    fr AS (
+      SELECT vid, run_len,
+             unnest(generate_series(0, n_scenes * run_len - 1)) AS fn
+      FROM vf),
+    fs AS (SELECT vid, fn, fn // run_len AS scene, fn % run_len AS rep
+           FROM fr),
+    ij AS (
+      SELECT fs.*, ii.i, jj.j
+      FROM fs, (SELECT unnest(generate_series(0,7)) AS i) ii,
+              (SELECT unnest(generate_series(0,8)) AS j) jj),
+    px AS (
+      SELECT vid, fn, i, j,
+        CASE WHEN i = 0 AND j = 0 THEN
+          xor(CAST('0x' || substr(
+                md5('v:' || vid || ':' || scene || ':0:0'), 1, 15)
+                AS BIGINT) % 256, rep & 1)
+        ELSE
+          CAST('0x' || substr(md5('v:' || vid || ':' || scene || ':'
+               || i || ':' || (([0,1,3,5,7,8,10,12,14][j+1]) // 2)),
+               1, 15) AS BIGINT) % 256
+        END AS px
+      FROM ij),
+    bits AS (
+      SELECT vid, fn, i, j,
+             CASE WHEN lead(px) OVER (PARTITION BY vid, fn, i ORDER BY j)
+                       > px THEN 1 ELSE 0 END AS b
+      FROM px QUALIFY j < 8),
+    hs AS (
+      SELECT vid, fn,
+             CAST(sum(CASE WHEN b = 1 THEN
+                   CASE WHEN i*8 + j = 0 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << (63 - (i*8 + j))) END
+                 ELSE 0 END) AS BIGINT) AS h
+      FROM bits GROUP BY vid, fn),
+    chain AS (
+      SELECT vid, 0 AS fn, h AS prev_kept, 1 AS kept_cnt
+      FROM hs WHERE fn = 0
+      UNION ALL
+      SELECT f.vid, c.fn + 1,
+             CASE WHEN bit_count(xor(f.h, c.prev_kept)) > 4
+                  THEN f.h ELSE c.prev_kept END,
+             c.kept_cnt + CASE WHEN bit_count(xor(f.h, c.prev_kept)) > 4
+                               THEN 1 ELSE 0 END
+      FROM chain c JOIN hs f ON f.vid = c.vid AND f.fn = c.fn + 1)
+    SELECT vid AS media_id,
+           CAST(max(fn) + 1 AS BIGINT) AS n_sampled,
+           CAST(max(kept_cnt) AS BIGINT) AS n_kept
+    FROM chain GROUP BY vid ORDER BY media_id
+    """,
     "Multimodal video frame-sample + temporal dedup on the driver "
     "surface: per document a deterministic PNGSEQ1 container is built "
-    "from real PNG frames arranged as scene runs (scene pattern seeded "
-    "by (doc_id, scene); run lengths cycle 1..3 by doc_id), then "
-    "video_frame_dedup samples every frame, dhashes it (real PNG "
-    "decode, Arrow-batched) and collapses each static run to its first "
-    "frame (multimodal/ops.py:video_frame_dedup). The table is "
-    "MIXED-KIND (an image row per video row) so the kind gate is "
-    "exercised on the driver path too. Output: one row per video with "
-    "sampled/kept counts — kept equals the planted scene count.",
+    "from real PNG frames arranged as scene runs (scene pattern from "
+    "an md5-keyed PRNG per (doc_id, scene); run lengths cycle 1..3 by "
+    "doc_id; each repeat carries a 1-bit pixel nudge so dup frames are "
+    "near- not byte-identical), then video_frame_dedup samples every "
+    "frame, dhashes it (real PNG decode, Arrow-batched) and collapses "
+    "each static run to its first frame (multimodal/ops.py:"
+    "video_frame_dedup). The table is MIXED-KIND (an image row per "
+    "video row) so the kind gate is exercised on the driver path too. "
+    "Oracle-checked since r9 (was rows-only): PNG is lossless and the "
+    "nearest-resize indices are integer arithmetic, so the oracle "
+    "reconstructs every sampled pixel algebraically, packs the same "
+    "signed 64-bit dhash per frame, and replays the sequential "
+    "previous-kept-frame chain with a WITH RECURSIVE step per frame — "
+    "bit-exact sampled/kept counts per video.",
 )
 def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.ops import (
@@ -1004,14 +1066,27 @@ def video_frame_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(int(n_docs), 60)
 
     def render_video(doc_id: int) -> "bytes":
+        import hashlib
+
         import numpy as np
+
+        def h15(s: str) -> int:
+            # md5-keyed PRNG the oracle SQL replays
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
         n_scenes = 2 + doc_id % 3
         run_len = 1 + doc_id % 3
         frames = []
         for scene in range(n_scenes):
-            blocks = np.random.RandomState(doc_id * 101 + scene).randint(
-                0, 256, (8, 8)
+            blocks = np.array(
+                [
+                    [
+                        h15(f"v:{doc_id}:{scene}:{r}:{c}") % 256
+                        for c in range(8)
+                    ]
+                    for r in range(8)
+                ],
+                dtype="uint8",
             )
             frame = np.kron(blocks, np.ones((2, 2))).astype("uint8")
             # Static run: repeat the scene frame with a 1-bit pixel
