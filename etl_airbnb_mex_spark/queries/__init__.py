@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash",       # r9: rows-only → portable-hash oracle
     "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
     "video_frame_dedup",   # r9: rows-only → recursive-chain dhash oracle
+    "q21_waiting_suppliers",  # r9: single-pass in-row sole-late rewrite
     # -- r7 changed-after-freeze queue (no row on current code) --
     "dedup_minhash",
     "near_dedup_corpus",
@@ -131,18 +132,18 @@ _PRIORITY: tuple[str, ...] = (
     "histogram_equidepth",
     # -- next-stalest after the r3 block: r4-era rows (fill to 50) --
     "window_lag_delta",
-    "outliers_iqr",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
 # admitted above (describe_stats / scalar_stats / null_profile /
-# corr_matrix — ceded their slots to the six r9 rows-only→oracle
-# conversions and the never-ran roc_auc_exact, all of which have no
-# driver row on their oracle — plus topn_by_count, mode_value, pct_of_total,
-# sample_weighted, dup_fullrow_count, dup_key_count, dedup_by_key,
-# dedup_text_exact, and the r5/r6 join family join_inner_fk /
-# join_broadcast_dim / join_left_semi / join_left_anti /
-# join_range_theta / join_asof / join_salted_skew). None have
-# changed code since their green rows — pure age-based refresh.
+# corr_matrix / outliers_iqr / histogram / percentiles — ceded their
+# slots to the eleven r9 rows-only→oracle conversions, the never-ran
+# roc_auc_exact, and the changed-in-r9 q21 rewrite, all of which have
+# no driver row on their current code/oracle — plus topn_by_count,
+# mode_value, pct_of_total, sample_weighted, dup_fullrow_count,
+# dup_key_count, dedup_by_key, dedup_text_exact, and the r5/r6 join
+# family join_inner_fk / join_broadcast_dim / join_left_semi /
+# join_left_anti / join_range_theta / join_asof / join_salted_skew).
+# None have changed code since their green rows — pure age refresh.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

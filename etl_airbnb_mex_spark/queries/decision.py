@@ -1010,9 +1010,18 @@ def q20_excess_shipments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXISTS + NOT-EXISTS pair collapses into ONE (order, supplier) "
     "aggregate: per-order supplier count >1 encodes the EXISTS "
     "(another supplier), per-order late-sum =1 encodes the "
-    "NOT-EXISTS (no OTHER late supplier, given this one is late) — "
-    "two lineitem self-probes become a single shuffle on orderkey "
-    "plus a semi-scale join of the qualifying order list.",
+    "NOT-EXISTS (no OTHER late supplier, given this one is late). "
+    "r9 single-pass plan: the orderkey equi-join already hash-"
+    "partitions by orderkey, and HashPartitioning(ok) satisfies the "
+    "clustering of BOTH downstream aggs — groupBy(ok, sk) and the "
+    "per-order rollup — so the (order,supplier) frame flows through "
+    "zero additional exchanges and is consumed ONCE: the sole late "
+    "supplier is max(when(late=1, sk)) in the same per-order agg "
+    "(exact because late-sum = 1), and the r8 lazy checkpoint + "
+    "second consumer + order-list join disappear; the only remaining "
+    "exchanges are the two join shuffles and the 25-row name agg "
+    "(at tiers where orders broadcasts instead, the aggs pay the one "
+    "ok-keyed exchange themselves — AQE picks per actual size).",
 )
 def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1026,20 +1035,22 @@ def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
         1,
     ).otherwise(0)
-    l = (
+    per_order = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
-        .localCheckpoint(eager=False)
-    )
-    solo = (
-        l.groupBy(F.col("l_orderkey").alias("__ok"))
+        .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum("late").alias("__nlate"),
+            # the sole late supplier, extracted in-row: suppliers per
+            # order are bounded (≤7 in this schema), so the list is
+            # metadata-sized per row
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("__late_sk"),
         )
         .filter((F.col("__n") > 1) & (F.col("__nlate") == 1))
-        .select("__ok")
     )
     s = F.broadcast(
         load_table(spark, sf_dir, "supplier").select(
@@ -1047,9 +1058,7 @@ def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.filter(F.col("late") == 1)
-        .join(solo, F.col("l_orderkey") == F.col("__ok"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(s, F.col("__late_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
