@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
     "video_frame_dedup",   # r9: rows-only → recursive-chain dhash oracle
     "q21_waiting_suppliers",  # r9: single-pass in-row sole-late rewrite
+    "join_inner_fk",       # r9: integer-cents revenue sum
     # -- r7 changed-after-freeze queue (no row on current code) --
     "dedup_minhash",
     "near_dedup_corpus",
@@ -130,19 +131,18 @@ _PRIORITY: tuple[str, ...] = (
     "sequence_pack",
     "dq_checks",
     "histogram_equidepth",
-    # -- next-stalest after the r3 block: r4-era rows (fill to 50) --
-    "window_lag_delta",
 )
 # Still-stale after this window — queue for round 10: the r4 rows not
 # admitted above (describe_stats / scalar_stats / null_profile /
 # corr_matrix / outliers_iqr / histogram / percentiles — ceded their
 # slots to the eleven r9 rows-only→oracle conversions, the never-ran
 # roc_auc_exact, and the changed-in-r9 q21 rewrite, all of which have
-# no driver row on their current code/oracle — plus topn_by_count,
-# mode_value, pct_of_total, sample_weighted, dup_fullrow_count,
-# dup_key_count, dedup_by_key, dedup_text_exact, and the r5/r6 join
-# family join_inner_fk / join_broadcast_dim / join_left_semi /
-# join_left_anti / join_range_theta / join_asof / join_salted_skew).
+# no driver row on their current code/oracle — plus window_lag_delta,
+# topn_by_count, mode_value, pct_of_total, sample_weighted,
+# dup_fullrow_count, dup_key_count, dedup_by_key, dedup_text_exact,
+# and the r5/r6 join family join_broadcast_dim / join_left_semi /
+# join_left_anti / join_range_theta / join_asof / join_salted_skew
+# (join_inner_fk claimed a slot: its revenue sum changed in r9).
 # None have changed code since their green rows — pure age refresh.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the

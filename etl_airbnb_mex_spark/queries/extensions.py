@@ -64,24 +64,27 @@ TS_FMT = "%Y-%m-%d %H:%M:%S"
     "join_inner_fk",
     """
     SELECT c_mktsegment, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     "Equi inner join on the latent FK (reviews.listing_id→listings.id "
-    "analogue; the reference never joins — SURVEY.md §2.4).",
+    "analogue; the reference never joins — SURVEY.md §2.4). Revenue "
+    "sums as integer CENTS (q1's r9 treatment: exact, order-"
+    "independent, no decimal(38) aggregate buffers); overflow bound "
+    "~SF 10^5 per segment, decimal swap documented at q1.",
 )
 def join_inner_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
