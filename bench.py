@@ -261,6 +261,21 @@ def main() -> None:
         if os.path.exists(path):
             spark.read.parquet(path).count()
 
+    # Pipeline throughput runs FIRST, before the ~100-query headline
+    # loop: measured after the loop it tracked the grown JVM heap /
+    # code-cache state of whatever the registry did that round (r6→r8
+    # "slide" root-caused in BENCH_SIDECAR.json:pipeline_isolated as
+    # measurement context, transform plan unchanged since r6). First
+    # position reproduces the isolated-twin conditions in-bench, so
+    # the headline number stops moving with registry size
+    # (VERDICT r9 #7).
+    pipeline = _pipeline_throughput(spark)
+    print(
+        f"# pipeline: {pipeline['rows']} rows in {pipeline['sec']}s "
+        f"({pipeline['rows_per_sec']} rows/s; reference 561 rows/s)",
+        file=sys.stderr,
+    )
+
     timings: dict[str, float] = {}
     query_errors: dict[str, str] = {}
     # Three passes: pass 0 warms JIT/codegen/page cache (standard
@@ -326,13 +341,6 @@ def main() -> None:
                     elapsed if prev is None else min(prev, elapsed), 3
                 )
     con.close()
-
-    pipeline = _pipeline_throughput(spark)
-    print(
-        f"# pipeline: {pipeline['rows']} rows in {pipeline['sec']}s "
-        f"({pipeline['rows_per_sec']} rows/s; reference 561 rows/s)",
-        file=sys.stderr,
-    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # The oracle-timing dict goes to a sidecar file + stderr, NOT the

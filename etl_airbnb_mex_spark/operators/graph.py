@@ -24,6 +24,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     checkpoint_every: int = 4,
+    round_ranks: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list. Returns (node, rank) for
     every node appearing as src or dst; ranks sum to 1 (dangling-node
@@ -38,6 +39,16 @@ def pagerank(
     growing lineage (same guard as connected_components, which raises
     on non-convergence; PageRank instead runs a fixed ``max_iter`` —
     the standard practice since convergence is geometric).
+
+    ``round_ranks``: round every iteration's rank vector to this many
+    decimal places. With it set, a fixed-iteration run is CROSS-ENGINE
+    DETERMINISTIC: each round's float sums (contribs, dangling mass)
+    differ between engines only in the last ulp, and the per-round
+    rounding snaps both back to the identical canonical double before
+    the next round compounds the drift — this is what lets the
+    registered ``pagerank_parts`` carry an exact unrolled-SQL oracle
+    instead of a rows-only check. 12 dp perturbs rank values (~1/N
+    scale) by < 5e-13 — far below the 6 dp the final output rounds to.
     """
     # The edge frame re-joins EVERY round; materialize it once so its
     # upstream plan (scan/distinct/joins) does not re-execute per
@@ -80,23 +91,22 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("__c").alias("__contrib"))
         )
+        new_rank = (
+            F.lit(base)
+            + F.lit(damping)
+            * (
+                F.coalesce("__contrib", F.lit(0.0))
+                + F.col("__dangling") / F.lit(float(n_nodes))
+            )
+        )
+        if round_ranks is not None:
+            new_rank = F.round(new_rank, round_ranks)
         ranks = (
             ranked_nodes.join(
                 contribs, ranked_nodes["node"] == contribs["dst"], "left"
             )
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "__deg",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce("__contrib", F.lit(0.0))
-                        + F.col("__dangling") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
+            .select("node", "__deg", new_rank.alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
             ranks = ranks.localCheckpoint()

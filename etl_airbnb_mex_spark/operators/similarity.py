@@ -322,6 +322,98 @@ def ivf_probe(
     )
 
 
+def ivf_probe_pinned(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+) -> DataFrame:
+    """IVF probe against a PINNED coarse quantizer — the production
+    steady state: the quantizer is trained once on a sample
+    (:func:`ivf_build`) and ships with the job as literals; every probe
+    is then training-free and fully deterministic, which is what makes
+    this form exactly SQL-oracle-replayable (the one-shot
+    :func:`knn_cosine_ivf` retrains per call, so its centroids are
+    engine-internal and only recall can be checked).
+
+    Semantics: assignment = argmax of the 6dp-ROUNDED cosine to each
+    centroid with lowest-centroid-id tie-break — on unit-normalized
+    vectors this is exactly the KMeans E-step's L2 argmin (dist² =
+    2−2cos), and the rounding + tie-break keep both engines' picks
+    identical when raw float sums differ in the last ulp (the
+    centroid_assign determinism contract). Probe = top-``n_probe``
+    centroids by rounded cosine to the query vector, selected IN-PLAN
+    from the broadcast 1-row query frame. Residual = exact rounded
+    cosine inside the probed lists only, (desc, id asc) top-k.
+
+    Plan shape at scale: assignment is ONE in-row projection (no join,
+    no shuffle — centroid literals fold into codegen); the probe frame
+    is ``n_probe`` rows broadcast-hash-joined onto the assigned corpus
+    (in production the assigned table is WRITTEN partitioned by
+    ``__cid`` so this join becomes partition pruning); top-k is
+    TakeOrderedAndProject. A probe touches n_probe/n_centroids of the
+    corpus regardless of corpus size.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ]
+    # argmax over (rounded cos, -cid) structs: max cosine, ties -> min cid
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(cosine(v, c), dp).alias("c"),
+                    F.lit(-i).alias("negi"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )
+    assigned = df.select(
+        F.col(id_col), v.alias("__vec"), (-best["negi"]).alias("__cid")
+    )
+    qcos = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.round(cosine(F.col("__qvec"), c), dp).alias("qc"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probe = (
+        query_df.select(
+            F.col(id_col).alias("__qid"), v.alias("__qvec")
+        )
+        .select("__qid", "__qvec", F.explode(qcos).alias("__p"))
+        .select(
+            "__qid",
+            "__qvec",
+            F.col("__p.cid").alias("__cid"),
+            F.col("__p.qc").alias("__qc"),
+        )
+        .orderBy(F.desc("__qc"), F.asc("__cid"))
+        .limit(n_probe)
+    )
+    return (
+        assigned.join(F.broadcast(probe), "__cid")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            id_col,
+            F.round(cosine(F.col("__vec"), F.col("__qvec")), dp).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def knn_cosine_ivf(
     df: DataFrame,
     query_df: DataFrame,

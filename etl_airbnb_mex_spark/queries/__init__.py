@@ -61,89 +61,81 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
-#: rotate to the entries with the weakest driver provenance. Round 9
-#: rotation (VERDICT r8 "Next round" #1, two rounds overdue): FIRST the
-#: two plans rewritten in r8 with zero driver rows on current code
-#: (gini_concentration, triangle_count), then everything whose code
-#: changes THIS round (roc_auc scale-safe registration + the new
-#: roc_auc_exact, cosine_near_dup b6 params, basket_lift /
-#: copurchase_pairs pair-expansion port, and the ELEVEN rows-only→
-#: oracle conversions: near_dup_components, doc_winnowing,
-#: image_near_dup, ngram_jaccard, ngram_jaccard_verified,
-#: dedup_simhash, knn_cosine_lsh, video_frame_dedup, dedup_minhash,
-#: near_dedup_corpus, corpus_pipeline — the last three doubling as the
-#: r7 changed-after-freeze queue), then decontaminate, then the 29
-#: r3-era rows whose implementing files changed since (queued verbatim
-#: from the r7/r8 comments below). Every name here was re-verified by
-#: the local oracle replica this session before the window was frozen.
+#: rotate to the entries with the weakest driver provenance. Round 10
+#: rotation (VERDICT r9 "Next round" #1): FIRST q1_pricing_summary —
+#: its query+oracle were rewritten to integer cents in r9 AFTER its
+#: last driver row (r6), the one entry whose current code has never
+#: been driver-checked — then everything whose code changes THIS
+#: round (the two rows-only→oracle conversions knn_cosine_ivf /
+#: pagerank_parts, the q5/q9 integer-cents rewrites, and the three
+#: global_order_prefix consumers whose bucket expression gained ±Inf
+#: handling), then the verdict's 37-entry r3/r4-provenance queue
+#: verbatim, then 5 of the oldest remaining age-refresh rows. After
+#: this window no entry's provenance predates r5 except the 5-entry
+#: r5/r6 join-family tail listed below. Every name here was
+#: re-verified by the local oracle replica this session before the
+#: window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- rewritten in r8, no driver row on current code (VERDICT #1) --
-    "gini_concentration",
-    "triangle_count",
-    # -- code changed in r9 (this round) --
-    "roc_auc",             # r9: scale-safe quantized-grid registration
-    "roc_auc_exact",       # NEW r9: bit-exact form, never driver-ran
-    "cosine_near_dup",     # r9: b6 parameters (scale-safe >16k vectors)
-    "basket_lift",         # r9: in-row pair-expansion edge build
-    "copurchase_pairs",    # r9: in-row pair-expansion edge build
-    "near_dup_components",  # r9: rows-only → WITH RECURSIVE oracle
-    "doc_winnowing",       # r9: rows-only → oracle conversion
-    "image_near_dup",      # r9: rows-only → oracle conversion
-    "ngram_jaccard",       # r9: rows-only → oracle conversion
-    "ngram_jaccard_verified",  # r9: rows-only → portable-candidate oracle
-    "dedup_simhash",       # r9: rows-only → portable-hash oracle
-    "knn_cosine_lsh",      # r9: rows-only → plane-literal oracle
-    "video_frame_dedup",   # r9: rows-only → recursive-chain dhash oracle
-    "q21_waiting_suppliers",  # r9: single-pass in-row sole-late rewrite
-    "join_inner_fk",       # r9: integer-cents revenue sum
-    # -- r7 changed-after-freeze queue (no row on current code) --
-    "dedup_minhash",
-    "near_dedup_corpus",
-    "decontaminate",
-    "corpus_pipeline",
-    # -- r3-era rows whose implementing files changed since --
-    "set_union_by_name",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "doc_fingerprint",
-    "token_count",
-    "lang_id",
-    "quality_score",
-    "pii_scrub",
-    "repetition_ratio",
-    "group_collect",
-    "agg_cube",
-    "window_dense_rank",
-    "window_first_last",
-    "window_ntile",
-    "window_cume_dist",
-    "json_extract",
-    "agg_grouping_sets",
-    "embedding_centroids",
-    "window_range_frame",
-    "join_multiway_revenue",
-    "subquery_above_avg",
-    "merge_upsert_snapshot",
-    "unpivot_metrics",
-    "linreg_by_group",
-    "percentile_by_group",
-    "sequence_pack",
-    "dq_checks",
-    "histogram_equidepth",
+    # -- rewritten in r9, no driver row on current code (VERDICT #1) --
+    "q1_pricing_summary",
+    # -- code changed in r10 (this round) --
+    "knn_cosine_ivf",      # r10: rows-only → pinned-quantizer oracle
+    "pagerank_parts",      # r10: rows-only → unrolled-SQL oracle
+    "q5_local_supplier_volume",  # r10: integer-cents revenue sum
+    "q9_product_margin",   # r10: integer-cents margin sum
+    "gini_concentration",  # r10: global_order_prefix ±Inf buckets
+    "roc_auc",             # r10: global_order_prefix ±Inf buckets
+    "roc_auc_exact",       # r10: global_order_prefix ±Inf buckets
+    # -- the r3/r4-provenance age-refresh queue (VERDICT r9 #1) --
+    "window_lag_delta",
+    "anomaly_zscore",
+    "centroid_assign",
+    "chi_square_assoc",
+    "cohort_retention",
+    "corr_matrix",
+    "describe_stats",
+    "dup_ngram_frac",
+    "feature_scale",
+    "ffill_timeseries",
+    "funnel_conversion",
+    "gopher_quality_signals",
+    "histogram",
+    "histogram2d",
+    "join_bloom_prefilter",
+    "key_skew_profile",
+    "mad_robust",
+    "mode_by_group",
+    "mode_value",
+    "mom_growth",
+    "monthly_active_users",
+    "monthly_cumulative",
+    "monthly_gapfill",
+    "null_profile",
+    "outliers_iqr",
+    "pct_of_total",
+    "percentiles",
+    "pivot_wide",
+    "sample_weighted",
+    "scalar_stats",
+    "sessionize_ids",
+    "target_encode",
+    "topn_by_count",
+    "twap_by_user",
+    "vocab_prune",
+    "winsorize_stats",
+    "zipf_slope",
+    # -- oldest remaining age-refresh rows (r4/r6 provenance) --
+    "dup_fullrow_count",
+    "dup_key_count",
+    "dedup_by_key",
+    "dedup_text_exact",
+    "join_broadcast_dim",
 )
-# Still-stale after this window — queue for round 10: the r4 rows not
-# admitted above (describe_stats / scalar_stats / null_profile /
-# corr_matrix / outliers_iqr / histogram / percentiles — ceded their
-# slots to the eleven r9 rows-only→oracle conversions, the never-ran
-# roc_auc_exact, and the changed-in-r9 q21 rewrite, all of which have
-# no driver row on their current code/oracle — plus window_lag_delta,
-# topn_by_count, mode_value, pct_of_total, sample_weighted,
-# dup_fullrow_count, dup_key_count, dedup_by_key, dedup_text_exact,
-# and the r5/r6 join family join_broadcast_dim / join_left_semi /
-# join_left_anti / join_range_theta / join_asof / join_salted_skew
-# (join_inner_fk claimed a slot: its revenue sum changed in r9).
-# None have changed code since their green rows — pure age refresh.
+# Still-stale after this window — queue for round 11: the r5/r6 join
+# family join_left_semi / join_left_anti / join_range_theta /
+# join_asof / join_asof_forward / join_salted_skew (none changed
+# since their green rows — pure age refresh; they ceded their slots
+# to this round's code changes).
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -403,14 +403,17 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile is the documented 100 TB swap (SURVEY.md §4.3).",
 )
 def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # method="sortrank": range shuffle + per-partition rank pick —
-    # fastest exact path measured (1.2–1.6 s vs agg 3.1 s / bracket
-    # 2.3 s at sf0.1, VERDICT.md r2 perf #3) and shuffle-bounded memory
-    # at 100 TB (no full-column percentile buffer). agg stays the lazy
-    # composable default; bracket the no-shuffle alternative.
+    # method="prefix" (r10): global ranks via the bucketed prefix sum,
+    # ONE lazy action, zero driver round-trips — replaces "sortrank",
+    # whose 2 collects + checkpoint re-plan were a fixed ~1.5-2 s
+    # job-scheduling floor at every measured SF (VERDICT r9 #2/#3)
+    # while shuffling the same single-column volume. Memory stays
+    # shuffle-bounded at 100 TB (never the percentile() aggregate's
+    # full-column buffer). agg stays the lazy composable default;
+    # sortrank/bracket remain as API alternatives.
     return stats.percentiles(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
-        method="sortrank",
+        method="prefix",
     )
 
 

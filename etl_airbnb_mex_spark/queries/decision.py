@@ -193,9 +193,9 @@ def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -217,7 +217,11 @@ def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c_nationkey = s_nationkey locality predicate rides the supplier "
     "equi-join as a second conjunct, not a post-filter. At cluster "
     "scale supplier grows with SF, so it is NOT force-broadcast — AQE "
-    "decides from runtime stats.",
+    "decides from runtime stats. Revenue sums as integer 1e-4 units "
+    "(q1's integer-cents treatment, r10: exact, order-independent, no "
+    "decimal(38) aggregate buffers; per-row ≤ 1e9 → long overflow "
+    "only past ~10^9 surviving rows per nation, decimal swap "
+    "documented at q1).",
 )
 def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
@@ -242,6 +246,9 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey", "n_name"
         )
     )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -252,7 +259,9 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -814,11 +823,11 @@ def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_margin",
     """
     SELECT n_name, strftime(o_orderdate, '%Y') AS order_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    - CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(p_retailprice AS DECIMAL(18,2)))
-                AS DOUBLE) AS margin
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(p_retailprice * 100) AS BIGINT) * 100)
+                AS DOUBLE) / 10000.0 AS margin
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -833,8 +842,11 @@ def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ps_supplycost, so cost = quantity × p_retailprice). The part "
     "filter broadcasts and prunes lineitem FIRST (ECONOMY ≈ 1/6 of "
     "parts); orders joins on orderkey only for the year; the margin "
-    "expression is pure decimal arithmetic summed exactly, dropped "
-    "to double once per output row.",
+    "sums as integer 1e-4 units — price-cents × (100−disc-cents) "
+    "minus qty × retail-cents × 100 — q1's integer-cents treatment "
+    "(r10): exact, order-independent, no decimal(38) aggregate "
+    "buffers; per-row ≤ ~1e9 → long overflow only past ~10^9 rows "
+    "per (nation, year), decimal swap documented at q1.",
 )
 def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -857,7 +869,13 @@ def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_type") == "ECONOMY")
         .select("p_partkey", "p_retailprice")
     )
-    margin = _disc_price() - _dec("l_quantity") * _dec("p_retailprice")
+    margin_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.round(F.col("l_quantity")).cast("long")
+        * F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.lit(100)
+    )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -867,7 +885,11 @@ def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.date_format("o_orderdate", "yyyy").alias("order_year"),
         )
-        .agg(F.sum(margin).cast("double").alias("margin"))
+        .agg(
+            (F.sum(margin_e4).cast("double") / F.lit(10000.0)).alias(
+                "margin"
+            )
+        )
         .orderBy("n_name", "order_year")
     )
 

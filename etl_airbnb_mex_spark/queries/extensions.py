@@ -1508,18 +1508,70 @@ def near_dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def _ivf_pinned_sql(n_probe: int, k: int, query_id: int = 0) -> str:
+    """DuckDB twin of ivf_probe_pinned: the coarse quantizer is pinned
+    literals (queries/_ivf_centroids.py), so the oracle replays the
+    IDENTICAL rounded-cosine argmax assignment, the same top-n_probe
+    centroid selection, and the same rounded-cosine (desc, id asc)
+    top-k inside the probed lists — exact semantic parity with the IVF
+    probe path, not a recall check."""
+    from ._ivf_centroids import IVF_PINNED_CENTROIDS
+
+    rows = ",\n      ".join(
+        f"({i}, CAST([{','.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents(cid, c) AS (VALUES
+      {rows}),
+    assign AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, cents.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cents.c), 6)
+                            DESC,
+                          cents.cid ASC) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id = {query_id}),
+    probe AS (
+      SELECT cid
+      FROM cents CROSS JOIN q
+      ORDER BY round(list_cosine_similarity(q.qe, cents.c), 6) DESC,
+               cid ASC
+      LIMIT {n_probe})
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.e, q.qe), 6) AS cosine_sim
+    FROM assign a JOIN probe USING (cid) CROSS JOIN q
+    WHERE a.vec_id <> q.qid
+    ORDER BY cosine_sim DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
 @register(
     "knn_cosine_ivf",
-    None,  # approximate (KMeans-trained) — recall tested vs exact
-    "§2.11 — IVF-flat ANN: KMeans inverted lists, probe the 4 nearest "
-    "of 16 centroids, exact cosine inside probed lists (data-adaptive "
-    "complement to the LSH probe path).",
+    _ivf_pinned_sql(n_probe=4, k=10, query_id=0),
+    "§2.11 — IVF-flat ANN, pinned-quantizer probe path: 16 KMeans "
+    "centroids trained once on the sf0.01 sample and shipped as "
+    "literals (queries/_ivf_centroids.py — the production train-on-a-"
+    "sample pattern), in-row rounded-cosine argmax assignment, probe "
+    "the 4 nearest lists, exact cosine inside them. Oracle-checked "
+    "since r10 (was rows-only): pinning the quantizer makes the whole "
+    "probe exact SQL. The per-call-retraining one-shot form "
+    "(operators/similarity.py:knn_cosine_ivf) stays recall-tested in "
+    "pytest — only the TRAINING loop is engine-internal, not the probe.",
 )
 def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import knn_cosine_ivf
+    from ..operators.similarity import ivf_probe_pinned
+    from ._ivf_centroids import IVF_PINNED_CENTROIDS
 
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_cosine_ivf(e, e.filter(F.col("vec_id") == 0), k=10)
+    return ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") == 0),
+        k=10, n_probe=4,
+    )
 
 
 def _bucketed_near_dup_sql(
@@ -3139,15 +3191,62 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(o, "o_custkey", k=10)
 
 
+def _pagerank_sql(max_iter: int, round_dp: int, k: int) -> str:
+    """Unrolled-SQL twin of operators/graph.py:pagerank at a FIXED
+    iteration count: each round is one chained CTE replaying the exact
+    engine arithmetic — contrib = sum(rank/out_deg) per dst, dangling
+    mass from zero-out-degree nodes spread uniformly, new rank =
+    (1-d)/N + d*(contrib + dangling/N) — with every round's ranks
+    rounded to ``round_dp`` on BOTH sides (the operator's
+    ``round_ranks``), so last-ulp float-sum divergence never compounds
+    across rounds. Fixed iterations turn the 'iterative fixpoint' into
+    plain SQL (the same move graph_reachability's bounded-hops oracle
+    makes for BFS)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, max_iter + 1):
+        iters.append(f"""
+    r{i} AS (
+      SELECT nd.node, nd.deg,
+             round((1.0 - 0.85) / nn.n
+                   + 0.85 * (coalesce(c.contrib, 0.0) + dg.d / nn.n),
+                   {round_dp}) AS rank
+      FROM nd CROSS JOIN nn
+      CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS d
+                  FROM {prev} WHERE deg = 0) dg
+      LEFT JOIN (SELECT e.dst AS node, sum(r.rank / r.deg) AS contrib
+                 FROM e JOIN {prev} r ON e.src = r.node
+                 GROUP BY e.dst) c
+        ON nd.node = c.node)""")
+        prev = f"r{i}"
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    nd AS (SELECT node, coalesce(deg, 0) AS deg
+           FROM nodes LEFT JOIN outdeg ON node = src),
+    r0 AS (SELECT node, deg, 1.0 / n AS rank FROM nd, nn),{",".join(iters)}
+    SELECT node, rank FROM (
+      SELECT node, round(rank, 6) AS rank FROM {prev})
+    ORDER BY rank DESC, node ASC LIMIT {k}
+    """
+
+
 @register(
     "pagerank_parts",
-    None,  # iterative fixpoint — no SQL oracle; rows-only by design
+    _pagerank_sql(max_iter=5, round_dp=12, k=20),
     "PageRank over the supplier->part supply graph (edges from "
     "lineitem): the iterative-algorithm representative. Two node-keyed "
     "shuffles per round, dangling mass redistributed, lineage "
     "truncated by localCheckpoint every 4 rounds "
     "(operators/graph.py:pagerank). Top-20 nodes by rank, "
-    "deterministic tie-break.",
+    "deterministic tie-break. Oracle-checked since r10 (was rows-only "
+    "'by design'): a FIXED iteration count unrolls into chained SQL "
+    "CTEs, and per-round 12-dp rank rounding (round_ranks) pins both "
+    "engines to identical doubles each round — the iterative loop "
+    "itself is what stays engine-only, not the arithmetic.",
 )
 def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
@@ -3157,7 +3256,7 @@ def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     ).distinct()
     return (
-        pagerank(edges, max_iter=5)
+        pagerank(edges, max_iter=5, round_ranks=12)
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )

@@ -42,8 +42,12 @@ TIERS = {
     "0.1": "/root/testdata/sf0.1",
     "0.5": os.path.join(REPO, ".scaledata", "sf0.5"),
     "1.0": os.path.join(REPO, ".scaledata", "sf1"),
-    # crossover-trajectory tier (measured on demand, not by default)
+    # crossover-trajectory tiers (measured on demand, not by default)
     "2.0": os.path.join(REPO, ".scaledata", "sf2"),
+    # r10: a MEASURED crossover datapoint for the flat-wall q-suite /
+    # gini claims, replacing the "crossover ~sf5-10" slope
+    # extrapolation the r9 verdict flagged (VERDICT r9 #4)
+    "4.0": os.path.join(REPO, ".scaledata", "sf4"),
 }
 #: tiers run when none are named on the CLI (sf2 is opt-in)
 DEFAULT_TIERS = ["0.1", "0.5", "1.0"]
@@ -77,6 +81,13 @@ HEAVY = [
     "q9_product_margin",
     "q21_waiting_suppliers",
     "join_inner_fk",
+    # r10: the exact-percentile family — the last heavyweights with
+    # zero scale evidence (VERDICT r9 #2: percentiles' sort-rank form
+    # runs 2 driver collects; measure whether its multi-job floor or
+    # the percentile() aggregate's full-column buffer wins at scale)
+    "percentiles",
+    "percentile_by_group",
+    "histogram_equidepth",
 ]
 
 

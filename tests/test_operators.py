@@ -620,6 +620,54 @@ def test_global_order_prefix_null_nan_rank_order(spark):
         [rk for v, rk in want if v is None]
 
 
+def test_global_order_prefix_inf_rank_order(spark):
+    """±Inf order values must rank exactly as Spark's ascending sort
+    places them (null < −Inf < finite < +Inf < NaN). Before r10 they
+    were a documented precondition violation (an infinite min/max made
+    every bucket width NaN); now limits come from finite values only
+    and the infinities pin to the edge buckets (VERDICT r9 #6)."""
+    from pyspark.sql import Window
+
+    from etl_airbnb_mex_spark.operators.stats import global_order_prefix
+
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(inf,), (-inf,), (None,), (float("nan"),), (4.0,),
+         (-inf,), (1.0,), (inf,), (2.0,), (None,), (3.0,)],
+        "v double",
+    )
+    got = [
+        (r["v"], r["rk"])
+        for r in global_order_prefix(df, "v", rank=True)
+        .orderBy("rk").collect()
+    ]
+    want = [
+        (r["v"], r["rk"])
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v"))
+        ).orderBy("rk").collect()
+    ]
+
+    def key(x):  # NaN != NaN; compare by repr class
+        return [("nan" if v != v else v, rk) for v, rk in x if v is not None]
+
+    assert key(got) == key(want)
+    assert [rk for v, rk in got if v is None] == \
+        [rk for v, rk in want if v is None]
+    # degenerate frame with NO finite value still ranks correctly
+    df2 = spark.createDataFrame(
+        [(inf,), (-inf,), (float("nan"),), (None,)], "v double"
+    )
+    got2 = [
+        (r["v"], r["rk"])
+        for r in global_order_prefix(df2, "v", rank=True)
+        .orderBy("rk").collect()
+    ]
+    assert [rk for _, rk in got2] == [1, 2, 3, 4]
+    assert got2[0][0] is None and got2[1][0] == -inf
+    assert got2[2][0] == inf and got2[3][0] != got2[3][0]  # NaN last
+
+
 def test_winnowing_overlap_guarantee(spark):
     """Winnowing property: two docs sharing a long run of tokens share
     at least one fingerprint; disjoint docs share none; fingerprints are
@@ -2131,3 +2179,29 @@ def test_global_order_prefix_degenerate_and_guard(spark):
 
     with _pytest.raises(ValueError):
         global_order_prefix(df, "v", weight_col="v", rank=True)
+
+
+def test_exact_percentiles_prefix_matches_agg(spark):
+    """The r10 lazy prefix path must reproduce the percentile()
+    aggregate (and therefore quantile_cont/pandas interpolation)
+    exactly — duplicates, odd/even counts, nulls, and single-row
+    inputs included."""
+    from etl_airbnb_mex_spark.operators.stats import percentiles
+
+    rows = [Row(v=float(x)) for x in
+            [5, 1, 9, 1, 7, 3, 3, 8, 2, 6, 4, 4, 4, 10]]
+    rows += [Row(v=None), Row(v=None)]
+    df = spark.createDataFrame(rows, "v double")
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    got = percentiles(df, "v", ps=ps, method="prefix").collect()[0]
+    want = percentiles(df, "v", ps=ps, method="agg").collect()[0]
+    assert got.asDict() == want.asDict()
+
+    one = spark.createDataFrame([Row(v=42.0)], "v double")
+    got1 = percentiles(one, "v", ps=ps, method="prefix").collect()[0]
+    assert all(got1[f"p{int(p * 100)}"] == 42.0 for p in ps)
+
+    # approx=True is contradictory on the exact path
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentiles(df, "v", method="prefix", approx=True)

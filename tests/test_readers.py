@@ -146,6 +146,60 @@ def test_mongo_source_branch_selects_connector(spark, monkeypatch):
         read_mongo_or_parquet(spark, "reviews", parquet_path="/nonexistent")
 
 
+def test_mongo_live_read_smoke(spark, tmp_path, monkeypatch):
+    """Live-Mongo end-to-end smoke (VERDICT r9 #8): seed a local mongod,
+    read the collection through read_mongo_or_parquet's connector
+    branch, and assert rows + declared schema. Requires BOTH a mongod
+    binary on PATH and the MongoDB Spark connector on the session
+    classpath — neither ships in this sandbox (no network, no apt/pip),
+    so the test self-skips there and runs wherever the two public
+    dependencies exist."""
+    import shutil as _shutil
+    import subprocess as _sp
+    import time as _time
+
+    import pytest
+
+    if _shutil.which("mongod") is None:
+        pytest.skip("mongod not installed in this environment")
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
+    except Exception:
+        pytest.skip("mongo-spark-connector not on the session classpath")
+
+    dbdir = tmp_path / "mongo-data"
+    dbdir.mkdir()
+    proc = _sp.Popen(
+        ["mongod", "--dbpath", str(dbdir), "--port", "27027",
+         "--bind_ip", "127.0.0.1"],
+        stdout=_sp.DEVNULL, stderr=_sp.DEVNULL,
+    )
+    try:
+        _time.sleep(2.0)  # mongod startup
+        uri = "mongodb://127.0.0.1:27027"
+        seed = spark.createDataFrame(
+            [(1, 10, "2024-01-01"), (2, 11, "2024-01-02")],
+            "id long, listing_id long, date string",
+        )
+        (seed.write.format("mongodb")
+         .option("connection.uri", uri)
+         .option("database", "airbnb")
+         .option("collection", "reviews")
+         .mode("overwrite").save())
+        from etl_airbnb_mex_spark.sources.readers import (
+            read_mongo_or_parquet,
+        )
+
+        out = read_mongo_or_parquet(spark, "reviews", mongo_uri=uri)
+        assert out.count() == 2
+        assert {"id", "listing_id", "date"} <= set(out.columns)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
 def test_read_csv_quarantines_corrupt_records(spark, tmp_path):
     """PERMISSIVE CSV: well-formed rows parse, malformed rows land in
     the corrupt-record column with the raw line intact."""

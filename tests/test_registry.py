@@ -165,6 +165,10 @@ _SCALAR_BNLJ_OK: set[str] = {
     "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
+    # r10: percentiles re-registered on the prefix path — the same
+    # global_order_prefix 1-row min/max broadcast, plus the 1-row
+    # row-count broadcast for the k_p rank targets
+    "percentiles",
 }
 
 
@@ -223,6 +227,7 @@ def test_physical_plans_have_no_scale_killers(spark, sf_dir):
 #:   zipf_slope — rank over the top_k-bounded vocabulary slice.
 _GLOBAL_WINDOW_OK: set[str] = {
     "ks_drift_binned",  # CDF race over the AGGREGATED ≤200-row bin axis
+    "percentiles",  # r10 prefix path: bucket-total window (≤4096 rows)
     "flagship_topn_pct",
     "pct_of_total",
     "window_lag_delta",
@@ -254,6 +259,7 @@ _BUCKET_PREFIX_OK: set[str] = {
     "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
+    "percentiles",
 }
 
 
