@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- code changed in r10 (this round) --
     "knn_cosine_ivf",      # r10: rows-only → pinned-quantizer oracle
     "pagerank_parts",      # r10: rows-only → unrolled-SQL oracle
+    "kcore_parts",         # r10: rows-only → fixed-round-peel oracle
     "q5_local_supplier_volume",  # r10: integer-cents revenue sum
     "q9_product_margin",   # r10: integer-cents margin sum
     "gini_concentration",  # r10: global_order_prefix ±Inf buckets
@@ -129,13 +130,13 @@ _PRIORITY: tuple[str, ...] = (
     "dup_key_count",
     "dedup_by_key",
     "dedup_text_exact",
-    "join_broadcast_dim",
 )
 # Still-stale after this window — queue for round 11: the r5/r6 join
-# family join_left_semi / join_left_anti / join_range_theta /
-# join_asof / join_asof_forward / join_salted_skew (none changed
-# since their green rows — pure age refresh; they ceded their slots
-# to this round's code changes).
+# family join_broadcast_dim / join_left_semi / join_left_anti /
+# join_range_theta / join_asof / join_asof_forward / join_salted_skew
+# (none changed since their green rows — pure age refresh; they ceded
+# their slots to this round's code changes, join_broadcast_dim to the
+# late kcore_parts conversion).
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -1188,9 +1188,45 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed round budget for the kcore_parts SQL twin: the Spark side
+#: peels to fixpoint (kcore_decompose raises past 50 rounds); the
+#: oracle re-lists the surviving edge set once per round, so any
+#: budget ≥ the actual rounds-to-fixpoint reproduces the (unique)
+#: k-core exactly. 30 covers the observed ≤6-round convergence on
+#: every test SF with a 5× margin.
+_KCORE_ROUNDS = 30
+
+_KCORE_SQL = f"""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    und AS (SELECT s AS u, d AS v FROM e0 UNION ALL SELECT d, s FROM e0),
+    degs AS (
+      SELECT u, count(*) AS dg FROM und GROUP BY u),
+    kk AS (
+      SELECT CAST(floor(round(quantile_cont(dg, 0.05), 6)) AS BIGINT)
+        AS k FROM degs),
+    lv(i, u, v) AS (
+      SELECT 0, u, v FROM und
+      UNION ALL
+      SELECT i + 1, u, v FROM (
+        SELECT i, u, v,
+               count(*) OVER (PARTITION BY i, u) AS du,
+               count(*) OVER (PARTITION BY i, v) AS dv
+        FROM lv WHERE i < {_KCORE_ROUNDS})
+      WHERE du >= (SELECT k FROM kk) AND dv >= (SELECT k FROM kk))
+    SELECT u AS node, count(*) AS core_degree
+    FROM lv WHERE i = {_KCORE_ROUNDS}
+    GROUP BY u ORDER BY node
+    """
+
+
 @register(
     "kcore_parts",
-    None,  # iterative fixpoint — no SQL twin (driver records rows-only)
+    _KCORE_SQL,
     "k-core of the part co-purchase graph (edges = parts appearing in "
     "the same order; k = the 5th-percentile degree, just under the "
     "random-graph core-collapse threshold, so the peel drops a real "
@@ -1202,7 +1238,15 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame, localCheckpoint lineage truncation; pytest-verified "
     "against the sequential peel). Edge build reuses the bounded "
     "copurchase pattern: distinct (order, part) pre-agg, order-keyed "
-    "self-join with a<b, fan-out bounded by items-per-order².",
+    "self-join with a<b, fan-out bounded by items-per-order². "
+    "Oracle-checked since r10 (was rows-only 'iterative fixpoint'): "
+    "the k-core is a UNIQUE fixpoint, so a WITH RECURSIVE that "
+    "re-lists the surviving edges for a fixed round budget ≥ the "
+    "rounds-to-convergence replays it exactly (the pagerank_parts "
+    "fixed-iteration move applied to a fixpoint); k itself is "
+    "computed in-SQL as floor(round(quantile_cont, 6)) — the same "
+    "6-dp-rounded interpolated percentile the Spark side lifts, so "
+    "the peel threshold can never diverge between engines.",
 )
 def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_decompose
@@ -1234,7 +1278,15 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one scalar collect — metadata, same discipline as the percentile
     # bracket endpoints; makes k track the data so every sf peels.
-    k = int(deg.agg(F.expr("percentile(d, 0.05)")).collect()[0][0])
+    # floor(round(·, 6)) in ENGINE arithmetic (F.round is HALF_UP like
+    # DuckDB's round; Python round() is half-even) so the oracle's
+    # in-SQL k is bit-identical — a k off by one would peel a
+    # different core entirely.
+    k = int(
+        deg.agg(
+            F.floor(F.round(F.expr("percentile(d, 0.05)"), 6)).alias("k")
+        ).collect()[0]["k"]
+    )
     return kcore_decompose(edges, k=k)
 
 
