@@ -87,6 +87,20 @@ def get_spark(
         # ≤ 2 MB) on the broadcast path and leaves fact-fact joins to
         # AQE, which re-plans with ACTUAL shuffle sizes at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # Let AQE demote SortMergeJoin to ShuffledHashJoin when RUNTIME
+        # stats show every build-side partition fits a 64 MiB local hash
+        # map (default 0 disables the rewrite entirely). This is the
+        # r10 fix for the one non-flat q-suite wall: q5's orderkey join
+        # planned SMJ and sorted the full 24M-row lineitem shuffle at
+        # sf4 — measured 7.1 → 3.2 s (q9 3.3 → 2.8 s; q1/q21 unchanged)
+        # with the conversion on. Scale-safe by construction: the gate
+        # is per-partition ACTUAL shuffle size, so a 100 TB join whose
+        # partitions exceed the threshold stays SMJ; no static-estimate
+        # trap like the broadcast threshold above.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Scan-split size. The 128 MiB default assumes the multi-file
