@@ -505,6 +505,83 @@ def test_ivf_finds_planted_near_dups(spark, sf_dir):
     assert {r["vec_id"] for r in got} == {100_000 + j for j in range(5)}, got
 
 
+def test_ivf_probe_pinned_matches_semantics(spark, sf_dir):
+    """The r10 pinned-quantizer probe (the oracle-checked registered
+    form): reported scores are exact cosines, the candidate set is the
+    union of the probed lists only, and probing ALL lists reproduces the
+    exact brute-force top-k — the recall loss is purely list pruning,
+    never a scoring defect. Empty query frame yields an empty result."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        ivf_probe_pinned,
+        knn_cosine,
+    )
+    from etl_airbnb_mex_spark.queries._ivf_centroids import (
+        IVF_PINNED_CENTROIDS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in knn_cosine(e, q, k=500).collect()
+    }
+    # probing every list == brute force (scores AND ranking identical)
+    all_lists = ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, q, k=10,
+        n_probe=len(IVF_PINNED_CENTROIDS),
+    ).collect()
+    top10 = sorted(exact, key=lambda i: (-exact[i], i))[:10]
+    assert [r["vec_id"] for r in all_lists] == top10
+    # the registered 4-of-16 probe: exact scores; recall on these
+    # weakly-similar embeddings (top cosine ~0.3, the hard ANN regime)
+    # is bounded loosely — the 8-list probe carries the >=5 bar, same
+    # as test_ivf_knn_recall_vs_exact
+    got = ivf_probe_pinned(e, IVF_PINNED_CENTROIDS, q, k=10, n_probe=4)
+    rows = got.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cosine_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+    assert len(set(top10) & {r["vec_id"] for r in rows}) >= 2
+    eight = ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, q, k=10, n_probe=8
+    ).collect()
+    assert len(set(top10) & {r["vec_id"] for r in eight}) >= 5
+    # empty query frame -> empty result, no error
+    empty = ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") < 0), k=10,
+    )
+    assert empty.count() == 0
+
+
+def test_pagerank_round_ranks_stability(spark):
+    """round_ranks (the oracle-determinism knob) must not change WHAT
+    pagerank computes: 12-dp per-round rounding perturbs final ranks by
+    < 1e-9 vs the unrounded run, ranks still sum to 1, and the result
+    is identical across repeated runs (partition-order independent
+    after rounding)."""
+    from etl_airbnb_mex_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 7) % 23) for i in range(200)], "src int, dst int"
+    ).distinct()
+    plain = {
+        r["node"]: r["rank"] for r in pagerank(edges, max_iter=5).collect()
+    }
+    rounded = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=5, round_ranks=12).collect()
+    }
+    assert set(plain) == set(rounded)
+    for n in plain:
+        assert abs(plain[n] - rounded[n]) < 1e-9, (n, plain[n], rounded[n])
+    assert sum(rounded.values()) == pytest.approx(1.0, abs=1e-4)
+    again = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=5, round_ranks=12).collect()
+    }
+    assert rounded == again
+
+
 def test_sql_interface_runs_registry_equivalent(spark, sf_dir):
     """The engine's query language IS Spark SQL: registered views +
     spark.sql produce the same result as the DataFrame-built flagship
