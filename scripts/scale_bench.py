@@ -139,6 +139,36 @@ def _time_duckdb(sql: str, sf_dir: str) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
+def _phase_probe(spark) -> dict:
+    """Machine-phase stamp recorded onto every row of this tier run:
+    the r10 ambient-band finding (same-code walls swinging 2-3x within
+    a day, BENCH_SIDECAR scale_trend.notes.ambient_band_r10) means a
+    ratio is only interpretable next to the machine speed it was
+    measured at. Two fixed micro-benchmarks — a trivial 32-task Spark
+    job (the scheduler/task-launch floor) and a fixed single-process
+    DuckDB aggregate — calibrate both engines' phase in ~1 s."""
+    import duckdb
+
+    best_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+        best_s = min(best_s, time.perf_counter() - t0)
+    con = duckdb.connect()
+    best_d = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(
+            "SELECT sum(i * 3 % 7) FROM range(10000000) t(i)"
+        ).fetchall()
+        best_d = min(best_d, time.perf_counter() - t0)
+    con.close()
+    return {
+        "spark_floor32_sec": round(best_s, 3),
+        "duckdb_10m_agg_sec": round(best_d, 3),
+    }
+
+
 def run_tier(label: str) -> dict:
     from etl_airbnb_mex_spark.queries import REGISTRY, _load
     from etl_airbnb_mex_spark.session import get_spark
@@ -149,6 +179,8 @@ def run_tier(label: str) -> dict:
         n for n in os.environ.get("SCALE_BENCH_ONLY", "").split(",") if n
     }
     spark = get_spark(app_name=f"scale-bench-sf{label}")
+    phase = _phase_probe(spark)
+    print(f"# sf{label} phase: {phase}", file=sys.stderr, flush=True)
     out: dict[str, dict] = {}
     for name in HEAVY:
         if only and name not in only:
@@ -170,6 +202,7 @@ def run_tier(label: str) -> dict:
             row["duckdb_sec"] = None
         if row.get("spark_sec") and row.get("duckdb_sec"):
             row["ratio"] = round(row["spark_sec"] / row["duckdb_sec"], 2)
+        row["phase"] = phase
         print(f"# sf{label} {name}: {row}", file=sys.stderr, flush=True)
         out[name] = row
         gc.collect()
