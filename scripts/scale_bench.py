@@ -48,6 +48,9 @@ TIERS = {
     # gini claims, replacing the "crossover ~sf5-10" slope
     # extrapolation the r9 verdict flagged (VERDICT r9 #4)
     "4.0": os.path.join(REPO, ".scaledata", "sf4"),
+    # r10: crossover-landing tier for the near-parity tail (q21 read
+    # 1.68x at sf4 against a superlinearly-growing oracle)
+    "8.0": os.path.join(REPO, ".scaledata", "sf8"),
 }
 #: tiers run when none are named on the CLI (sf2 is opt-in)
 DEFAULT_TIERS = ["0.1", "0.5", "1.0"]
