@@ -436,10 +436,17 @@ def exact_percentiles_prefix(
     Returns the 1-row wide frame (p25 … p99 columns, ``dp``-rounded);
     empty/all-null input yields one all-null row (the agg-method
     contract).
+
+    NaN rows are excluded alongside nulls (r11, ADVICE r10 #4): the
+    agg-method path's ``percentile()`` ignores NaN and DuckDB's
+    ``quantile_cont`` errors on it, so counting NaN in ``n`` and
+    ranking it last (Spark sorts NaN greatest) would let a high cut
+    point return NaN where the agg path returns a finite value —
+    the prefix path's contract is "identical to the agg path".
     """
     vals = (
         df.select(F.col(col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())
+        .filter(F.col("v").isNotNull() & ~F.isnan("v"))
     )
     ranked = global_order_prefix(vals, "v", rank=True)
     cnt = vals.agg(F.count(F.lit(1)).alias("__n"))
@@ -607,6 +614,51 @@ def global_order_prefix(
             "rk", (F.col("__boff") + F.row_number().over(ww)).cast("long")
         )
     return out.drop("__bkt", "__lo", "__hi", "__boff")
+
+
+def equidepth_histogram_prefix(
+    df: DataFrame, col: str, k: int, tiebreak: str, dp: int = 2,
+) -> DataFrame:
+    """Equi-DEPTH histogram (k bins of ~equal row count) as ONE lazy
+    plan — the r11 registered form, superseding
+    :func:`operators.windows.equidepth_histogram` for the driver query
+    exactly as :func:`exact_percentiles_prefix` superseded the
+    sort-rank percentile form (VERDICT r10 #3: the sortrank shape pays
+    a per-partition-counts collect plus an offset re-plan — two driver
+    round-trips of fixed job-scheduling latency that dominated its
+    wall at every measured SF, 11.5× vs the oracle at sf2 — while its
+    shuffle volume is identical to this plan's).
+
+    Plan: :func:`global_order_prefix` (rank=True) assigns every row
+    its exact global ``(col, tiebreak)`` sort rank with no driver
+    round-trip; the total row count joins in as a broadcast 1-row
+    aggregate; bin = ``floor((rank−1)·k/n)+1`` — the same expression
+    the oracle SQL states — then one k-row hash agg per bin. Memory
+    stays shuffle-bounded (the widest state is the 4096-long bucket
+    prefix); no collect, no re-plan, one action.
+
+    Same bin semantics as the windows.py form: deterministic given a
+    unique ``tiebreak``, counts differ by ≤1 across bins. Rows with a
+    null ``col`` rank first (Spark ascending order), matching a true
+    global sort.
+    """
+    d = df.select(F.col(col).alias("__v"), F.col(tiebreak).alias("__t"))
+    ranked = global_order_prefix(d, "__v", tie_cols=("__t",), rank=True)
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bin",
+            (F.floor((F.col("rk") - 1) * k / F.col("__n")) + 1).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("__v"), dp).alias("lo"),
+            F.round(F.max("__v"), dp).alias("hi"),
+        )
+        .orderBy("bin")
+    )
 
 
 def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

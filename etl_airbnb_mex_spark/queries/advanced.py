@@ -1188,12 +1188,15 @@ def event_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Fixed round budget for the kcore_parts SQL twin: the Spark side
-#: peels to fixpoint (kcore_decompose raises past 50 rounds); the
+#: Fixed round budget for BOTH engines (r11, ADVICE r10 #1): the
 #: oracle re-lists the surviving edge set once per round, so any
 #: budget ≥ the actual rounds-to-fixpoint reproduces the (unique)
-#: k-core exactly. 30 covers the observed ≤6-round convergence on
-#: every test SF with a 5× margin.
+#: k-core exactly — and the Spark peel now runs with
+#: ``max_iter=_KCORE_ROUNDS`` so a peel needing MORE rounds raises
+#: loudly on the Spark side instead of silently diverging from a
+#: partially-peeled oracle (kcore_decompose's default budget was 50,
+#: leaving rounds 31-50 a quiet-mismatch window). 30 covers the
+#: observed ≤6-round convergence on every test SF with a 5× margin.
 _KCORE_ROUNDS = 30
 
 _KCORE_SQL = f"""
@@ -1287,7 +1290,10 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.round(F.expr("percentile(d, 0.05)"), 6)).alias("k")
         ).collect()[0]["k"]
     )
-    return kcore_decompose(edges, k=k)
+    # max_iter tied to the oracle's round budget: convergence past
+    # _KCORE_ROUNDS raises here rather than mismatching a
+    # partially-peeled oracle (ADVICE r10 #1)
+    return kcore_decompose(edges, k=k, max_iter=_KCORE_ROUNDS)
 
 
 @register(

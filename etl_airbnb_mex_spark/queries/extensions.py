@@ -44,7 +44,6 @@ from ..operators.timeseries import (
     tumbling_window_agg,
 )
 from ..operators.windows import (
-    equidepth_histogram,
     lag_delta,
     moving_avg,
     rank_topn_per_group,
@@ -2645,15 +2644,23 @@ def dq_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY bin ORDER BY bin
     """,
     "Equi-depth histogram (10 ~equal-count bins over c_acctbal) via the "
-    "distributed exact global rank "
-    "(operators/windows.py:equidepth_histogram): repartitionByRange + "
-    "per-partition row_number + 32-row offset metadata — NO single-task "
-    "ntile sort. Bin = floor((rank-1)*k/n), written identically in the "
-    "oracle SQL.",
+    "fully-lazy bucketed global rank "
+    "(operators/stats.py:equidepth_histogram_prefix): one action, zero "
+    "driver round-trips — re-registered r11 (VERDICT r10 #3) off the "
+    "sortrank form (operators/windows.py:equidepth_histogram, kept as "
+    "the API alternative), whose partition-counts collect + offset "
+    "re-plan were a fixed two-job scheduling floor (11.5x vs the "
+    "oracle at sf2) on identical shuffle volume. NO single-task ntile "
+    "sort in either form. Bin = floor((rank-1)*k/n), written "
+    "identically in the oracle SQL.",
 )
 def histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stats import equidepth_histogram_prefix
+
     c = load_table(spark, sf_dir, "customer")
-    return equidepth_histogram(c, "c_acctbal", k=10, tiebreak="c_custkey")
+    return equidepth_histogram_prefix(
+        c, "c_acctbal", k=10, tiebreak="c_custkey"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1484,6 +1484,55 @@ def test_equidepth_histogram_exact_ranks(spark):
         assert a["hi"] <= b["lo"]
 
 
+def test_equidepth_prefix_matches_sortrank_form(spark):
+    """The r11 lazy prefix form (one action, zero driver round-trips)
+    must reproduce the sortrank form's bins EXACTLY — same rank
+    semantics, same floor((rank-1)k/n) expression, same rounding."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        equidepth_histogram_prefix,
+    )
+    from etl_airbnb_mex_spark.operators.windows import equidepth_histogram
+
+    n, k = 1007, 10
+    df = spark.createDataFrame(
+        [((i * 7919) % n / 3.0, i) for i in range(n)], "v double, id long"
+    )
+    old = [tuple(r) for r in
+           equidepth_histogram(df, "v", k=k, tiebreak="id").collect()]
+    new = [tuple(r) for r in
+           equidepth_histogram_prefix(df, "v", k=k, tiebreak="id").collect()]
+    assert new == old
+    # heavy ties (41 distinct values across 1007 rows): the unique
+    # tiebreak must keep both forms deterministic and identical
+    df2 = spark.createDataFrame(
+        [(float(i % 41), i) for i in range(n)], "v double, id long"
+    )
+    old2 = [tuple(r) for r in
+            equidepth_histogram(df2, "v", k=k, tiebreak="id").collect()]
+    new2 = [tuple(r) for r in
+            equidepth_histogram_prefix(df2, "v", k=k, tiebreak="id").collect()]
+    assert new2 == old2
+
+
+def test_percentiles_prefix_excludes_nan(spark):
+    """ADVICE r10 #4: NaN must not count in n nor rank last — the
+    prefix path's contract is 'identical to the agg path', and the
+    percentile() aggregate ignores NaN. A p99 cut touching the NaN
+    tail must therefore return the finite-data answer."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        exact_percentiles_prefix,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(nan,)] * 10, "v double"
+    )
+    row = exact_percentiles_prefix(df, "v", ps=(0.5, 0.99)).collect()[0]
+    # finite values 1..100: p50 = 50.5, p99 = 99.01 (quantile_cont)
+    assert row["p50"] == 50.5
+    assert abs(row["p99"] - 99.01) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # Round-3 behavior / corpus / sampling operators
 # ---------------------------------------------------------------------------
