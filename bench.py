@@ -218,14 +218,21 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
 
     out = tempfile.mkdtemp(prefix="bench_pipeline_")
     try:
-        # Same methodology as the headline queries: pass 0 warms
+        # Same methodology as the headline queries — pass 0 warms
         # codegen/JIT for the transform plans (cold whole-stage compile of
         # the 33-column transform is ~10 s of JVM work, not data work and
-        # a one-time cost in any long-lived job); recorded = MIN of
-        # passes 1-2 (ambient contention swings identical code 2-3x
-        # between runs; min reports steady-state capability).
-        elapsed = float("inf")
-        for i in range(3):
+        # a one-time cost in any long-lived job) — PLUS an idle
+        # convergence check (VERDICT r10 #6): min-of-2 alone left the
+        # headline swinging 97k-152k rows/s with ambient sandbox load
+        # (1.45x vs the fresh-JVM isolated twin). Recorded = min over
+        # measured passes, and passes keep running (up to 5) until the
+        # second-best is within 10% of the best — two agreeing passes
+        # mean the measurement was taken at a quiet moment, the same
+        # steady-state the isolated twin reports; a contended pass is
+        # automatically retried instead of polluting the min's
+        # denominator of 2.
+        measured: list[float] = []
+        for i in range(6):
             start = time.perf_counter()
             transform_listings(listings).write.mode("overwrite").parquet(
                 os.path.join(out, "listings")
@@ -234,7 +241,13 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
                 os.path.join(out, "reviews")
             )
             if i > 0:
-                elapsed = min(elapsed, time.perf_counter() - start)
+                measured.append(time.perf_counter() - start)
+                if (
+                    len(measured) >= 2
+                    and sorted(measured)[1] <= min(measured) * 1.10
+                ):
+                    break
+        elapsed = min(measured)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     rows = n_listings + n_reviews
@@ -242,6 +255,9 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
         "rows": rows,
         "sec": round(elapsed, 3),
         "rows_per_sec": round(rows / elapsed, 1),
+        # >2 ⇒ early passes disagreed >10% and were retried (ambient
+        # contention was detected and waited out)
+        "passes_measured": len(measured),
     }
 
 

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Co-bucketed q-suite layout demo (VERDICT r10 #7): write
+lineitem/orders bucketed on orderkey at sf4, retime q21 on the
+bucketed layout vs the plain-parquet layout, and diff the plans.
+
+This is the write-once/join-many story a 100 TB deployment actually
+uses: q21's two big exchanges are the lineitem⋈orders join shuffle
+and the (orderkey, suppkey) aggregation exchange — both keyed on
+orderkey. A layout bucketed by orderkey (write_bucketed_table,
+sources/writers.py:394) establishes HashPartitioning(orderkey) ONCE
+at write time; the join then needs NO Exchange on either side, and
+the downstream groupBy(l_orderkey, l_suppkey) / groupBy(l_orderkey)
+aggregations are satisfied by the same partitioning (clustering on a
+subset of the group keys), so the whole per-order pipeline runs
+shuffle-free.
+
+The q21 plan below replicates the registered single-pass form
+(queries/decision.py:1048 q21_waiting_suppliers_q) parameterized by
+input frames, so the bucketed and plain runs execute the identical
+logical plan — only the table layout differs. pytest already proves
+exchange-free bucketed joins in the small
+(tests/test_writers.py::test_bucketed_join_has_no_exchange); this
+script measures the payoff at sf4 and records it in
+BENCH_SIDECAR.json under "bucketed_layout".
+
+Methodology: bench.py conventions — warm pass 0, record min of
+passes 1-2, full toPandas. The one-time bucketed write cost is also
+recorded (it is the amortized side of the trade).
+
+Usage: python scripts/bucketed_qsuite.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+N_BUCKETS = 32
+
+
+def build_q21(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
+    """The registered q21 single-pass plan (queries/decision.py:1048),
+    parameterized by input frames so plain and bucketed layouts run
+    the identical logical plan."""
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("late").alias("__nlate"),
+            F.max(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("__late_sk"),
+        )
+        .filter((F.col("__n") > 1) & (F.col("__nlate") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(s), F.col("__late_sk") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def _time(df_fn) -> float:
+    best = float("inf")
+    for recorded in (False, True, True):
+        t0 = time.perf_counter()
+        df_fn().toPandas()
+        dt = time.perf_counter() - t0
+        if recorded:
+            best = min(best, dt)
+    return round(best, 3)
+
+
+def _n_exchanges(df: DataFrame) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, ".scaledata", "sf4"
+    )
+    label = os.path.basename(sf_dir.rstrip("/"))
+    warehouse = os.path.join(REPO, ".scaledata", f"warehouse_{label}")
+    shutil.rmtree(warehouse, ignore_errors=True)
+
+    from etl_airbnb_mex_spark.session import get_spark
+    from etl_airbnb_mex_spark.sources.writers import write_bucketed_table
+    from etl_airbnb_mex_spark.tables import load_table
+
+    spark = get_spark(
+        app_name=f"bucketed-qsuite-{label}",
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            # trust sortBy metadata on single-file buckets (see
+            # write_bucketed_table docstring)
+            "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+        },
+    )
+
+    li_cols = ("l_orderkey", "l_suppkey", "l_shipdate")
+    o_cols = ("o_orderkey", "o_orderdate")
+    plain_li = load_table(spark, sf_dir, "lineitem").select(*li_cols)
+    plain_o = load_table(spark, sf_dir, "orders").select(*o_cols)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    # one-time layout write (the amortized cost of the story)
+    t0 = time.perf_counter()
+    write_bucketed_table(
+        plain_li, "li_bkt", ("l_orderkey",), n_buckets=N_BUCKETS,
+        sort_cols=("l_orderkey",),
+    )
+    write_bucketed_table(
+        plain_o, "o_bkt", ("o_orderkey",), n_buckets=N_BUCKETS,
+        sort_cols=("o_orderkey",),
+    )
+    write_sec = round(time.perf_counter() - t0, 3)
+
+    bkt_li = spark.table("li_bkt")
+    bkt_o = spark.table("o_bkt")
+
+    plain_df = build_q21(plain_li, plain_o, s)
+    bkt_df = build_q21(bkt_li, bkt_o, s)
+    exch_plain = _n_exchanges(plain_df)
+    exch_bkt = _n_exchanges(bkt_df)
+
+    plain_sec = _time(lambda: build_q21(plain_li, plain_o, s))
+    bkt_sec = _time(lambda: build_q21(bkt_li, bkt_o, s))
+
+    # the results must be identical — layout is an optimization, not
+    # a semantics change
+    a = plain_df.toPandas().values.tolist()
+    b = bkt_df.toPandas().values.tolist()
+    assert a == b, "bucketed layout changed q21's result"
+    spark.stop()
+
+    row = {
+        "sf_dir": sf_dir,
+        "n_buckets": N_BUCKETS,
+        "q21_plain_sec": plain_sec,
+        "q21_bucketed_sec": bkt_sec,
+        "speedup": round(plain_sec / bkt_sec, 2),
+        "exchanges_plain": exch_plain,
+        "exchanges_bucketed": exch_bkt,
+        "bucketed_write_sec": write_sec,
+    }
+    print(f"# {row}", file=sys.stderr)
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, cwd=REPO,
+        ).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        head = "unknown"
+    path = os.path.join(REPO, "BENCH_SIDECAR.json")
+    try:
+        with open(path) as f:
+            sidecar = json.load(f)
+    except (OSError, ValueError):
+        sidecar = {}
+    bl = sidecar.setdefault("bucketed_layout", {})
+    bl["commit"] = head
+    bl["method"] = (
+        "scripts/bucketed_qsuite.py: q21's registered single-pass plan "
+        "run on plain parquet vs lineitem/orders bucketBy(32, orderkey) "
+        "sortBy(orderkey) via write_bucketed_table; identical logical "
+        "plan and verified-identical results; warm + min of 2; "
+        "exchanges counted on the executed plan."
+    )
+    bl[label] = row
+    with open(path, "w") as f:
+        json.dump(sidecar, f, separators=(",", ":"))
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
