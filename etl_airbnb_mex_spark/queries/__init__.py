@@ -61,82 +61,90 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
-#: rotate to the entries with the weakest driver provenance. Round 10
-#: rotation (VERDICT r9 "Next round" #1): FIRST q1_pricing_summary —
-#: its query+oracle were rewritten to integer cents in r9 AFTER its
-#: last driver row (r6), the one entry whose current code has never
-#: been driver-checked — then everything whose code changes THIS
-#: round (the two rows-only→oracle conversions knn_cosine_ivf /
-#: pagerank_parts, the q5/q9 integer-cents rewrites, and the three
-#: global_order_prefix consumers whose bucket expression gained ±Inf
-#: handling), then the verdict's 37-entry r3/r4-provenance queue
-#: verbatim, then 5 of the oldest remaining age-refresh rows. After
-#: this window no entry's provenance predates r5 except the 5-entry
-#: r5/r6 join-family tail listed below. Every name here was
-#: re-verified by the local oracle replica this session before the
-#: window was frozen.
+#: rotate to the entries with the weakest driver provenance. Round 11
+#: rotation (VERDICT r10 "Next round" #1): FIRST the three entries
+#: whose code changed this round — the lockstep rule (changed code
+#: must get a fresh driver row the same round) outranks everything —
+#: then the verdict's full 47-entry r5-provenance queue (every entry
+#: whose latest driver row is r5, including the two rows-only sketch
+#: entries bpe_merges / hll_distinct_rollup, recomputed from
+#: CORRECTNESS_r01-r10 this session). The r10 verdict's "+3 oldest r6"
+#: ceded those slots to the code changes: after this window nothing
+#: oracle-checked predates r6, and round 12's queue is exactly the 33
+#: r6-provenance entries (listed below) + this round's deferred
+#: ADVICE items. Every name here was re-verified by the local oracle
+#: replica this session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- rewritten in r9, no driver row on current code (VERDICT #1) --
-    "q1_pricing_summary",
-    # -- code changed in r10 (this round) --
-    "knn_cosine_ivf",      # r10: rows-only → pinned-quantizer oracle
-    "pagerank_parts",      # r10: rows-only → unrolled-SQL oracle
-    "kcore_parts",         # r10: rows-only → fixed-round-peel oracle
-    "q5_local_supplier_volume",  # r10: integer-cents revenue sum
-    "q9_product_margin",   # r10: integer-cents margin sum
-    "gini_concentration",  # r10: global_order_prefix ±Inf buckets
-    "roc_auc",             # r10: global_order_prefix ±Inf buckets
-    "roc_auc_exact",       # r10: global_order_prefix ±Inf buckets
-    # -- the r3/r4-provenance age-refresh queue (VERDICT r9 #1) --
-    "window_lag_delta",
-    "anomaly_zscore",
-    "centroid_assign",
-    "chi_square_assoc",
-    "cohort_retention",
-    "corr_matrix",
-    "describe_stats",
-    "dup_ngram_frac",
-    "feature_scale",
-    "ffill_timeseries",
-    "funnel_conversion",
-    "gopher_quality_signals",
-    "histogram",
-    "histogram2d",
-    "join_bloom_prefilter",
-    "key_skew_profile",
-    "mad_robust",
-    "mode_by_group",
-    "mode_value",
-    "mom_growth",
-    "monthly_active_users",
-    "monthly_cumulative",
-    "monthly_gapfill",
-    "null_profile",
-    "outliers_iqr",
-    "pct_of_total",
-    "percentiles",
-    "pivot_wide",
-    "sample_weighted",
-    "scalar_stats",
-    "sessionize_ids",
-    "target_encode",
-    "topn_by_count",
-    "twap_by_user",
-    "vocab_prune",
-    "winsorize_stats",
-    "zipf_slope",
-    # -- oldest remaining age-refresh rows (r4/r6 provenance) --
-    "dup_fullrow_count",
-    "dup_key_count",
-    "dedup_by_key",
-    "dedup_text_exact",
+    # -- code changed in r11 (lockstep rule) --
+    "histogram_equidepth",  # r11: re-registered on the lazy prefix path
+    "percentiles",          # r11: prefix path excludes NaN (ADVICE #4)
+    "kcore_parts",          # r11: peel budget tied to oracle rounds
+    # -- the full r5-provenance queue (VERDICT r10 #1), alphabetical --
+    "ab_test_ztest",
+    "agg_incremental_merge",
+    "antijoin_wealthy_inactive",
+    "attribution_last_touch",
+    "boilerplate_ngram_frac",
+    "bpe_merges",
+    "corpus_divergence",
+    "doc_length_band_filter",
+    "embedding_quantize",
+    "entropy_by_group",
+    "event_transitions",
+    "ewma_smooth",
+    "fuzzy_vocab_pairs",
+    "graph_reachability",
+    "grouped_split",
+    "having_join_bigorders",
+    "hll_distinct_rollup",
+    "interarrival_stats",
+    "intervals_merge",
+    "inverted_index",
+    "join_spatial_grid",
+    "knn_cosine",
+    "mixture_resample",
+    "pareto_revenue_share",
+    "pit_lookup",
+    "promo_revenue_share",
+    "quality_gate_by_group",
+    "rare_label_collapse",
+    "repeat_purchase_rate",
+    "rolling_median",
+    "rolling_zscore",
+    "sample_k_per_group",
+    "sample_weighted_topk",
+    "segment_overlap",
+    "session_path_topn",
+    "ship_delay_priority",
+    "skyline_pareto",
+    "sliding_distinct_users",
+    "snapshot_diff",
+    "source_mix_report",
+    "subquery_correlated_qty",
+    "supplier_revenue_concentration",
+    "tfidf_topk",
+    "time_rollup_multigrain",
+    "unicode_normalize",
+    "unigram_logprob",
+    "weighted_median",
 )
-# Still-stale after this window — queue for round 11: the r5/r6 join
-# family join_broadcast_dim / join_left_semi / join_left_anti /
-# join_range_theta / join_asof / join_asof_forward / join_salted_skew
-# (none changed since their green rows — pure age refresh; they ceded
-# their slots to this round's code changes, join_broadcast_dim to the
-# late kcore_parts conversion).
+# Round-12 queue (schedule fixed now, per VERDICT r10 #1): the 33
+# r6-provenance entries — activity_streaks, bigram_surprisal,
+# bigram_topn, date_range, doc_chunk_overlap, golden_record_merge,
+# hard_negative_mining, heavy_hitters_sketch, interval_occupancy,
+# join_asof, join_asof_forward, join_broadcast_dim, join_left_anti,
+# join_left_semi, join_range_binned, join_range_theta,
+# join_salted_skew, lang_id_confusion, monthly_counts,
+# q10_returned_items, q13_customer_distribution, q15_top_supplier,
+# q16_parts_supplier_cnt, q19_disjunctive_revenue, q20_excess_shipments,
+# q2_min_cost_supplier, q3_shipping_priority, q4_order_priority,
+# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+# rfm_segments, scd2_intervals — plus the two ADVICE r10 items
+# deferred from r11 BECAUSE they would have touched code without a
+# free window slot: the knn_cosine_ivf single-query-contract guard
+# (operators/similarity.py:ivf_probe_pinned) and the pagerank_parts
+# rounding-boundary note (operators/graph.py:round_ranks). 33 + 2
+# changed entries = 35 slots; 15 spare for r12 code changes.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -32,7 +32,21 @@ so the scaled tables model MORE data, not repeated data:
 
 Determinism: numpy RandomState seeded by replica index only.
 
+Graph-density invariant (r11, VERDICT r10 #4): the r10 verdict
+hypothesized that tiling inflates co-purchase wedge density so
+triangle_count's "true work" grows superlinearly with SF. MEASURED
+(``--check-graph`` below, DuckDB over the tiled lineitem): the
+co-purchase graph (parts sharing an order, pair-count >= 2) is
+EXACTLY K disjoint copies of the sf0.1 graph — edges 3,573 -> 71,460
+-> 142,920 and wedges 453 -> 9,060 -> 18,120 and triangles 1 -> 20
+-> 40 across sf0.1 -> sf2 -> sf4, each precisely x20 / x40 — because
+both l_orderkey and l_partkey shift per replica, so no cross-replica
+edge can exist. The generator needs no re-keying; the sf2 wall jump
+both engines showed was measurement-phase noise on unstamped rows
+(the r10-added phase probe now stamps every row), not data growth.
+
 Usage: python scripts/make_scaledata.py 0.5 1.0
+       python scripts/make_scaledata.py --check-graph 2.0 4.0
 """
 
 from __future__ import annotations
@@ -143,7 +157,46 @@ def build(sf: float) -> pathlib.Path:
     return out
 
 
+def check_graph(sf: float) -> None:
+    """Verify the graph-density invariant on a built tier: edge /
+    wedge / triangle counts of the co-purchase graph must be exactly
+    (sf / 0.1)x the sf0.1 base — i.e. K disjoint replica copies."""
+    import duckdb
+
+    base = duckdb.connect()
+    q = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                FROM '{d}/lineitem.parquet'),
+    e AS (
+      SELECT a.l_partkey u, b.l_partkey v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT (SELECT count(*) FROM e) edges,
+           (SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u) wedges,
+           (SELECT count(*) FROM e e1 JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) triangles
+    """
+    e0, w0, t0 = base.execute(q.format(d=str(SRC))).fetchone()
+    k = round(sf / 0.1)
+    d = OUT_ROOT / f"sf{sf:g}"
+    e, w, t = base.execute(q.format(d=str(d))).fetchone()
+    ok = (e, w, t) == (k * e0, w0 * k, t0 * k)
+    print(
+        f"sf{sf:g}: edges={e} wedges={w} triangles={t} "
+        f"(base x{k}: {k*e0}/{k*w0}/{k*t0}) "
+        f"{'OK — exactly linear' if ok else 'VIOLATION'}"
+    )
+    if not ok:
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    for arg in sys.argv[1:] or ["0.5", "1.0"]:
-        print("building sf", arg)
-        build(float(arg))
+    args = sys.argv[1:] or ["0.5", "1.0"]
+    if args[0] == "--check-graph":
+        for arg in args[1:]:
+            check_graph(float(arg))
+    else:
+        for arg in args:
+            print("building sf", arg)
+            build(float(arg))

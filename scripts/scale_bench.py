@@ -51,6 +51,10 @@ TIERS = {
     # r10: crossover-landing tier for the near-parity tail (q21 read
     # 1.68x at sf4 against a superlinearly-growing oracle)
     "8.0": os.path.join(REPO, ".scaledata", "sf8"),
+    # r11: the gini_concentration crossover was a ~sf12-16 PROJECTION
+    # through r10 (VERDICT r10 #2) — this tier turns it into a
+    # measured datapoint
+    "12.0": os.path.join(REPO, ".scaledata", "sf12"),
 }
 #: tiers run when none are named on the CLI (sf2 is opt-in)
 DEFAULT_TIERS = ["0.1", "0.5", "1.0"]
