@@ -130,6 +130,8 @@ HEADLINE = [
     "calibration_bins",
     "feature_hashing",
     "mutual_info",
+    # round 11: re-registered on the lazy prefix path (VERDICT r10 #3)
+    "histogram_equidepth",
 ]
 
 

@@ -88,18 +88,30 @@ def get_spark(
         # AQE, which re-plans with ACTUAL shuffle sizes at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         # Let AQE demote SortMergeJoin to ShuffledHashJoin when RUNTIME
-        # stats show every build-side partition fits a 64 MiB local hash
+        # stats show every build-side partition fits a small local hash
         # map (default 0 disables the rewrite entirely). This is the
         # r10 fix for the one non-flat q-suite wall: q5's orderkey join
         # planned SMJ and sorted the full 24M-row lineitem shuffle at
         # sf4 — measured 7.1 → 3.2 s (q9 3.3 → 2.8 s; q1/q21 unchanged)
-        # with the conversion on. Scale-safe by construction: the gate
-        # is per-partition ACTUAL shuffle size, so a 100 TB join whose
-        # partitions exceed the threshold stays SMJ; no static-estimate
-        # trap like the broadcast threshold above.
+        # with the conversion on. The threshold must be CONCURRENCY-
+        # aware, not just per-partition (r11 hard lesson): the gate
+        # compares COMPRESSED shuffle bytes, the in-memory
+        # LongToUnsafeRowMap is ~4-6× that, SHJ build sides CANNOT
+        # spill, and all 32 slots build at once — at 64 MiB the r10
+        # setting passed the gate at sf24 (orders build side ≈ 18 MiB
+        # compressed/partition) and died in
+        # cannotAcquireMemoryToBuildLongHashedRelation: 32 × ~100 MB
+        # maps ≈ the whole 8g-heap execution pool. Safe bound =
+        # executionPool / slots / expansion ≈ (0.6·8g)/32/6 ≈ 16 MiB;
+        # partitions above it (q21's orders side from sf24 up) stay
+        # SMJ, which sorts but never OOMs, while q5/q9's post-filter
+        # build sides (≤ 8 MiB/partition through sf8) keep the SHJ
+        # win. On a real cluster recompute this bound from executor
+        # memory / executor cores via SPARK_GRAFT_SHJ_THRESHOLD.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(64 * 1024 * 1024),
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD",
+                           str(16 * 1024 * 1024)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -55,6 +55,9 @@ TIERS = {
     # through r10 (VERDICT r10 #2) — this tier turns it into a
     # measured datapoint
     "12.0": os.path.join(REPO, ".scaledata", "sf12"),
+    # r11: sf12 measured gini at 1.81x (projection was optimistic);
+    # sf24 lands the remaining slope
+    "24.0": os.path.join(REPO, ".scaledata", "sf24"),
 }
 #: tiers run when none are named on the CLI (sf2 is opt-in)
 DEFAULT_TIERS = ["0.1", "0.5", "1.0"]

@@ -169,6 +169,10 @@ _SCALAR_BNLJ_OK: set[str] = {
     # global_order_prefix 1-row min/max broadcast, plus the 1-row
     # row-count broadcast for the k_p rank targets
     "percentiles",
+    # r11: histogram_equidepth re-registered on the same prefix path —
+    # identical audited pair of 1-row broadcasts (min/max bucket
+    # bounds + total row count for the bin expression)
+    "histogram_equidepth",
 }
 
 
