@@ -251,6 +251,10 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
+    # r11: histogram_equidepth re-registered on the same prefix path —
+    # the same ≤4096-row bucket-total window, same stronger per-window
+    # check below
+    "histogram_equidepth",
 }
 
 #: Subset of _GLOBAL_WINDOW_OK whose ONLY legitimate unpartitioned
@@ -264,6 +268,7 @@ _BUCKET_PREFIX_OK: set[str] = {
     "roc_auc_exact",
     "gini_concentration",
     "percentiles",
+    "histogram_equidepth",
 }
 
 
