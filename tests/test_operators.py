@@ -1512,6 +1512,20 @@ def test_equidepth_prefix_matches_sortrank_form(spark):
     new2 = [tuple(r) for r in
             equidepth_histogram_prefix(df2, "v", k=k, tiebreak="id").collect()]
     assert new2 == old2
+    # nulls rank FIRST in both forms (Spark ascending sort order): a
+    # null-heavy first bin, identical between the two plans. The
+    # registered oracle column (c_acctbal) is null-free, so this
+    # contract is pytest-held, not driver-held.
+    df3 = spark.createDataFrame(
+        [(None if i % 5 == 0 else float(i), i) for i in range(n)],
+        "v double, id long",
+    )
+    old3 = [tuple(r) for r in
+            equidepth_histogram(df3, "v", k=k, tiebreak="id").collect()]
+    new3 = [tuple(r) for r in
+            equidepth_histogram_prefix(df3, "v", k=k, tiebreak="id").collect()]
+    assert new3 == old3
+    assert old3[0][1] >= 100 and old3[0][2] is None  # null-led first bin
 
 
 def test_percentiles_prefix_excludes_nan(spark):
