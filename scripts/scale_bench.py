@@ -56,8 +56,9 @@ TIERS = {
     # measured datapoint
     "12.0": os.path.join(REPO, ".scaledata", "sf12"),
     # r11: sf12 measured gini at 1.81x (projection was optimistic);
-    # sf24 lands the remaining slope
+    # sf24 lands the remaining slope (1.19x), sf32 the inversion
     "24.0": os.path.join(REPO, ".scaledata", "sf24"),
+    "32.0": os.path.join(REPO, ".scaledata", "sf32"),
 }
 #: tiers run when none are named on the CLI (sf2 is opt-in)
 DEFAULT_TIERS = ["0.1", "0.5", "1.0"]
