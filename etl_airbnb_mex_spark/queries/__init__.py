@@ -143,8 +143,12 @@ _PRIORITY: tuple[str, ...] = (
 # deferred from r11 BECAUSE they would have touched code without a
 # free window slot: the knn_cosine_ivf single-query-contract guard
 # (operators/similarity.py:ivf_probe_pinned) and the pagerank_parts
-# rounding-boundary note (operators/graph.py:round_ranks). 33 + 2
-# changed entries = 35 slots; 15 spare for r12 code changes.
+# rounding-boundary note (operators/graph.py:round_ranks), and the
+# measured-but-deferred double-explode pair expansion
+# (BENCH_SIDECAR scale_trend.notes.copurchase_pairs: -18% at sf4;
+# touching _basket_pair_counts implicates copurchase_pairs /
+# triangle_count / basket_lift — 3 more slots). 33 + 5 changed
+# entries = 38 slots; 12 spare for other r12 code changes.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The
