@@ -366,16 +366,19 @@ def main() -> None:
     # tail-capture buffer and truncated the artifact to "parsed": null
     # (VERDICT.md r3 "What's wrong" #2). The headline line must be the
     # LAST stdout line, compact, and small.
-    # Merge-update, but WHITELISTED: preserve only the keys
-    # scripts/isolated_retime.py owns ("isolated"/"isolated_notes" —
-    # fresh-session per-query re-times that distinguish real
-    # regressions from in-bench session contention, VERDICT.md r4
-    # "Next round" #4). A blanket {**prior, **sidecar} would carry any
-    # stray key forever with no staleness signal (ADVICE.md r5 #3).
-    # Stamp the commit each artifact half was measured at so readers
-    # can tell when an isolated number predates a plan rewrite.
+    # Merge-update by OWNERSHIP: bench.py regenerates only the keys it
+    # owns (spark/oracle/pipeline/bench_commit/sf/errors) and preserves
+    # every other top-level section untouched — those belong to the
+    # scripts that wrote them (scale_bench, isolated_retime,
+    # streaming_bench, qsuite_floor, bucketed_qsuite) and carry their
+    # own commit stamps as the staleness signal (ADVICE.md r5 #3's
+    # stray-key concern). The r10 form whitelisted the sections to
+    # KEEP, which silently deleted any section added after the list
+    # was written — the r11 bench run ate bucketed_layout that way
+    # (caught by review); ownership inversion makes that class
+    # impossible.
     head = _git_head()
-    sidecar = {
+    owned = {
         "spark": timings,
         "oracle": oracle_timings,
         "pipeline": pipeline,
@@ -383,19 +386,15 @@ def main() -> None:
         "sf": sf,
     }
     if query_errors:
-        sidecar["errors"] = query_errors
+        owned["errors"] = query_errors
+    sidecar = {}
     try:
         with open("BENCH_SIDECAR.json") as f:
-            prior = json.load(f)
-        # scale_trend / streaming_bench are produced by their own
-        # scripts and carry their own commit stamps — preserved, not
-        # regenerated, by a bench run
-        for key in ("isolated", "isolated_notes", "isolated_commit",
-                    "pipeline_isolated", "scale_trend", "streaming_bench"):
-            if key in prior:
-                sidecar[key] = prior[key]
+            sidecar = json.load(f)
     except (OSError, ValueError):
         pass
+    sidecar.pop("errors", None)  # stale errors must not outlive a clean run
+    sidecar.update(owned)
     print("# sidecar: " + json.dumps(sidecar, separators=(",", ":")),
           file=sys.stderr)
     try:

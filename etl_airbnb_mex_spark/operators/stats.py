@@ -81,7 +81,19 @@ def percentiles(
     Rounding goes through F.round on all paths so HALF_UP semantics
     match the rest of the module and the oracle (Python's round() is
     half-even on the binary value and diverges on trailing-5 digits).
+
+    NaN is MISSING on every method (r11): the reference computes
+    percentiles in pandas, whose ``quantile`` skips NaN, so NaN-as-
+    missing is the engine contract. Spark's ``percentile()`` aggregate
+    instead counts NaN in n and sorts it greatest (measured: values
+    1..100 + 10 NaN → p50 55.5, p99 NaN), so the dispatcher filters
+    NaN up front for ALL methods — without this the agg and prefix
+    paths silently disagreed on NaN-bearing data (review r11; the
+    prefix operator also filters internally, keeping its direct-call
+    contract).
     """
+    vd = F.col(col).cast("double")
+    df = df.filter(vd.isNull() | ~F.isnan(vd))
     if method == "prefix":
         if approx:
             raise ValueError(
@@ -438,11 +450,13 @@ def exact_percentiles_prefix(
     contract).
 
     NaN rows are excluded alongside nulls (r11, ADVICE r10 #4): the
-    agg-method path's ``percentile()`` ignores NaN and DuckDB's
-    ``quantile_cont`` errors on it, so counting NaN in ``n`` and
-    ranking it last (Spark sorts NaN greatest) would let a high cut
-    point return NaN where the agg path returns a finite value —
-    the prefix path's contract is "identical to the agg path".
+    engine contract is pandas ``quantile`` skipna semantics — the
+    reference computes these numbers in pandas, which treats NaN as
+    missing. (Spark's raw ``percentile()`` aggregate does NOT: it
+    counts NaN in n and sorts it greatest, so a high cut point
+    returns NaN — which is why :func:`percentiles` filters NaN for
+    every method at the dispatcher and this operator also filters
+    for direct callers.)
     """
     vals = (
         df.select(F.col(col).cast("double").alias("v"))

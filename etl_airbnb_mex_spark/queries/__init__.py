@@ -62,22 +62,29 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
 #: rotate to the entries with the weakest driver provenance. Round 11
-#: rotation (VERDICT r10 "Next round" #1): FIRST the three entries
+#: rotation (VERDICT r10 "Next round" #1): FIRST the four entries
 #: whose code changed this round — the lockstep rule (changed code
-#: must get a fresh driver row the same round) outranks everything —
-#: then the verdict's full 47-entry r5-provenance queue (every entry
-#: whose latest driver row is r5, including the two rows-only sketch
-#: entries bpe_merges / hll_distinct_rollup, recomputed from
-#: CORRECTNESS_r01-r10 this session). The r10 verdict's "+3 oldest r6"
-#: ceded those slots to the code changes: after this window nothing
-#: oracle-checked predates r6, and round 12's queue is exactly the 33
-#: r6-provenance entries (listed below) + this round's deferred
+#: must get a fresh driver row the same round) outranks everything;
+#: percentiles_approx is here because the NaN-as-missing unification
+#: sits in the shared percentiles() dispatcher on its code path —
+#: then the verdict's r5-provenance queue (every entry whose latest
+#: driver row is r5, recomputed from CORRECTNESS_r01-r10 this
+#: session), except hll_distinct_rollup, which ceded its slot to
+#: percentiles_approx: both are rows-only, hll's operator is
+#: untouched since its r5 row, and the "nothing oracle-checked
+#: predates r6" goal binds oracle-bearing entries only (hll rotates
+#: in r12). The r10 verdict's "+3 oldest r6" likewise ceded to the
+#: code changes; round 12's queue is the 33 r6-provenance entries
+#: (listed below) + hll_distinct_rollup + this round's deferred
 #: ADVICE items. Every name here was re-verified by the local oracle
 #: replica this session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
     # -- code changed in r11 (lockstep rule) --
     "histogram_equidepth",  # r11: re-registered on the lazy prefix path
-    "percentiles",          # r11: prefix path excludes NaN (ADVICE #4)
+    "percentiles",          # r11: NaN-as-missing on every method
+    "percentiles_approx",   # r11: shares the percentiles() dispatcher,
+    #                         whose new up-front NaN filter is on its
+    #                         code path too (rows-only driver check)
     "kcore_parts",          # r11: peel budget tied to oracle rounds
     # -- the full r5-provenance queue (VERDICT r10 #1), alphabetical --
     "ab_test_ztest",
@@ -96,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "graph_reachability",
     "grouped_split",
     "having_join_bigorders",
-    "hll_distinct_rollup",
     "interarrival_stats",
     "intervals_merge",
     "inverted_index",
@@ -128,8 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "weighted_median",
 )
-# Round-12 queue (schedule fixed now, per VERDICT r10 #1): the 33
-# r6-provenance entries — activity_streaks, bigram_surprisal,
+# Round-12 queue (schedule fixed now, per VERDICT r10 #1):
+# hll_distinct_rollup (rows-only, ceded its r11 slot — see above)
+# plus the 33 r6-provenance entries — activity_streaks, bigram_surprisal,
 # bigram_topn, date_range, doc_chunk_overlap, golden_record_merge,
 # hard_negative_mining, heavy_hitters_sketch, interval_occupancy,
 # join_asof, join_asof_forward, join_broadcast_dim, join_left_anti,

@@ -194,6 +194,10 @@ def check_graph(sf: float) -> None:
 if __name__ == "__main__":
     args = sys.argv[1:] or ["0.5", "1.0"]
     if args[0] == "--check-graph":
+        if not args[1:]:
+            # exit 0 here would read as "invariant verified" to a
+            # caller that forgot the tier list (review r11)
+            sys.exit("usage: make_scaledata.py --check-graph SF [SF ...]")
         for arg in args[1:]:
             check_graph(float(arg))
     else:

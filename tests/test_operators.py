@@ -1528,23 +1528,35 @@ def test_equidepth_prefix_matches_sortrank_form(spark):
     assert old3[0][1] >= 100 and old3[0][2] is None  # null-led first bin
 
 
-def test_percentiles_prefix_excludes_nan(spark):
-    """ADVICE r10 #4: NaN must not count in n nor rank last — the
-    prefix path's contract is 'identical to the agg path', and the
-    percentile() aggregate ignores NaN. A p99 cut touching the NaN
-    tail must therefore return the finite-data answer."""
+def test_percentiles_nan_is_missing_on_every_method(spark):
+    """ADVICE r10 #4 + review r11: the engine contract is pandas
+    skipna — NaN neither counts in n nor ranks last, on EVERY method.
+    Spark's raw percentile() aggregate violates this by itself
+    (counts NaN, sorts it greatest → p99 = NaN), so the dispatcher
+    must filter; agg and prefix must agree on NaN-bearing data."""
     from etl_airbnb_mex_spark.operators.stats import (
         exact_percentiles_prefix,
+        percentiles,
     )
 
     nan = float("nan")
     df = spark.createDataFrame(
-        [(float(i),) for i in range(1, 101)] + [(nan,)] * 10, "v double"
+        [(float(i),) for i in range(1, 101)] + [(nan,)] * 10
+        + [(None,)] * 3,
+        "v double",
     )
-    row = exact_percentiles_prefix(df, "v", ps=(0.5, 0.99)).collect()[0]
     # finite values 1..100: p50 = 50.5, p99 = 99.01 (quantile_cont)
-    assert row["p50"] == 50.5
-    assert abs(row["p99"] - 99.01) < 1e-9
+    for label, frame in (
+        ("prefix-direct", exact_percentiles_prefix(df, "v", ps=(0.5, 0.99))),
+        ("agg", percentiles(df, "v", ps=(0.5, 0.99), method="agg")),
+        ("prefix", percentiles(df, "v", ps=(0.5, 0.99), method="prefix")),
+    ):
+        row = frame.collect()[0]
+        assert row["p50"] == 50.5, (label, row)
+        assert abs(row["p99"] - 99.01) < 1e-9, (label, row)
+    # sortrank path agrees too (eager, returns the same wide frame)
+    row = percentiles(df, "v", ps=(0.5, 0.99), method="sortrank").collect()[0]
+    assert row["p50"] == 50.5 and abs(row["p99"] - 99.01) < 1e-9
 
 
 # ---------------------------------------------------------------------------
