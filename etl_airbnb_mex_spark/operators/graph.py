@@ -13,8 +13,54 @@ iterative-algorithm pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Rounding-boundary guard band for cross-engine-deterministic
+#: per-round rounding, in GRID units (fractions of one 10^-dp step).
+#: Cross-engine float drift within a round is a few ulps — for ranks
+#: ~1e-3 on a 1e-12 grid that is ~2e-7 grid units — so 1e-6 covers
+#: every drift-induced disagreement with ~5x margin while a genuinely
+#: random value trips it with probability 2e-6 per (node, round):
+#: loud enough to never false-alarm in practice, tight enough that a
+#: hit really means "the canonical-rounding argument does not hold on
+#: this data" (ADVICE r10 #3).
+_ROUND_GUARD_GRID = 1e-6
+
+
+def _boundary_guarded_round(value: Column, dp: int, guard: float) -> Column:
+    """Round ``value`` to ``dp`` decimals, asserting IN-PLAN that it
+    sits at least ``guard`` grid units away from the half-way rounding
+    boundary. The per-round rounding makes a fixed-iteration PageRank
+    cross-engine deterministic ONLY IF both engines agree on which
+    side of the .5 boundary every value falls; a value within float
+    drift of the boundary voids that argument, so it must fail LOUDLY
+    (job abort with this message -> re-register the query rows-only)
+    instead of silently emitting an engine-dependent rank.
+
+    The assertion is folded into the returned expression through
+    ``F.when(assert_true(...).isNull(), ...)`` so column pruning can
+    never drop it, and it adds no action — the whole loop stays lazy.
+    The boundary distance is computed at ~1e9 double magnitude where
+    one ulp is ~1e-7 grid units, so ``guard`` values down to ~1e-6
+    are meaningful and smaller ones would measure noise.
+    """
+    scaled = value * F.lit(float(10.0 ** dp))
+    dist = F.abs(F.pmod(scaled, F.lit(1.0)) - F.lit(0.5))
+    ok = F.assert_true(
+        dist >= F.lit(float(guard)),
+        F.concat(
+            F.lit(
+                "pagerank round_ranks boundary hit (ADVICE r10 #3): a "
+                "pre-rounding rank is within the guard band of the "
+                f".5e-{dp} rounding boundary — per-round rounding is "
+                "not cross-engine safe on this data; re-register the "
+                "query rows-only. value="
+            ),
+            value.cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), F.round(value, dp))
 
 
 def pagerank(
@@ -49,6 +95,12 @@ def pagerank(
     registered ``pagerank_parts`` carry an exact unrolled-SQL oracle
     instead of a rows-only check. 12 dp perturbs rank values (~1/N
     scale) by < 5e-13 — far below the 6 dp the final output rounds to.
+    The canonical-rounding argument needs every value to sit clear of
+    the .5 boundary, so each round's rounding goes through
+    :func:`_boundary_guarded_round`: an in-plan assert_true aborts
+    loudly if any pre-rounding rank falls within the guard band of a
+    boundary (probabilistically ~never; if it ever fires, the query
+    must be re-registered rows-only — ADVICE r10 #3).
     """
     # The edge frame re-joins EVERY round; materialize it once so its
     # upstream plan (scan/distinct/joins) does not re-execute per
@@ -100,7 +152,9 @@ def pagerank(
             )
         )
         if round_ranks is not None:
-            new_rank = F.round(new_rank, round_ranks)
+            new_rank = _boundary_guarded_round(
+                new_rank, round_ranks, _ROUND_GUARD_GRID
+            )
         ranks = (
             ranked_nodes.join(
                 contribs, ranked_nodes["node"] == contribs["dst"], "left"

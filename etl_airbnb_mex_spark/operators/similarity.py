@@ -357,7 +357,29 @@ def ivf_probe_pinned(
     ``__cid`` so this join becomes partition pruning); top-k is
     TakeOrderedAndProject. A probe touches n_probe/n_centroids of the
     corpus regardless of corpus size.
+
+    Contract (ADVICE r10 #2, closed r12): ``query_df`` must hold AT
+    MOST one row — the probe selection and the final top-k are global
+    (orderBy + limit), so a multi-row query frame would silently mix
+    centroid picks and ranked neighbors ACROSS queries. Enforced with
+    a ``take(2)`` guard (one metadata-scale job on the tiny query
+    frame): > 1 row raises, 0 rows returns an empty result like
+    :func:`ivf_probe`. Batch multi-query probing belongs in a
+    ``__qid``-partitioned variant, not in silent cross-query mixing.
     """
+    q_rows = query_df.select(F.col(id_col)).take(2)
+    if len(q_rows) > 1:
+        raise ValueError(
+            "ivf_probe_pinned expects a single-row query_df (the probe "
+            "pick and top-k are GLOBAL and would mix results across "
+            "queries); got a multi-row frame — loop per query or use a "
+            "query-id-partitioned variant"
+        )
+    if not q_rows:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {id_type}, cosine_sim double"
+        )
     v = F.col(vec_col).cast("array<double>")
     cents = [
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids

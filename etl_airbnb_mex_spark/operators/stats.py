@@ -162,8 +162,14 @@ def exact_percentiles_bracket(
 
     Falls back to the exact percentile aggregate if a rank misses the
     reconstructed segment (cannot happen within the sketch guarantee;
-    belt and braces). Returns {p: value} with None for an empty column.
+    belt and braces). NaN is MISSING here too (filtered up front) —
+    direct callers get the same contract as the :func:`percentiles`
+    dispatcher, instead of percentile_approx/percentile counting NaN
+    in n and sorting it greatest (ADVICE r11 #2). Returns {p: value}
+    with None for an empty column.
     """
+    vd = F.col(col).cast("double")
+    df = df.filter(vd.isNull() | ~F.isnan(vd))
     eps = 3.0 / accuracy
     probe_ps: list[float] = []
     for p in ps:
@@ -361,15 +367,18 @@ def exact_percentiles_sortrank(
 
     Same rank semantics as DuckDB ``quantile_cont`` / pandas
     ``quantile``: value at fractional rank k=(n−1)·p interpolated
-    between floor/ceil ranks. Returns {p: value}, None for an empty
-    column.
+    between floor/ceil ranks. NaN is MISSING here too (dropped with
+    NULL below) — direct callers get the same contract as the
+    :func:`percentiles` dispatcher and the prefix sibling, instead of
+    Spark's sort order placing NaN greatest (ADVICE r11 #2). Returns
+    {p: value}, None for an empty column.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = (
         df.select(F.col(col).alias("v"))
-        .filter(F.col("v").isNotNull())
+        .filter(F.col("v").isNotNull() & ~F.isnan(F.col("v").cast("double")))
         .repartitionByRange(num_partitions, "v")
         .localCheckpoint()
     )
@@ -646,8 +655,12 @@ def equidepth_histogram_prefix(
     Plan: :func:`global_order_prefix` (rank=True) assigns every row
     its exact global ``(col, tiebreak)`` sort rank with no driver
     round-trip; the total row count joins in as a broadcast 1-row
-    aggregate; bin = ``floor((rank−1)·k/n)+1`` — the same expression
-    the oracle SQL states — then one k-row hash agg per bin. Memory
+    aggregate; bin = ``(rank−1)·k div n + 1`` with INTEGER
+    floor-division on longs — structurally the oracle SQL's
+    ``(rn - 1) * k // n + 1`` (ADVICE r11 #4: the previous
+    double-division form agreed only via IEEE correct rounding below
+    2^53; integer div removes the bound) — then one k-row hash agg
+    per bin. Memory
     stays shuffle-bounded (the widest state is the 4096-long bucket
     prefix); no collect, no re-plan, one action.
 
@@ -663,7 +676,7 @@ def equidepth_histogram_prefix(
         ranked.crossJoin(F.broadcast(n))
         .withColumn(
             "bin",
-            (F.floor((F.col("rk") - 1) * k / F.col("__n")) + 1).cast("long"),
+            (F.expr(f"(rk - 1) * {int(k)} div __n") + 1).cast("long"),
         )
         .groupBy("bin")
         .agg(

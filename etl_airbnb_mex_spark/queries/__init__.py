@@ -61,101 +61,71 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 #: Driver-surface ordering. The driver verifies only the FIRST 50
 #: registry entries in iteration order, so each round the window must
-#: rotate to the entries with the weakest driver provenance. Round 11
-#: rotation (VERDICT r10 "Next round" #1): FIRST the four entries
-#: whose code changed this round — the lockstep rule (changed code
-#: must get a fresh driver row the same round) outranks everything;
-#: percentiles_approx is here because the NaN-as-missing unification
-#: sits in the shared percentiles() dispatcher on its code path —
-#: then the verdict's r5-provenance queue (every entry whose latest
-#: driver row is r5, recomputed from CORRECTNESS_r01-r10 this
-#: session), except hll_distinct_rollup, which ceded its slot to
-#: percentiles_approx: both are rows-only, hll's operator is
-#: untouched since its r5 row, and the "nothing oracle-checked
-#: predates r6" goal binds oracle-bearing entries only (hll rotates
-#: in r12). The r10 verdict's "+3 oldest r6" likewise ceded to the
-#: code changes; round 12's queue is the 33 r6-provenance entries
-#: (listed below) + hll_distinct_rollup + this round's deferred
-#: ADVICE items. Every name here was re-verified by the local oracle
-#: replica this session before the window was frozen.
+#: rotate to the entries with the weakest driver provenance. Round 12
+#: rotation = exactly the queue frozen in r11 (VERDICT r11 "Next
+#: round" #1) plus this round's lockstep slots: FIRST the nine entries
+#: whose code changed in r12 — the lockstep rule (changed code must
+#: get a fresh driver row the same round) outranks everything — then
+#: hll_distinct_rollup (rows-only; ceded its r11 slot, the last entry
+#: whose provenance predates r5) and the full 33-entry r6-provenance
+#: queue, alphabetical. 9 + 34 = 43 slots; 7 spare. After this round
+#: no oracle-bearing entry's provenance predates r8 (the r6 batch was
+#: untouched code re-verified here; r7 had no entries of its own).
+#: Every name was re-verified by the local oracle replica this
+#: session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- code changed in r11 (lockstep rule) --
-    "histogram_equidepth",  # r11: re-registered on the lazy prefix path
-    "percentiles",          # r11: NaN-as-missing on every method
-    "percentiles_approx",   # r11: shares the percentiles() dispatcher,
-    #                         whose new up-front NaN filter is on its
-    #                         code path too (rows-only driver check)
-    "kcore_parts",          # r11: peel budget tied to oracle rounds
-    # -- the full r5-provenance queue (VERDICT r10 #1), alphabetical --
-    "ab_test_ztest",
-    "agg_incremental_merge",
-    "antijoin_wealthy_inactive",
-    "attribution_last_touch",
-    "boilerplate_ngram_frac",
-    "bpe_merges",
-    "corpus_divergence",
-    "doc_length_band_filter",
-    "embedding_quantize",
-    "entropy_by_group",
-    "event_transitions",
-    "ewma_smooth",
-    "fuzzy_vocab_pairs",
-    "graph_reachability",
-    "grouped_split",
-    "having_join_bigorders",
-    "interarrival_stats",
-    "intervals_merge",
-    "inverted_index",
-    "join_spatial_grid",
-    "knn_cosine",
-    "mixture_resample",
-    "pareto_revenue_share",
-    "pit_lookup",
-    "promo_revenue_share",
-    "quality_gate_by_group",
-    "rare_label_collapse",
-    "repeat_purchase_rate",
-    "rolling_median",
-    "rolling_zscore",
-    "sample_k_per_group",
-    "sample_weighted_topk",
-    "segment_overlap",
-    "session_path_topn",
-    "ship_delay_priority",
-    "skyline_pareto",
-    "sliding_distinct_users",
-    "snapshot_diff",
-    "source_mix_report",
-    "subquery_correlated_qty",
-    "supplier_revenue_concentration",
-    "tfidf_topk",
-    "time_rollup_multigrain",
-    "unicode_normalize",
-    "unigram_logprob",
-    "weighted_median",
+    # -- code changed in r12 (lockstep rule) --
+    "copurchase_pairs",   # r12: double-explode pair expansion landed
+    "triangle_count",     # r12: shares _basket_pair_counts
+    "basket_lift",        # r12: shares _basket_pair_counts
+    "knn_cosine_ivf",     # r12: ivf_probe_pinned 1-row contract guard
+    "pagerank_parts",     # r12: rounding-boundary guard band in-plan
+    "roc_auc",            # r12: grid-bounded plain-window prefix
+    "percentiles",        # r12: NaN filter now inside sortrank/bracket
+    #                       (dispatcher-reachable methods of its op)
+    "percentiles_approx",  # r12: shares the percentiles() dispatcher
+    #                        (rows-only driver check)
+    "histogram_equidepth",  # r12: integer floor-division bin
+    # -- the frozen r12 queue: hll + the 33 r6-provenance entries --
+    "hll_distinct_rollup",
+    "activity_streaks",
+    "bigram_surprisal",
+    "bigram_topn",
+    "date_range",
+    "doc_chunk_overlap",
+    "golden_record_merge",
+    "hard_negative_mining",
+    "heavy_hitters_sketch",
+    "interval_occupancy",
+    "join_asof",
+    "join_asof_forward",
+    "join_broadcast_dim",
+    "join_left_anti",
+    "join_left_semi",
+    "join_range_binned",
+    "join_range_theta",
+    "join_salted_skew",
+    "lang_id_confusion",
+    "monthly_counts",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q20_excess_shipments",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "rfm_segments",
+    "scd2_intervals",
 )
-# Round-12 queue (schedule fixed now, per VERDICT r10 #1):
-# hll_distinct_rollup (rows-only, ceded its r11 slot — see above)
-# plus the 33 r6-provenance entries — activity_streaks, bigram_surprisal,
-# bigram_topn, date_range, doc_chunk_overlap, golden_record_merge,
-# hard_negative_mining, heavy_hitters_sketch, interval_occupancy,
-# join_asof, join_asof_forward, join_broadcast_dim, join_left_anti,
-# join_left_semi, join_range_binned, join_range_theta,
-# join_salted_skew, lang_id_confusion, monthly_counts,
-# q10_returned_items, q13_customer_distribution, q15_top_supplier,
-# q16_parts_supplier_cnt, q19_disjunctive_revenue, q20_excess_shipments,
-# q2_min_cost_supplier, q3_shipping_priority, q4_order_priority,
-# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-# rfm_segments, scd2_intervals — plus the two ADVICE r10 items
-# deferred from r11 BECAUSE they would have touched code without a
-# free window slot: the knn_cosine_ivf single-query-contract guard
-# (operators/similarity.py:ivf_probe_pinned) and the pagerank_parts
-# rounding-boundary note (operators/graph.py:round_ranks), and the
-# measured-but-deferred double-explode pair expansion
-# (BENCH_SIDECAR scale_trend.notes.copurchase_pairs: -18% at sf4;
-# touching _basket_pair_counts implicates copurchase_pairs /
-# triangle_count / basket_lift — 3 more slots). 33 + 5 changed
-# entries = 38 slots; 12 spare for other r12 code changes.
+# Round-13 queue: nothing is structurally owed — every oracle-bearing
+# entry's provenance will be r8+ once CORRECTNESS_r12 lands. Rotate
+# forward the OLDEST provenance (the r8 batch) plus any r13
+# code-change lockstep slots.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -2651,8 +2651,10 @@ def dq_checks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the API alternative), whose partition-counts collect + offset "
     "re-plan were a fixed two-job scheduling floor (11.5x vs the "
     "oracle at sf2) on identical shuffle volume. NO single-task ntile "
-    "sort in either form. Bin = floor((rank-1)*k/n), written "
-    "identically in the oracle SQL.",
+    "sort in either form. Bin = floor((rank-1)*k/n) + 1 (1-based, "
+    "ADVICE r11 #3), computed with INTEGER floor-division on longs on "
+    "both sides (ADVICE r11 #4 — structural oracle equivalence, no "
+    "2^53 double-rounding bound to reason about).",
 )
 def histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import equidepth_histogram_prefix
@@ -3432,28 +3434,36 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _basket_pair_counts(baskets: DataFrame) -> DataFrame:
-    """In-row unordered-pair expansion + ONE hash agg on the encoded
-    pair key: the k² fan-out (k = distinct items/order) runs inside
-    codegen via transform/slice, each pair ships as a single 8-byte
-    long, and the count agg keys on that long — the r8 triangle_count
-    edge build (measured 18.2 s → 6.5 s at sf2 vs the order-keyed
-    self-join), now shared by copurchase_pairs / basket_lift. Returns
-    (__pc encoded pair, n_orders).
+    """Double-explode unordered-pair expansion + ONE hash agg on the
+    encoded pair key: explode the item set once to (set, x) rows, then
+    explode ``filter(set, y > x)`` — every unordered pair appears
+    exactly once (the set is a collect_set, so values are distinct and
+    ``y > x`` is a total tiebreak), encoded as the single 8-byte long
+    ``x·2³¹ + y`` with x < y guaranteed by construction (no
+    least/greatest needed). The r12 registered form (VERDICT r11 #2):
+    the r8–r11 shape built a nested array-of-arrays via
+    transform(slice)+flatten BEFORE its explode — the per-row nested
+    allocation measured +22% at sf4 (11.45 s vs 9.38 s, phase-stamped
+    r11 experiment, BENCH_SIDECAR scale_trend.notes.copurchase_pairs);
+    the double explode streams pairs through codegen with only the
+    filtered tail array materialized per (row, x). Shared by
+    copurchase_pairs / basket_lift / triangle_count (the r8 edge
+    build, 18.2 s → 6.5 s at sf2 vs the order-keyed self-join).
+    Returns (__pc encoded pair, n_orders).
     """
     enc = F.lit(_PAIR_ENC)
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("__ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("__ps"), i + 2, F.size(F.col("__ps"))),
-                        lambda y: F.least(x, y).cast("long") * enc
-                        + F.greatest(x, y).cast("long"),
-                    ),
-                )
-            )
-        ).alias("__pc")
+    pairs = (
+        baskets.select(F.col("__ps"), F.explode("__ps").alias("__x"))
+        .select(
+            "__x",
+            F.explode(
+                F.filter("__ps", lambda y: y > F.col("__x"))
+            ).alias("__y"),
+        )
+        .select(
+            (F.col("__x").cast("long") * enc + F.col("__y").cast("long"))
+            .alias("__pc")
+        )
     )
     return pairs.groupBy("__pc").agg(F.count(F.lit(1)).alias("n_orders"))
 

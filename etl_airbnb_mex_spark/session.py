@@ -40,6 +40,44 @@ PARITY_CONF: dict[str, str] = {
 }
 
 
+def shj_local_map_threshold(
+    heap_bytes: int,
+    slots: int,
+    execution_fraction: float = 0.6,
+    hashmap_expansion: float = 6.0,
+) -> int:
+    """Safe ``spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold``
+    for a given executor shape — the formula behind the r11 sf24 OOM
+    fix (VERDICT r11, session conf below; exercised by the q21 SMJ
+    fallback noted in BENCH_SIDECAR.json:bucketed_layout):
+
+        threshold = heap · execution_fraction / slots / expansion
+
+    The AQE gate compares COMPRESSED shuffle bytes per partition, but
+    the in-memory LongToUnsafeRowMap is ``hashmap_expansion`` (~4–6×)
+    that size, SHJ build sides CANNOT spill, and every task slot may
+    build concurrently — so the bound must divide the unified-memory
+    execution pool (``heap · spark.memory.fraction``) across ALL slots
+    and the expansion, not just check one partition. At the local
+    shape (8g heap, 32 slots, 0.6, 6×) the bound is ~25.6 MiB; the
+    shipped conf rounds DOWN to the next power of two (16 MiB) for
+    margin against the expansion factor's 4–6× uncertainty — the
+    value measured to keep q5/q9's SHJ win through sf8 while q21's
+    oversized build sides fall back to SMJ (sorts, never OOMs) from
+    sf24 up. The unit test pins both facts (exact synthetic triples +
+    shipped conf ≤ bound) so the formula and the conf cannot silently
+    drift apart. On a real cluster: heap = executor memory, slots =
+    executor cores.
+    """
+    if heap_bytes <= 0 or slots <= 0:
+        raise ValueError("heap_bytes and slots must be positive")
+    if not (0.0 < execution_fraction <= 1.0) or hashmap_expansion < 1.0:
+        raise ValueError(
+            "execution_fraction in (0, 1], hashmap_expansion >= 1"
+        )
+    return int(heap_bytes * execution_fraction / slots / hashmap_expansion)
+
+
 def ensure_parity_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime parity confs to an existing session (idempotent)."""
     for key, value in PARITY_CONF.items():
@@ -106,8 +144,11 @@ def get_spark(
         # partitions above it (q21's orders side from sf24 up) stay
         # SMJ, which sorts but never OOMs, while q5/q9's post-filter
         # build sides (≤ 8 MiB/partition through sf8) keep the SHJ
-        # win. On a real cluster recompute this bound from executor
-        # memory / executor cores via SPARK_GRAFT_SHJ_THRESHOLD.
+        # win. The bound is :func:`shj_local_map_threshold` (unit-
+        # tested so the formula can't rot); 16 MiB = the local-shape
+        # bound rounded down to a power of two. On a real cluster
+        # recompute via shj_local_map_threshold(executor_mem, cores)
+        # and set SPARK_GRAFT_SHJ_THRESHOLD.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD",

@@ -19,11 +19,14 @@ per query (one warm pass, then one measured pass under a job group):
                       the actual compute the cluster would scale
   - executor_cpu_sec  sum of executorCpuTime (on-CPU fraction)
   - shuffle_mb        total shuffle write across stages
-  - sched_delay_sec   sum over stages of (stage wall x slots -
-                      task time) is NOT separable from idle slots at
-                      this API level; instead we report per-stage
-                      task-launch overhead: numTasks and the stage
-                      wall sum, so "many tiny stages" reads directly.
+  - n_tasks /         true per-task scheduler delay (stage wall x
+    stage_wall_sum_sec  slots - task time) is NOT separable from idle
+                      slots at this API level; instead we report the
+                      task count and the SUM of per-stage walls
+                      (completionTime - submissionTime), so "many tiny
+                      stages" reads directly as stage_wall_sum >>
+                      executor_run / slots (ADVICE r11 #1 — the field
+                      is now actually emitted).
 
 The verdict's decision rule: if the floor is >= 3 sequential jobs of
 scheduling (job_wall + gap >> executor_run), state it and stop chasing
@@ -127,11 +130,17 @@ def run_tier(spark, sf_dir: str) -> dict:
         cpu_ns = sum(s["executorCpuTime"] for s in stages.values())
         shuf_w = sum(s["shuffleWriteBytes"] for s in stages.values())
         n_tasks = sum(s["numTasks"] for s in stages.values())
+        stage_wall = sum(
+            _parse_ts(s["completionTime"]) - _parse_ts(s["submissionTime"])
+            for s in stages.values()
+            if s.get("submissionTime") and s.get("completionTime")
+        )
         out[name] = {
             "wall_sec": round(wall, 3),
             "n_jobs": len(jobs),
             "n_stages": len(stages),
             "n_tasks": n_tasks,
+            "stage_wall_sum_sec": round(stage_wall, 3),
             "job_wall_sec": round(job_wall, 3),
             "gap_sec": round(wall - job_wall, 3),
             "executor_run_sec": round(run_ms / 1e3, 3),

@@ -553,6 +553,32 @@ def test_ivf_probe_pinned_matches_semantics(spark, sf_dir):
     assert empty.count() == 0
 
 
+def test_ivf_probe_pinned_rejects_multirow_query(spark, sf_dir):
+    """ADVICE r10 #2 (closed r12): the probe pick and top-k are GLOBAL,
+    so a multi-row query frame used to silently mix centroid picks and
+    neighbors across queries — it must raise instead. The empty-result
+    schema stays identical to the non-empty path (name AND type)."""
+    from etl_airbnb_mex_spark.operators.similarity import ivf_probe_pinned
+    from etl_airbnb_mex_spark.queries._ivf_centroids import (
+        IVF_PINNED_CENTROIDS,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="single-row query_df"):
+        ivf_probe_pinned(
+            e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") < 2), k=5
+        )
+    empty = ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") < 0), k=5
+    )
+    one = ivf_probe_pinned(
+        e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") == 0), k=5
+    )
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in one.schema.fields
+    ]
+
+
 def test_pagerank_round_ranks_stability(spark):
     """round_ranks (the oracle-determinism knob) must not change WHAT
     pagerank computes: 12-dp per-round rounding perturbs final ranks by
@@ -580,6 +606,44 @@ def test_pagerank_round_ranks_stability(spark):
         for r in pagerank(edges, max_iter=5, round_ranks=12).collect()
     }
     assert rounded == again
+
+
+def test_pagerank_rounding_boundary_guard(spark):
+    """ADVICE r10 #3 (closed r12): per-round rounding is cross-engine
+    safe only when every pre-rounding rank sits clear of the .5
+    boundary. The guard expression must (a) pass values a full grid
+    step away, (b) pass values just OUTSIDE the band, (c) abort loudly
+    for values ON the boundary, and (d) stay silent on a real pagerank
+    run (the probabilistically-never case)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from etl_airbnb_mex_spark.operators.graph import (
+        _ROUND_GUARD_GRID,
+        _boundary_guarded_round,
+        pagerank,
+    )
+
+    def run(vals: list[float]):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        return df.select(
+            _boundary_guarded_round(F.col("v"), 12, _ROUND_GUARD_GRID)
+            .alias("r")
+        ).collect()
+
+    # clear of the boundary: rounds normally (0.9 grid units -> 1e-12)
+    ok = run([1.0e-3, 2.34e-3, 0.9e-12])
+    assert [r["r"] for r in ok] == [1.0e-3, 2.34e-3, 1e-12]
+    # just outside the band (0.5 + 10*guard grid units): passes
+    run([(0.5 + 10 * _ROUND_GUARD_GRID) * 1e-12])
+    # ON the boundary: the in-plan assert fires with the loud message
+    with pytest.raises(SparkRuntimeException, match="boundary hit"):
+        run([1.5e-12])
+    # a real run with the guard active completes (same graph as the
+    # stability test): the probabilistically-never case stays silent
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 7) % 23) for i in range(200)], "src int, dst int"
+    ).distinct()
+    assert len(pagerank(edges, max_iter=3, round_ranks=12).collect()) == 23
 
 
 def test_sql_interface_runs_registry_equivalent(spark, sf_dir):

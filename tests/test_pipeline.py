@@ -491,3 +491,40 @@ def test_corpus_pipeline_scrubs_planted_pii(spark):
            for r in corpus_pipeline(docs, min_tokens=3).collect()}
     assert "<EMAIL>" in got[1] and "@" not in got[1]
     assert "<IP>" in got[2] and "10.1.2.3" not in got[2]
+
+
+def test_shj_threshold_formula_matches_shipped_conf():
+    """The r11 sf24 OOM fix is config math (session.py): the SHJ gate
+    must divide the unified-memory execution pool across ALL
+    concurrent builders and the hashmap expansion. Pin the formula on
+    synthetic (pool, slots, expansion) triples and assert the shipped
+    16 MiB conf sits AT OR BELOW the local-shape bound — if either
+    side drifts, this test names which (VERDICT r11 #10)."""
+    import pytest
+
+    from etl_airbnb_mex_spark.session import shj_local_map_threshold
+
+    gib = 1024 ** 3
+    # local shape: 8g heap, 32 slots, 0.6 pool, 6x expansion -> 25.6 MiB
+    local_bound = shj_local_map_threshold(8 * gib, 32)
+    assert local_bound == int(8 * gib * 0.6 / 32 / 6.0) == 26_843_545
+    # the shipped conf (16 MiB) must be within the safe region
+    assert 16 * 1024 * 1024 <= local_bound
+    # synthetic triples: a big-executor cluster shape and a skinny one
+    assert shj_local_map_threshold(
+        64 * gib, 16, execution_fraction=0.6, hashmap_expansion=4.0
+    ) == int(64 * gib * 0.6 / 16 / 4.0)
+    assert shj_local_map_threshold(
+        2 * gib, 8, execution_fraction=0.5, hashmap_expansion=6.0
+    ) == int(2 * gib * 0.5 / 8 / 6.0)
+    # the r10 failure reproduced in units: at 64 MiB the gate admits
+    # builds whose EXPANDED concurrent footprint exceeds the pool
+    r10_gate = 64 * 1024 * 1024
+    assert r10_gate * 32 * 6.0 > 8 * gib * 0.6
+    # and the fixed gate does not
+    assert 16 * 1024 * 1024 * 32 * 6.0 <= 8 * gib * 0.6
+    # degenerate shapes must raise, not return nonsense
+    with pytest.raises(ValueError):
+        shj_local_map_threshold(0, 32)
+    with pytest.raises(ValueError):
+        shj_local_map_threshold(8 * gib, 32, hashmap_expansion=0.5)

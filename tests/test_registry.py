@@ -248,6 +248,10 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # (_BUCKET_PREFIX_OK): a per-query allowlist alone would also
     # excuse a future regression reintroducing a data-axis global
     # window inside the same query (ADVICE.md r8 #4).
+    # r12: roc_auc moved OFF the bucket prefix — its quantized score
+    # axis is grid-bounded (~10k rows at any scale), so the prefix is
+    # one plain window over the aggregated axis (stronger per-window
+    # check in _QUANT_AXIS_OK below; VERDICT r11 #5)
     "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
@@ -264,11 +268,19 @@ _GLOBAL_WINDOW_OK: set[str] = {
 #: unpartitioned window in them fails even though the query is
 #: allowlisted.
 _BUCKET_PREFIX_OK: set[str] = {
-    "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
     "percentiles",
     "histogram_equidepth",
+}
+
+#: Queries whose ONLY legitimate unpartitioned window is a prefix over
+#: an axis bounded by a FIXED quantization grid (score range / grid
+#: step — metadata-scale at any input size): the window must sit
+#: directly on the Aggregate keyed by that quantized axis. roc_auc
+#: moved here from _BUCKET_PREFIX_OK in r12 (VERDICT r11 #5).
+_QUANT_AXIS_OK: dict[str, str] = {
+    "roc_auc": "score",
 }
 
 
@@ -327,6 +339,23 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
                 f"{name}: unpartitioned Window over {kind} — only the "
                 "bucket-total prefix (Aggregate on __bkt) is audited "
                 f"for this query; got: {desc[:200]}"
+            )
+    # Same per-window rigor for the quantized-grid queries: the window
+    # must sit directly on the Aggregate keyed by the quantized axis
+    # (grid-bounded by construction), not on any data-sized frame.
+    for name, axis in _QUANT_AXIS_OK.items():
+        for node in flagged.get(name, []):
+            child = node.child()
+            while child.getClass().getSimpleName() in (
+                "Project", "SubqueryAlias",
+            ):
+                child = child.child()
+            kind = child.getClass().getSimpleName()
+            desc = child.toString()
+            assert kind == "Aggregate" and axis in desc.split("\n")[0], (
+                f"{name}: unpartitioned Window over {kind} — only the "
+                f"quantized-axis prefix (Aggregate on {axis}) is "
+                f"audited for this query; got: {desc[:200]}"
             )
 
 
