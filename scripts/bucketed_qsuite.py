@@ -1,31 +1,39 @@
 #!/usr/bin/env python
-"""Co-bucketed q-suite layout demo (VERDICT r10 #7): write
-lineitem/orders bucketed on orderkey at sf4, retime q21 on the
-bucketed layout vs the plain-parquet layout, and diff the plans.
+"""Co-bucketed q-suite layout demo (VERDICT r10 #7, generalized to the
+whole join suite in r12 per VERDICT r11 #9): write lineitem / orders /
+customer bucketed on their join keys at sf4, retime q21 / q5 / q9 /
+join_inner_fk on the bucketed layout vs the plain-parquet layout, and
+count hash exchanges in the EXECUTED plans.
 
 This is the write-once/join-many story a 100 TB deployment actually
-uses: q21's two big exchanges are the lineitem⋈orders join shuffle
-and the (orderkey, suppkey) aggregation exchange — both keyed on
-orderkey. A layout bucketed by orderkey (write_bucketed_table,
-sources/writers.py:394) establishes HashPartitioning(orderkey) ONCE
-at write time; the join then needs NO Exchange on either side, and
-the downstream groupBy(l_orderkey, l_suppkey) / groupBy(l_orderkey)
-aggregations are satisfied by the same partitioning (clustering on a
-subset of the group keys), so the whole per-order pipeline runs
-shuffle-free.
+uses: the suite's big exchanges are fact-fact join shuffles
+(lineitem⋈orders on orderkey, orders⋈customer on custkey) and
+aggregation exchanges clustered on the same keys. A layout bucketed by
+the join key (write_bucketed_table, sources/writers.py) establishes
+HashPartitioning ONCE at write time; the join then needs NO Exchange
+on the bucketed side(s), and downstream groupBys on a subset of the
+keys are satisfied by the same partitioning.
 
-The q21 plan below replicates the registered single-pass form
-(queries/decision.py:1048 q21_waiting_suppliers_q) parameterized by
-input frames, so the bucketed and plain runs execute the identical
-logical plan — only the table layout differs. pytest already proves
+Orders appears in TWO candidate layouts (o_bkt by o_orderkey for the
+lineitem joins; o_bkt_ck by o_custkey for the customer joins) because
+one table can only be bucketed one way per copy — the script measures
+both so the trade is explicit. A real deployment picks by workload
+share, or keeps both copies: at 100 TB a second sorted copy of orders
+costs storage, while every query in the custkey family saves its
+widest shuffle.
+
+Each query runs the registered logical plan parameterized by input
+frames, so bucketed and plain runs execute the IDENTICAL plan — only
+the table layout differs — and results are asserted identical (layout
+is an optimization, never a semantics change). pytest already proves
 exchange-free bucketed joins in the small
 (tests/test_writers.py::test_bucketed_join_has_no_exchange); this
 script measures the payoff at sf4 and records it in
 BENCH_SIDECAR.json under "bucketed_layout".
 
-Methodology: bench.py conventions — warm pass 0, record min of
-passes 1-2, full toPandas. The one-time bucketed write cost is also
-recorded (it is the amortized side of the trade).
+Methodology: bench.py conventions — warm pass 0, record min of passes
+1-2, full toPandas. The one-time bucketed write cost is recorded (the
+amortized side of the trade).
 
 Usage: python scripts/bucketed_qsuite.py [sf_dir]
 """
@@ -49,8 +57,7 @@ N_BUCKETS = 32
 
 def build_q21(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
     """The registered q21 single-pass plan (queries/decision.py:1048),
-    parameterized by input frames so plain and bucketed layouts run
-    the identical logical plan."""
+    parameterized by input frames."""
     late = F.when(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
@@ -78,6 +85,97 @@ def build_q21(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
+    )
+
+
+def build_q5(
+    c: DataFrame, o: DataFrame, li: DataFrame, s: DataFrame,
+    n: DataFrame, r: DataFrame,
+) -> DataFrame:
+    """The registered q5 plan (queries/decision.py:226): customer ⋈
+    orders on custkey, ⋈ lineitem on orderkey, supplier + nation/region
+    dims. With o_bkt_ck + c_bkt the custkey join is exchange-free; the
+    lineitem side reads pre-partitioned from li_bkt."""
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    dim = F.broadcast(
+        n.join(
+            r.filter(F.col("r_name") == "ASIA"),
+            n["n_regionkey"] == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def build_q9(
+    li: DataFrame, o: DataFrame, s: DataFrame, n: DataFrame, p: DataFrame,
+) -> DataFrame:
+    """The registered q9 plan (queries/decision.py:851): lineitem ⋈
+    part (broadcast) ⋈ orders on orderkey ⋈ supplier ⋈ nation. With
+    li_bkt + o_bkt the orderkey join is exchange-free on both sides."""
+    margin_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.round(F.col("l_quantity")).cast("long")
+        * F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.lit(100)
+    )
+    pb = F.broadcast(
+        p.filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+    )
+    nb = F.broadcast(n.select("n_nationkey", "n_name"))
+    return (
+        li.join(pb, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nb, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy").alias("order_year"),
+        )
+        .agg(
+            (F.sum(margin_e4).cast("double") / F.lit(10000.0)).alias(
+                "margin"
+            )
+        )
+        .orderBy("n_name", "order_year")
+    )
+
+
+def build_join_inner_fk(o: DataFrame, c: DataFrame) -> DataFrame:
+    """The registered join_inner_fk plan (queries/extensions.py:63):
+    orders ⋈ customer on custkey + segment rollup. With o_bkt_ck +
+    c_bkt the join is exchange-free; only the 5-row segment agg
+    exchanges."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -129,13 +227,24 @@ def main() -> None:
         },
     )
 
-    li_cols = ("l_orderkey", "l_suppkey", "l_shipdate")
-    o_cols = ("o_orderkey", "o_orderdate")
+    li_cols = (
+        "l_orderkey", "l_suppkey", "l_partkey", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o_cols = ("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c_cols = ("c_custkey", "c_nationkey", "c_mktsegment")
     plain_li = load_table(spark, sf_dir, "lineitem").select(*li_cols)
     plain_o = load_table(spark, sf_dir, "orders").select(*o_cols)
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain_c = load_table(spark, sf_dir, "customer").select(*c_cols)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
 
-    # one-time layout write (the amortized cost of the story)
+    # one-time layout writes (the amortized cost of the story); orders
+    # is written in BOTH candidate layouts — see module docstring
     t0 = time.perf_counter()
     write_bucketed_table(
         plain_li, "li_bkt", ("l_orderkey",), n_buckets=N_BUCKETS,
@@ -145,37 +254,67 @@ def main() -> None:
         plain_o, "o_bkt", ("o_orderkey",), n_buckets=N_BUCKETS,
         sort_cols=("o_orderkey",),
     )
+    write_bucketed_table(
+        plain_o, "o_bkt_ck", ("o_custkey",), n_buckets=N_BUCKETS,
+        sort_cols=("o_custkey",),
+    )
+    write_bucketed_table(
+        plain_c, "c_bkt", ("c_custkey",), n_buckets=N_BUCKETS,
+        sort_cols=("c_custkey",),
+    )
     write_sec = round(time.perf_counter() - t0, 3)
 
     bkt_li = spark.table("li_bkt")
     bkt_o = spark.table("o_bkt")
+    bkt_o_ck = spark.table("o_bkt_ck")
+    bkt_c = spark.table("c_bkt")
 
-    plain_df = build_q21(plain_li, plain_o, s)
-    bkt_df = build_q21(bkt_li, bkt_o, s)
-    exch_plain = _n_exchanges(plain_df)  # executes once (plan warm-up)
-    exch_bkt = _n_exchanges(bkt_df)
+    cases = {
+        "q21": (
+            lambda: build_q21(plain_li, plain_o, s),
+            lambda: build_q21(bkt_li, bkt_o, s),
+        ),
+        "q5": (
+            lambda: build_q5(plain_c, plain_o, plain_li, s, n, r),
+            lambda: build_q5(bkt_c, bkt_o_ck, bkt_li, s, n, r),
+        ),
+        "q9": (
+            lambda: build_q9(plain_li, plain_o, s, n, p),
+            lambda: build_q9(bkt_li, bkt_o, s, n, p),
+        ),
+        "join_inner_fk": (
+            lambda: build_join_inner_fk(plain_o, plain_c),
+            lambda: build_join_inner_fk(bkt_o_ck, bkt_c),
+        ),
+    }
 
-    plain_sec = _time(lambda: build_q21(plain_li, plain_o, s))
-    bkt_sec = _time(lambda: build_q21(bkt_li, bkt_o, s))
-
-    # the results must be identical — layout is an optimization, not
-    # a semantics change
-    a = plain_df.toPandas().values.tolist()
-    b = bkt_df.toPandas().values.tolist()
-    assert a == b, "bucketed layout changed q21's result"
+    rows: dict[str, dict] = {}
+    for qname, (plain_fn, bkt_fn) in cases.items():
+        plain_df, bkt_df = plain_fn(), bkt_fn()
+        exch_plain = _n_exchanges(plain_df)  # executes once (warm-up)
+        exch_bkt = _n_exchanges(bkt_df)
+        plain_sec = _time(plain_fn)
+        bkt_sec = _time(bkt_fn)
+        a = plain_df.toPandas().values.tolist()
+        b = bkt_df.toPandas().values.tolist()
+        assert a == b, f"bucketed layout changed {qname}'s result"
+        rows[qname] = {
+            "plain_sec": plain_sec,
+            "bucketed_sec": bkt_sec,
+            "speedup": round(plain_sec / bkt_sec, 2),
+            "exchanges_plain": exch_plain,
+            "exchanges_bucketed": exch_bkt,
+        }
+        print(f"# {label} {qname}: {rows[qname]}", file=sys.stderr,
+              flush=True)
     spark.stop()
 
-    row = {
+    out = {
         "sf_dir": sf_dir,
         "n_buckets": N_BUCKETS,
-        "q21_plain_sec": plain_sec,
-        "q21_bucketed_sec": bkt_sec,
-        "speedup": round(plain_sec / bkt_sec, 2),
-        "exchanges_plain": exch_plain,
-        "exchanges_bucketed": exch_bkt,
         "bucketed_write_sec": write_sec,
+        "queries": rows,
     }
-    print(f"# {row}", file=sys.stderr)
 
     try:
         head = subprocess.run(
@@ -193,16 +332,17 @@ def main() -> None:
     bl = sidecar.setdefault("bucketed_layout", {})
     bl["commit"] = head
     bl["method"] = (
-        "scripts/bucketed_qsuite.py: q21's registered single-pass plan "
-        "run on plain parquet vs lineitem/orders bucketBy(32, orderkey) "
-        "sortBy(orderkey) via write_bucketed_table; identical logical "
-        "plan and verified-identical results; warm + min of 2; "
-        "exchanges counted on the executed plan."
+        "scripts/bucketed_qsuite.py: registered q21/q5/q9/join_inner_fk "
+        "plans run on plain parquet vs bucketBy(32) sortBy layouts "
+        "(li_bkt/o_bkt on orderkey, o_bkt_ck/c_bkt on custkey; orders "
+        "measured in both candidate layouts — a deployment picks per "
+        "workload); identical logical plans and verified-identical "
+        "results; warm + min of 2; exchanges counted on executed plans."
     )
-    bl[label] = row
+    bl[label] = out
     with open(path, "w") as f:
         json.dump(sidecar, f, separators=(",", ":"))
-    print(json.dumps(row))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
