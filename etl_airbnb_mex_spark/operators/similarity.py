@@ -362,12 +362,19 @@ def ivf_probe_pinned(
     MOST one row — the probe selection and the final top-k are global
     (orderBy + limit), so a multi-row query frame would silently mix
     centroid picks and ranked neighbors ACROSS queries. Enforced with
-    a ``take(2)`` guard (one metadata-scale job on the tiny query
-    frame): > 1 row raises, 0 rows returns an empty result like
-    :func:`ivf_probe`. Batch multi-query probing belongs in a
-    ``__qid``-partitioned variant, not in silent cross-query mixing.
+    a ``take(2)`` guard: > 1 row raises, 0 rows returns an empty
+    result like :func:`ivf_probe`. The collected row then ships as a
+    LITERAL 1-row frame, so the guard's eager pass REPLACES the lazy
+    plan's own evaluation of ``query_df`` (which re-ran per action
+    before r12) — net scans of the query frame are unchanged at one,
+    and the proof-of-singleness is what that one pass buys (review
+    r12). Batch multi-query probing belongs in a ``__qid``-partitioned
+    variant, not in silent cross-query mixing.
     """
-    q_rows = query_df.select(F.col(id_col)).take(2)
+    q_rows = query_df.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ).take(2)
     if len(q_rows) > 1:
         raise ValueError(
             "ivf_probe_pinned expects a single-row query_df (the probe "
@@ -380,6 +387,11 @@ def ivf_probe_pinned(
         return df.sparkSession.createDataFrame(
             [], f"`{id_col}` {id_type}, cosine_sim double"
         )
+    qid_type = query_df.schema[id_col].dataType.simpleString()
+    qdf = df.sparkSession.createDataFrame(
+        [(q_rows[0]["__qid"], q_rows[0]["__qvec"])],
+        f"__qid {qid_type}, __qvec array<double>",
+    )
     v = F.col(vec_col).cast("array<double>")
     cents = [
         F.array(*[F.lit(float(x)) for x in c]) for c in centroids
@@ -409,9 +421,7 @@ def ivf_probe_pinned(
         ]
     )
     probe = (
-        query_df.select(
-            F.col(id_col).alias("__qid"), v.alias("__qvec")
-        )
+        qdf
         .select("__qid", "__qvec", F.explode(qcos).alias("__p"))
         .select(
             "__qid",

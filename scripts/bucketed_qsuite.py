@@ -164,9 +164,14 @@ def build_q9(
 
 def build_join_inner_fk(o: DataFrame, c: DataFrame) -> DataFrame:
     """The registered join_inner_fk plan (queries/extensions.py:63):
-    orders ⋈ customer on custkey + segment rollup. With o_bkt_ck +
-    c_bkt the join is exchange-free; only the 5-row segment agg
-    exchanges."""
+    orders ⋈ customer on custkey + segment rollup. NOTE the layout's
+    payoff is SF-dependent (review r12, executed-plan probe): at sf4
+    customer (~13 MB) still BROADCASTS, so both layouts run the same
+    BroadcastHashJoin and exchange counts tie — any wall delta there
+    is scan-side (the bucketed copy is narrower and sorted), not
+    shuffle elimination. The exchange-free co-bucketed join only
+    engages once customer exceeds the broadcast bound (sf24 up at the
+    16 MiB threshold), which is why the script is also run at sf24."""
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
@@ -288,6 +293,20 @@ def main() -> None:
         ),
     }
 
+    #: replica -> registered registry key, so the hand-parameterized
+    #: plans above cannot silently drift from what the engine actually
+    #: ships (review r12: the builders duplicate the registered plan
+    #: bodies; this asserts the duplication stays faithful every run)
+    registered = {
+        "q21": "q21_waiting_suppliers",
+        "q5": "q5_local_supplier_volume",
+        "q9": "q9_product_margin",
+        "join_inner_fk": "join_inner_fk",
+    }
+    from etl_airbnb_mex_spark.queries import REGISTRY, _load
+
+    _load()
+
     rows: dict[str, dict] = {}
     for qname, (plain_fn, bkt_fn) in cases.items():
         plain_df, bkt_df = plain_fn(), bkt_fn()
@@ -298,6 +317,17 @@ def main() -> None:
         a = plain_df.toPandas().values.tolist()
         b = bkt_df.toPandas().values.tolist()
         assert a == b, f"bucketed layout changed {qname}'s result"
+        reg = (
+            REGISTRY[registered[qname]]
+            .spark(spark, sf_dir)
+            .toPandas()
+            .values.tolist()
+        )
+        assert a == reg, (
+            f"{qname}: the script's plain-layout replica diverged from "
+            f"the registered {registered[qname]} plan — update the "
+            "builder to match queries/*.py"
+        )
         rows[qname] = {
             "plain_sec": plain_sec,
             "bucketed_sec": bkt_sec,

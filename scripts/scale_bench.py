@@ -110,6 +110,18 @@ def _time_spark(spec, spark, sf_dir: str) -> float:
         dt = time.perf_counter() - t0
         if recorded:
             best = min(best, dt)
+        # Release the pass's localCheckpoint blocks BEFORE the next
+        # pass (r12 fix): checkpoint blocks are storage-protected
+        # (spark.memory.storageFraction) and non-evictable, so three
+        # passes of a checkpointing plan at sf32 (~2 GB of projected
+        # column each) stack up behind the previous queries' leftovers
+        # until a TASK OOMs on execution memory — observed as
+        # percentiles dying in stage 47 after q21's three SMJ passes
+        # in the same session. A Python gc drops the DataFrame refs;
+        # the JVM gc lets ContextCleaner unpersist the now-unreferenced
+        # checkpoint RDDs synchronously enough for the next pass.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return round(best, 3)
 
 

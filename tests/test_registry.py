@@ -245,13 +245,13 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # r8: global_order_prefix's bucket-offset window runs over the
     # ≤4096-row BUCKET-TOTAL frame (operators/stats.py), never the
     # order axis. These entries get a STRONGER per-window check below
-    # (_BUCKET_PREFIX_OK): a per-query allowlist alone would also
+    # (_BOUNDED_AXIS_WINDOW_OK): a per-query allowlist alone would also
     # excuse a future regression reintroducing a data-axis global
     # window inside the same query (ADVICE.md r8 #4).
     # r12: roc_auc moved OFF the bucket prefix — its quantized score
     # axis is grid-bounded (~10k rows at any scale), so the prefix is
     # one plain window over the aggregated axis (stronger per-window
-    # check in _QUANT_AXIS_OK below; VERDICT r11 #5)
+    # check in _BOUNDED_AXIS_WINDOW_OK below; VERDICT r11 #5)
     "roc_auc",
     "roc_auc_exact",
     "gini_concentration",
@@ -261,25 +261,22 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "histogram_equidepth",
 }
 
-#: Subset of _GLOBAL_WINDOW_OK whose ONLY legitimate unpartitioned
-#: window is global_order_prefix's bucket-offset prefix: every flagged
-#: window in these queries must sit directly on an Aggregate keyed by
-#: the __bkt bucket axis (≤4096 rows by construction). Any other
-#: unpartitioned window in them fails even though the query is
-#: allowlisted.
-_BUCKET_PREFIX_OK: set[str] = {
-    "roc_auc_exact",
-    "gini_concentration",
-    "percentiles",
-    "histogram_equidepth",
-}
-
-#: Queries whose ONLY legitimate unpartitioned window is a prefix over
-#: an axis bounded by a FIXED quantization grid (score range / grid
-#: step — metadata-scale at any input size): the window must sit
-#: directly on the Aggregate keyed by that quantized axis. roc_auc
-#: moved here from _BUCKET_PREFIX_OK in r12 (VERDICT r11 #5).
-_QUANT_AXIS_OK: dict[str, str] = {
+#: Queries whose ONLY legitimate unpartitioned window is a prefix
+#: over a provably-BOUNDED aggregated axis, mapped to the grouping
+#: column that bounds it: every flagged window must sit directly on an
+#: Aggregate GROUPED BY that column (checked against the Aggregate's
+#: grouping list, not a bare substring — review r12). The __bkt
+#: entries are global_order_prefix's bucket-offset prefix (≤4096 rows
+#: by construction); roc_auc's axis is its FIXED quantization grid
+#: (score range / grid step — metadata-scale at any input size; moved
+#: off the bucket prefix in r12, VERDICT r11 #5). Any other
+#: unpartitioned window in these queries fails even though the query
+#: is allowlisted.
+_BOUNDED_AXIS_WINDOW_OK: dict[str, str] = {
+    "roc_auc_exact": "__bkt",
+    "gini_concentration": "__bkt",
+    "percentiles": "__bkt",
+    "histogram_equidepth": "__bkt",
     "roc_auc": "score",
 }
 
@@ -321,11 +318,16 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
     assert not stale, (
         f"allowlisted but no longer flagged (remove): {sorted(stale)}"
     )
-    # Per-WINDOW check for the bucket-prefix queries: the allowlist is
+    # Per-WINDOW check for the bounded-axis queries: the allowlist is
     # per-query, so without this a regression reintroducing a data-axis
-    # global window inside roc_auc/gini would still pass (ADVICE r8 #4).
-    for name in _BUCKET_PREFIX_OK & set(flagged):
-        for node in flagged[name]:
+    # global window inside roc_auc/gini would still pass (ADVICE r8 #4;
+    # unified across __bkt/quantized axes in r12, review r12). The
+    # window must sit DIRECTLY on an Aggregate whose GROUPING LIST
+    # contains the bounding column (matched as a column reference in
+    # the grouping clause — 'token#' — not a bare substring an
+    # aggregate EXPRESSION could satisfy).
+    for name, axis in _BOUNDED_AXIS_WINDOW_OK.items():
+        for node in flagged.get(name, []):
             child = node.child()
             # column-pruning Projects between Window and Aggregate are
             # plan noise, not a different input frame
@@ -335,26 +337,13 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
                 child = child.child()
             kind = child.getClass().getSimpleName()
             desc = child.toString()
-            assert kind == "Aggregate" and "__bkt" in desc.split("\n")[0], (
+            # Aggregate [score#12L], [score#12L, sum(...)]: grouping
+            # list = the first [...] group
+            first_line = desc.split("\n")[0]
+            grouping = first_line.split("]")[0] if "[" in first_line else ""
+            assert kind == "Aggregate" and f"{axis}#" in grouping, (
                 f"{name}: unpartitioned Window over {kind} — only the "
-                "bucket-total prefix (Aggregate on __bkt) is audited "
-                f"for this query; got: {desc[:200]}"
-            )
-    # Same per-window rigor for the quantized-grid queries: the window
-    # must sit directly on the Aggregate keyed by the quantized axis
-    # (grid-bounded by construction), not on any data-sized frame.
-    for name, axis in _QUANT_AXIS_OK.items():
-        for node in flagged.get(name, []):
-            child = node.child()
-            while child.getClass().getSimpleName() in (
-                "Project", "SubqueryAlias",
-            ):
-                child = child.child()
-            kind = child.getClass().getSimpleName()
-            desc = child.toString()
-            assert kind == "Aggregate" and axis in desc.split("\n")[0], (
-                f"{name}: unpartitioned Window over {kind} — only the "
-                f"quantized-axis prefix (Aggregate on {axis}) is "
+                f"bounded-axis prefix (Aggregate grouped by {axis}) is "
                 f"audited for this query; got: {desc[:200]}"
             )
 
