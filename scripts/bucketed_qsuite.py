@@ -164,14 +164,19 @@ def build_q9(
 
 def build_join_inner_fk(o: DataFrame, c: DataFrame) -> DataFrame:
     """The registered join_inner_fk plan (queries/extensions.py:63):
-    orders ⋈ customer on custkey + segment rollup. NOTE the layout's
-    payoff is SF-dependent (review r12, executed-plan probe): at sf4
-    customer (~13 MB) still BROADCASTS, so both layouts run the same
-    BroadcastHashJoin and exchange counts tie — any wall delta there
-    is scan-side (the bucketed copy is narrower and sorted), not
-    shuffle elimination. The exchange-free co-bucketed join only
-    engages once customer exceeds the broadcast bound (sf24 up at the
-    16 MiB threshold), which is why the script is also run at sf24."""
+    orders ⋈ customer on custkey + segment rollup. MEASURED TRUTH
+    about the layout here (r12 executed-plan probes at sf4 AND sf24):
+    the column-pruned customer projection (3 narrow columns) stays
+    under the 16 MiB broadcast bound at every tier on disk, so BOTH
+    layouts run the identical BroadcastHashJoin and exchange counts
+    tie (2 = the segment-agg pair) — the recorded 1.8–2.2× bucketed
+    speedups are SCAN-side (the bucketed copy is narrower and sorted),
+    not shuffle elimination. That is itself the right 100 TB lesson:
+    a prunable dimension this small is a broadcast join at any scale,
+    and co-bucketing it buys layout locality, not exchange removal.
+    The custkey co-bucket story is carried by q5, whose
+    customer⋈orders side genuinely drops exchanges (6→4, 2.23× at
+    sf24)."""
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])

@@ -125,6 +125,53 @@ def _time_spark(spec, spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+_SPARK_RUNNER = r"""
+import gc, sys, time
+sys.path.insert(0, {repo!r})
+from etl_airbnb_mex_spark.queries import REGISTRY, _load
+from etl_airbnb_mex_spark.session import get_spark
+_load()
+spec = REGISTRY[{name!r}]
+spark = get_spark(app_name="scale-bench-sub-" + {name!r})
+best = float("inf")
+for recorded in (False, True, True):
+    t0 = time.perf_counter()
+    spec.spark(spark, {sf_dir!r}).toPandas()
+    dt = time.perf_counter() - t0
+    if recorded:
+        best = min(best, dt)
+    # release this pass's localCheckpoint blocks before the next one
+    # allocates its own (see _time_spark) and give the async
+    # ContextCleaner a moment to drain the unpersist queue
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
+print(round(best, 3))
+"""
+
+
+def _time_spark_subprocess(name: str, sf_dir: str) -> float:
+    """Time one query in a FRESH python+JVM process — the sf24+ path.
+
+    stop()/getOrCreate in one python process REUSES the same JVM (the
+    py4j gateway owns it), so a 'fresh session' shares the heap cap
+    and whatever the async ContextCleaner has not yet released: at
+    sf32, percentiles' three checkpointing passes died in
+    java.lang.OutOfMemoryError after q21's SMJ passes EVEN in its own
+    session (r12, twice). The process is the real isolation boundary —
+    and a per-query subprocess is exactly how the DuckDB oracle has
+    been timed since r7, so from sf24 up both engines get identical
+    fresh-process treatment."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         _SPARK_RUNNER.format(repo=REPO, name=name, sf_dir=sf_dir)],
+        capture_output=True, text=True, timeout=900,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr.strip()[-300:])
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 _DUCKDB_RUNNER = r"""
 import sys, time
 sys.path.insert(0, {repo!r})
@@ -192,6 +239,21 @@ def _phase_probe(spark) -> dict:
     }
 
 
+#: From this tier up, every query runs in its OWN python+JVM
+#: subprocess (r12): a single 8g local-mode JVM cannot hold one
+#: heavyweight's retained state (SMJ spill pages, broadcast
+#: HashedRelations and checkpoint blocks awaiting the async
+#: ContextCleaner) plus the next one's working set — observed twice as
+#: percentiles' checkpointing passes dying in
+#: java.lang.OutOfMemoryError after q21's three SMJ passes at sf32,
+#: killing the JVM (and, before per-row merging, the tier's rows).
+#: A same-process 'fresh session' does NOT fix this: the py4j gateway
+#: reuses the one JVM. Per-query subprocesses are methodologically
+#: symmetric with the oracle, which has run per-query in a fresh
+#: subprocess since r7; process startup sits outside the timed passes.
+FRESH_SESSION_SF = 24.0
+
+
 def run_tier(label: str) -> dict:
     from etl_airbnb_mex_spark.queries import REGISTRY, _load
     from etl_airbnb_mex_spark.session import get_spark
@@ -201,17 +263,26 @@ def run_tier(label: str) -> dict:
     only = {
         n for n in os.environ.get("SCALE_BENCH_ONLY", "").split(",") if n
     }
+    fresh_per_query = float(label) >= FRESH_SESSION_SF
     spark = get_spark(app_name=f"scale-bench-sf{label}")
-    phase = _phase_probe(spark)
-    print(f"# sf{label} phase: {phase}", file=sys.stderr, flush=True)
     out: dict[str, dict] = {}
     for name in HEAVY:
         if only and name not in only:
             continue
+        # per-query probe at the fresh tiers: each row's stamp then
+        # reflects the machine AT ITS OWN measurement; cheaper single
+        # stamp per tier below sf24 (rows there run back to back)
+        if fresh_per_query or not out:
+            phase = _phase_probe(spark)
+            print(f"# sf{label} phase: {phase}", file=sys.stderr,
+                  flush=True)
         spec = REGISTRY[name]
         row: dict[str, float | None] = {}
         try:
-            row["spark_sec"] = _time_spark(spec, spark, sf_dir)
+            if fresh_per_query:
+                row["spark_sec"] = _time_spark_subprocess(name, sf_dir)
+            else:
+                row["spark_sec"] = _time_spark(spec, spark, sf_dir)
         except Exception as e:  # noqa: BLE001 — record, keep going
             row["spark_sec"] = None
             row["spark_err"] = f"{type(e).__name__}: {e}"[:200]
@@ -228,8 +299,13 @@ def run_tier(label: str) -> dict:
         row["phase"] = phase
         print(f"# sf{label} {name}: {row}", file=sys.stderr, flush=True)
         out[name] = row
+        # merge THIS row immediately: a later query OOM-killing the
+        # JVM must not lose the tier's completed rows (r12 — the sf32
+        # crash discarded a measured q21 inversion twice)
+        merge_sidecar({label: {name: dict(row)}})
         gc.collect()
-    spark.stop()
+    if spark is not None:
+        spark.stop()
     return out
 
 
@@ -256,12 +332,17 @@ def merge_sidecar(trend: dict) -> None:
         st.setdefault(label, {}).update(rows)
     st["method"] = (
         "scripts/scale_bench.py: per-SF Spark session (local[32], "
-        "get_spark parity conf), warm pass 0 + min of passes 1-2, full "
-        "toPandas; DuckDB = registered oracle SQL on the SAME parquet, "
-        "warm + min of 2 in a FRESH subprocess (co-resident timing "
-        "understates DuckDB once the JVM heap grows — r7 fix). "
-        "sf>0.1 inputs: scripts/make_scaledata.py (replica-shifted "
-        "keys, cross-replica near-dup structure removed)."
+        "get_spark parity conf; per-QUERY fresh SUBPROCESS from sf24 up "
+        "— one 8g JVM cannot hold two heavyweights' retained state "
+        "and a same-process session reuses the JVM, r12), "
+        "warm pass 0 + min of passes 1-2, full toPandas, checkpoint "
+        "blocks GC'd between passes; DuckDB = registered oracle SQL "
+        "on the SAME parquet, warm + min of 2 in a FRESH subprocess "
+        "(co-resident timing understates DuckDB once the JVM heap "
+        "grows — r7 fix). Rows merge into the sidecar per query "
+        "(crash-proof). sf>0.1 inputs: scripts/make_scaledata.py "
+        "(replica-shifted keys, cross-replica near-dup structure "
+        "removed)."
     )
     st["commit"] = head
     with open(path, "w") as f:
