@@ -77,7 +77,13 @@ def percentiles(
     3 blocking jobs whose fixed latency benched slower).
     ``method='prefix'`` is the r10 fully-LAZY exact path
     (:func:`exact_percentiles_prefix`): global ranks via the bucketed
-    prefix sum, zero driver round-trips — the registered driver form.
+    prefix sum, zero driver round-trips.
+    ``method='bucketselect'`` (r12, the registered driver form) is
+    the fully-lazy path that never ranks the full column
+    (:func:`exact_percentiles_bucket_select`): bucket histogram →
+    in-plan target-bucket selection → exact sort inside the ≤ 2·|ps|
+    target buckets only — the corrected r12 trend showed the prefix
+    form's full-column sort was a 2.7–3× constant factor at sf24+.
     Rounding goes through F.round on all paths so HALF_UP semantics
     match the rest of the module and the oracle (Python's round() is
     half-even on the binary value and diverges on trailing-5 digits).
@@ -94,17 +100,22 @@ def percentiles(
     """
     vd = F.col(col).cast("double")
     df = df.filter(vd.isNull() | ~F.isnan(vd))
-    if method == "prefix":
+    if method in ("prefix", "bucketselect"):
         if approx:
             raise ValueError(
-                "method='prefix' computes EXACT percentiles; use "
+                f"method={method!r} computes EXACT percentiles; use "
                 "method='agg' with approx=True for the sketch path"
             )
-        return exact_percentiles_prefix(df, col, ps)
+        fn_lazy = (
+            exact_percentiles_bucket_select
+            if method == "bucketselect"
+            else exact_percentiles_prefix
+        )
+        return fn_lazy(df, col, ps)
     if method not in ("agg", "bracket", "sortrank"):
         raise ValueError(
-            f"method must be 'agg', 'bracket', 'sortrank' or 'prefix', "
-            f"got {method!r}"
+            "method must be 'agg', 'bracket', 'sortrank', 'prefix' or "
+            f"'bucketselect', got {method!r}"
         )
     if method != "agg" and approx:
         raise ValueError(
@@ -490,6 +501,132 @@ def exact_percentiles_prefix(
             F.max(F.when(F.col("rk") - 1 == F.ceil(k(p)), F.col("v")))
             .alias(f"__hi_{i}")
         )
+    out_cols = []
+    for i, p in enumerate(ps):
+        frac = k(p) - F.floor(k(p))
+        out_cols.append(
+            F.round(
+                F.col(f"__lo_{i}")
+                + frac * (F.col(f"__hi_{i}") - F.col(f"__lo_{i}")),
+                dp,
+            ).alias(f"p{int(p * 100)}")
+        )
+    return hits.groupBy().agg(*aggs).select(*out_cols)
+
+
+def exact_percentiles_bucket_select(
+    df: DataFrame,
+    col: str,
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
+    dp: int = ROUND_DP,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Exact linear-interpolated percentiles as ONE lazy plan that
+    never ranks the full column — the r12 registered form, superseding
+    :func:`exact_percentiles_prefix` for the driver query.
+
+    The prefix form assigns EVERY row its global rank (a full
+    per-bucket window sort of the whole column) to then keep ≤ 2·|ps|
+    rows — at sf24 that full sort was the wall (57 s vs a 21 s oracle,
+    the corrected r12 trend). Selecting quantiles only needs exact
+    ranks INSIDE the buckets that contain the target ranks:
+
+    1. Pass 1 — 4096-bucket histogram: equal-width bucket id from the
+       finite-masked 1-row min/max broadcast, ONE hash agg keyed on
+       bucket (map-side combine collapses each task to ≤4096 longs).
+    2. In-plan target selection: exclusive bucket offsets via the
+       single-partition window over the ≤4096-row bucket-total frame
+       (the audited metadata-scale window), total n from the same
+       frame; a bucket is a TARGET iff [offset, offset+count) contains
+       ⌊k_p⌋ or ⌈k_p⌉ for some cut point k_p = (n−1)·p — ≤ 2·|ps|
+       buckets, broadcast.
+    3. Pass 2 — candidates = rows in target buckets (broadcast hash
+       semi-join prunes ~99.7 % of rows before any shuffle); a
+       per-bucket window sorts ONLY the candidates (offset +
+       row_number − 1 = exact 0-based global rank); the usual pick /
+       interpolate tail runs on ≤ 2·|ps| rows.
+
+    Two single-column scans replace the full-column shuffle + sort +
+    lazy checkpoint: shuffle volume drops from n rows to
+    (4096 bucket partials + n/4096·2·|ps| candidates). Degenerate
+    cases degrade, never break: hi == lo (or a point-mass bucket
+    holding a target rank) makes that bucket's whole mass the
+    candidate set — the one-window fallback the prefix form also has.
+    NULL order values cannot reach a target bucket (filtered with NaN
+    up front; pandas skipna contract, same as every sibling); ±Inf
+    pin to the edge buckets exactly as in :func:`global_order_prefix`
+    and sort correctly inside them.
+
+    Returns the 1-row wide frame (p25 … p99, ``dp``-rounded);
+    empty/all-null input yields one all-null row (the agg-method
+    contract).
+    """
+    vals = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull() & ~F.isnan("v"))
+    )
+    inf = float("inf")
+    vn = F.when((F.col("v") > -inf) & (F.col("v") < inf), F.col("v"))
+    lim = vals.agg(F.min(vn).alias("__lo"), F.max(vn).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    bkt = (
+        F.when(F.col("v") == inf, F.lit(n_buckets - 1).cast("long"))
+        .when(F.col("v") == -inf, F.lit(0).cast("long"))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("__lo")) / width).cast("long"),
+                F.lit(n_buckets - 1).cast("long"),
+            )
+        )
+    )
+    binned = vals.crossJoin(F.broadcast(lim)).withColumn("__bkt", bkt)
+    bt = binned.groupBy("__bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("__bn")
+    )
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    total = bt.agg(F.sum("__bn").cast("long").alias("__n"))
+    off = (
+        bt.select(
+            "__bkt",
+            F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+            .cast("long")
+            .alias("__boff"),
+            "__bn",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    k = lambda p: (F.col("__n") - 1) * F.lit(p)  # noqa: E731
+    in_bucket = F.lit(False)
+    for p in ps:
+        for edge in (F.floor(k(p)), F.ceil(k(p))):
+            in_bucket = in_bucket | (
+                (edge >= F.col("__boff"))
+                & (edge < F.col("__boff") + F.col("__bn"))
+            )
+    targets = off.filter(in_bucket).select("__bkt", "__boff", "__n")
+    cand = binned.join(F.broadcast(targets), "__bkt")
+    ww = Window.partitionBy("__bkt").orderBy("v")
+    ranked = cand.withColumn(
+        "__r0", F.col("__boff") + F.row_number().over(ww) - 1
+    )
+    pick = F.lit(False)
+    for p in ps:
+        pick = pick | (F.col("__r0") == F.floor(k(p))) | (
+            F.col("__r0") == F.ceil(k(p))
+        )
+    hits = ranked.filter(pick)
+    aggs = []
+    for i, p in enumerate(ps):
+        aggs.append(
+            F.max(F.when(F.col("__r0") == F.floor(k(p)), F.col("v")))
+            .alias(f"__lo_{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("__r0") == F.ceil(k(p)), F.col("v")))
+            .alias(f"__hi_{i}")
+        )
+    aggs.append(F.max("__n").alias("__n"))
     out_cols = []
     for i, p in enumerate(ps):
         frac = k(p) - F.floor(k(p))

@@ -82,7 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "pagerank_parts",     # r12: rounding-boundary guard band in-plan
     "roc_auc",            # r12: grid-bounded plain-window prefix
     "percentiles",        # r12: NaN filter now inside sortrank/bracket
-    #                       (dispatcher-reachable methods of its op)
+    #                       AND re-registered on the bucket-select
+    #                       plan (exact sort only inside target
+    #                       buckets — inverted 0.26x at sf24)
     "percentiles_approx",  # r12: shares the percentiles() dispatcher
     #                        (rows-only driver check)
     "histogram_equidepth",  # r12: integer floor-division bin

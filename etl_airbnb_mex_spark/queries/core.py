@@ -403,17 +403,20 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile is the documented 100 TB swap (SURVEY.md §4.3).",
 )
 def percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # method="prefix" (r10): global ranks via the bucketed prefix sum,
-    # ONE lazy action, zero driver round-trips — replaces "sortrank",
-    # whose 2 collects + checkpoint re-plan were a fixed ~1.5-2 s
-    # job-scheduling floor at every measured SF (VERDICT r9 #2/#3)
-    # while shuffling the same single-column volume. Memory stays
-    # shuffle-bounded at 100 TB (never the percentile() aggregate's
-    # full-column buffer). agg stays the lazy composable default;
-    # sortrank/bracket remain as API alternatives.
+    # method="bucketselect" (r12): ONE lazy action, zero driver
+    # round-trips, and — unlike the r10 "prefix" form it replaces —
+    # NEVER ranks the full column: a 4096-bucket histogram selects the
+    # <= 2|ps| buckets containing the target ranks in-plan, and only
+    # those buckets' rows (~0.3% of the column) are sorted. The
+    # corrected r12 trend showed the prefix form's full-column
+    # window sort was a 2.7-3x constant factor at sf24+ (57s vs a 21s
+    # oracle at sf24). Memory stays shuffle-bounded at 100 TB (never
+    # the percentile() aggregate's full-column buffer). agg stays the
+    # lazy composable default; prefix/sortrank/bracket remain as API
+    # alternatives.
     return stats.percentiles(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
-        method="prefix",
+        method="bucketselect",
     )
 
 

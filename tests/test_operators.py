@@ -2421,3 +2421,56 @@ def test_exact_percentiles_prefix_matches_agg(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         percentiles(df, "v", method="prefix", approx=True)
+
+
+def test_exact_percentiles_bucket_select_matches_agg(spark):
+    """The r12 registered path (bucket histogram -> in-plan target
+    buckets -> sort candidates only) must reproduce the percentile()
+    aggregate exactly across the edge zoo: duplicates, odd/even
+    counts, nulls, NaN-as-missing, +/-Inf pinned to edge buckets,
+    all-equal columns (degenerate hi==lo -> one-bucket fallback),
+    single row, and empty input."""
+    from etl_airbnb_mex_spark.operators.stats import (
+        exact_percentiles_bucket_select,
+        percentiles,
+    )
+
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    rows = [Row(v=float(x)) for x in
+            [5, 1, 9, 1, 7, 3, 3, 8, 2, 6, 4, 4, 4, 10]]
+    rows += [Row(v=None), Row(v=None), Row(v=float("nan"))]
+    df = spark.createDataFrame(rows, "v double")
+    got = percentiles(df, "v", ps=ps, method="bucketselect").collect()[0]
+    want = percentiles(df, "v", ps=ps, method="agg").collect()[0]
+    assert got.asDict() == want.asDict()
+
+    # +/-Inf pin to the edge buckets and sort exactly (quantile over
+    # [-inf, 1..8, inf]: p10 of 10 values = rank 0.9 -> interpolates
+    # off -inf; direct-call contract, NaN filtered internally)
+    inf = float("inf")
+    df2 = spark.createDataFrame(
+        [Row(v=-inf)] + [Row(v=float(x)) for x in range(1, 9)]
+        + [Row(v=inf)],
+        "v double",
+    )
+    got2 = exact_percentiles_bucket_select(
+        df2, "v", ps=(0.5,)
+    ).collect()[0]
+    assert got2["p50"] == 4.5
+
+    # all-equal column: every bucket expression degenerates to 0
+    eq = spark.createDataFrame([Row(v=7.0)] * 9, "v double")
+    goteq = exact_percentiles_bucket_select(eq, "v", ps=ps).collect()[0]
+    assert all(goteq[f"p{int(p*100)}"] == 7.0 for p in ps)
+
+    one = spark.createDataFrame([Row(v=42.0)], "v double")
+    got1 = percentiles(one, "v", ps=ps, method="bucketselect").collect()[0]
+    assert all(got1[f"p{int(p * 100)}"] == 42.0 for p in ps)
+
+    empty = spark.createDataFrame([], "v double")
+    got0 = exact_percentiles_bucket_select(empty, "v", ps=ps).collect()
+    assert len(got0) == 1 and all(x is None for x in got0[0])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentiles(df, "v", method="bucketselect", approx=True)
