@@ -63,12 +63,12 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: registry entries in iteration order, so each round the window must
 #: rotate to the entries with the weakest driver provenance. Round 12
 #: rotation = exactly the queue frozen in r11 (VERDICT r11 "Next
-#: round" #1) plus this round's lockstep slots: FIRST the nine entries
+#: round" #1) plus this round's lockstep slots: FIRST the ten entries
 #: whose code changed in r12 — the lockstep rule (changed code must
 #: get a fresh driver row the same round) outranks everything — then
 #: hll_distinct_rollup (rows-only; ceded its r11 slot, the last entry
 #: whose provenance predates r5) and the full 33-entry r6-provenance
-#: queue, alphabetical. 9 + 34 = 43 slots; 7 spare. After this round
+#: queue, alphabetical. 10 + 34 = 44 slots; 6 spare. After this round
 #: no oracle-bearing entry's provenance predates r8 (the r6 batch was
 #: untouched code re-verified here; r7 had no entries of its own).
 #: Every name was re-verified by the local oracle replica this
@@ -88,6 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     "percentiles_approx",  # r12: shares the percentiles() dispatcher
     #                        (rows-only driver check)
     "histogram_equidepth",  # r12: integer floor-division bin
+    "filter_quantile",    # r12: p95 threshold re-based on the
+    #                       bucket-select plan (the percentile()
+    #                       aggregate buffer was its 100 TB OOM risk)
     # -- the frozen r12 queue: hll + the 33 r6-provenance entries --
     "hll_distinct_rollup",
     "activity_streaks",

@@ -175,17 +175,24 @@ def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_extendedprice <= (
       SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem)
     """,
-    "P3 — quantile-threshold filter (nb:cell9:44-45): exact p95 agg, then "
-    "scalar-broadcast filter.",
+    "P3 — quantile-threshold filter (nb:cell9:44-45): exact p95 via the "
+    "r12 bucket-select plan (operators/stats.py:"
+    "exact_percentiles_bucket_select — bucket histogram, in-plan target "
+    "bucket, exact sort of ~0.3% of rows), then scalar-broadcast "
+    "filter. Replaces the percentile() aggregate threshold, whose "
+    "per-partition full-value buffer was this query's documented "
+    "100 TB OOM risk; the swap keeps the threshold EXACT (6-dp "
+    "rounding cannot move a comparison against 2-dp prices) and stays "
+    "one lazy action.",
 )
 def filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    thresh = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("__q")
+    thresh = stats.exact_percentiles_bucket_select(
+        li, "l_extendedprice", ps=(0.95,)
     )
     return (
         li.crossJoin(F.broadcast(thresh))
-        .filter(F.col("l_extendedprice") <= F.col("__q"))
+        .filter(F.col("l_extendedprice") <= F.col("p95"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
 

@@ -231,6 +231,9 @@ def test_physical_plans_have_no_scale_killers(spark, sf_dir):
 #:   zipf_slope — rank over the top_k-bounded vocabulary slice.
 _GLOBAL_WINDOW_OK: set[str] = {
     "ks_drift_binned",  # CDF race over the AGGREGATED ≤200-row bin axis
+    # r12: bucket-select p95 threshold — the offsets window runs over
+    # the ≤4096-row bucket-total frame (per-window check below)
+    "filter_quantile",
     "percentiles",  # r10 prefix path: bucket-total window (≤4096 rows)
     "flagship_topn_pct",
     "pct_of_total",
@@ -274,6 +277,10 @@ _GLOBAL_WINDOW_OK: set[str] = {
 #: is allowlisted.
 _BOUNDED_AXIS_WINDOW_OK: dict[str, str] = {
     "roc_auc_exact": "__bkt",
+    # r12: bucket-select threshold (offsets window over the 4096-row
+    # bucket-total frame) replaced the percentile() aggregate's
+    # full-value buffer
+    "filter_quantile": "__bkt",
     "gini_concentration": "__bkt",
     "percentiles": "__bkt",
     "histogram_equidepth": "__bkt",
