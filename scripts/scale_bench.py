@@ -251,7 +251,13 @@ def _phase_probe(spark) -> dict:
 #: reuses the one JVM. Per-query subprocesses are methodologically
 #: symmetric with the oracle, which has run per-query in a fresh
 #: subprocess since r7; process startup sits outside the timed passes.
-FRESH_SESSION_SF = 24.0
+#: Lowered 24.0 -> 4.0 (r12): copurchase_pairs at sf8 read 51.5s when
+#: it ran third in a shared session (after triangle/basket's six
+#: passes) vs 14.4s standalone — a 3.6x in-session contamination that
+#: also explains the pair family's noisier sf4 rows; from sf4 up the
+#: per-query working sets are large enough to interact through the
+#: shared heap.
+FRESH_SESSION_SF = 4.0
 
 
 def run_tier(label: str) -> dict:
@@ -332,7 +338,7 @@ def merge_sidecar(trend: dict) -> None:
         st.setdefault(label, {}).update(rows)
     st["method"] = (
         "scripts/scale_bench.py: per-SF Spark session (local[32], "
-        "get_spark parity conf; per-QUERY fresh SUBPROCESS from sf24 up "
+        "get_spark parity conf; per-QUERY fresh SUBPROCESS from sf4 up "
         "— one 8g JVM cannot hold two heavyweights' retained state "
         "and a same-process session reuses the JVM, r12), "
         "warm pass 0 + min of passes 1-2, full toPandas, checkpoint "
