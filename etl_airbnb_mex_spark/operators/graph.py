@@ -18,14 +18,25 @@ from pyspark.sql import functions as F
 
 #: Rounding-boundary guard band for cross-engine-deterministic
 #: per-round rounding, in GRID units (fractions of one 10^-dp step).
-#: Cross-engine float drift within a round is a few ulps — for ranks
-#: ~1e-3 on a 1e-12 grid that is ~2e-7 grid units — so 1e-6 covers
-#: every drift-induced disagreement with ~5x margin while a genuinely
-#: random value trips it with probability 2e-6 per (node, round):
-#: loud enough to never false-alarm in practice, tight enough that a
-#: hit really means "the canonical-rounding argument does not hold on
-#: this data" (ADVICE r10 #3).
+#: This is the FLOOR of a magnitude-aware band (ADVICE r12 #1): drift
+#: between engines is a few ulps OF THE VALUE, and one ulp of the
+#: scaled value grows with its magnitude — ~2e-7 grid units for ranks
+#: ~1e-3 on a 1e-12 grid, but ~2e-6 at rank 0.01 and ~2.4e-4 at rank
+#: ~1, where a fixed 1e-6 band would let a genuine two-ulp boundary
+#: straddle pass silently. The effective guard is
+#: max(this floor, _GUARD_ULPS * ulp(scaled)), so small ranks keep
+#: the tight constant band (false-trip probability 2e-6 per
+#: (node, round)) while large ranks widen it to the resolution drift
+#: can actually reach there (false-trip ~2·k·ulp, still ≤ ~1e-3 even
+#: at rank 1 — and rank ~1 only occurs on near-single-node graphs
+#: with few (node, round) trials). Either way a hit means "the
+#: canonical-rounding argument does not hold on this data"
+#: (ADVICE r10 #3).
 _ROUND_GUARD_GRID = 1e-6
+#: Ulp multiplier for the magnitude-aware part of the band: covers
+#: the observed few-ulp cross-engine drift (a two-ulp straddle, the
+#: worst case ADVICE r12 #1 names) with 2x margin.
+_GUARD_ULPS = 4.0
 
 
 def _boundary_guarded_round(value: Column, dp: int, guard: float) -> Column:
@@ -41,14 +52,30 @@ def _boundary_guarded_round(value: Column, dp: int, guard: float) -> Column:
     The assertion is folded into the returned expression through
     ``F.when(assert_true(...).isNull(), ...)`` so column pruning can
     never drop it, and it adds no action — the whole loop stays lazy.
-    The boundary distance is computed at ~1e9 double magnitude where
-    one ulp is ~1e-7 grid units, so ``guard`` values down to ~1e-6
-    are meaningful and smaller ones would measure noise.
+
+    The band is magnitude-aware (ADVICE r12 #1): ``guard`` grid units
+    is only a meaningful resolution while one ulp of the scaled value
+    is smaller than it — true for ranks ~1e-3 at dp=12 (scaled ~1e9,
+    ulp ~2e-7 grid units) but not at rank 0.01 (ulp ~2e-6) or rank ~1
+    (ulp ~2.4e-4), where drift moves the value by whole ulps and a
+    fixed band below one ulp cannot see the straddle it exists to
+    catch. The effective band is therefore
+    ``greatest(guard, _GUARD_ULPS * |scaled| * 2^-52)`` — the
+    constant floor where it is resolvable, a few ulps of the actual
+    magnitude where it is not.
     """
     scaled = value * F.lit(float(10.0 ** dp))
     dist = F.abs(F.pmod(scaled, F.lit(1.0)) - F.lit(0.5))
+    # One ulp of the scaled double, expressed in grid units (the same
+    # units as dist): |scaled| * 2^-52. greatest() keeps the constant
+    # floor for small ranks and widens to k ulps where the grid-unit
+    # band drops below what double resolution can represent.
+    ulp_grid = F.abs(scaled) * F.lit(2.0 ** -52)
+    guard_eff = F.greatest(
+        F.lit(float(guard)), F.lit(_GUARD_ULPS) * ulp_grid
+    )
     ok = F.assert_true(
-        dist >= F.lit(float(guard)),
+        dist >= guard_eff,
         F.concat(
             F.lit(
                 "pagerank round_ranks boundary hit (ADVICE r10 #3): a "

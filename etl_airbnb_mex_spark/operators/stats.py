@@ -41,21 +41,49 @@ def describe_stats(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     this operator serves arbitrary columns, so correctness beats the
     last-bit partition-order determinism (rounding to 6 dp absorbs the
     ~1e-12 relative summation variance, same policy as stddev/corr).
+
+    r13 (VERDICT r12 #10): the EXACT path no longer runs the
+    ``percentile()`` aggregate — its per-partition full-value buffer
+    was the module's last registered 100 TB OOM hazard after
+    ``percentiles``/``filter_quantile`` moved off it in r12. Quantiles
+    now come from :func:`exact_percentiles_bucket_select` (4096-bucket
+    histogram → target-bucket exact sort, memory shuffle-bounded) and
+    join the single-pass moments row through a 1-row broadcast
+    crossJoin. ``approx=True`` keeps the one-pass
+    ``percentile_approx`` sketch (already bounded-memory). NaN is
+    MISSING on the quantile outputs on both paths (the r11 engine-wide
+    percentile contract: the reference computes in pandas, which
+    skips NaN); the moments columns keep Spark aggregate semantics
+    (count includes NaN rows, mean/std poison to NaN) — unchanged
+    from every earlier round.
     """
-    wide = df.agg(
+    if approx:
+        wide = df.agg(
+            F.count(col).alias("cnt"),
+            _r(F.avg(col)).alias("mean"),
+            _r(F.stddev_samp(col)).alias("std"),
+            _r(F.min(col)).alias("min"),
+            _pcts(col, (0.25, 0.50, 0.75), approx).alias("__q"),
+            _r(F.max(col)).alias("max"),
+        )
+        return wide.select(
+            "cnt", "mean", "std", "min",
+            _r(F.element_at("__q", 1)).alias("p25"),
+            _r(F.element_at("__q", 2)).alias("p50"),
+            _r(F.element_at("__q", 3)).alias("p75"),
+            "max",
+        )
+    moments = df.agg(
         F.count(col).alias("cnt"),
         _r(F.avg(col)).alias("mean"),
         _r(F.stddev_samp(col)).alias("std"),
         _r(F.min(col)).alias("min"),
-        _pcts(col, (0.25, 0.50, 0.75), approx).alias("__q"),
         _r(F.max(col)).alias("max"),
     )
-    return wide.select(
-        "cnt", "mean", "std", "min",
-        _r(F.element_at("__q", 1)).alias("p25"),
-        _r(F.element_at("__q", 2)).alias("p50"),
-        _r(F.element_at("__q", 3)).alias("p75"),
-        "max",
+    q = exact_percentiles_bucket_select(df, col, ps=(0.25, 0.50, 0.75))
+    # both sides are 1-row frames: the crossJoin is a scalar broadcast
+    return moments.crossJoin(F.broadcast(q)).select(
+        "cnt", "mean", "std", "min", "p25", "p50", "p75", "max"
     )
 
 
@@ -518,8 +546,9 @@ def exact_percentiles_bucket_select(
     df: DataFrame,
     col: str,
     ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.95, 0.99),
-    dp: int = ROUND_DP,
+    dp: int | None = ROUND_DP,
     n_buckets: int = 4096,
+    keep_n: bool = False,
 ) -> DataFrame:
     """Exact linear-interpolated percentiles as ONE lazy plan that
     never ranks the full column — the r12 registered form, superseding
@@ -630,13 +659,23 @@ def exact_percentiles_bucket_select(
     out_cols = []
     for i, p in enumerate(ps):
         frac = k(p) - F.floor(k(p))
-        out_cols.append(
-            F.round(
-                F.col(f"__lo_{i}")
-                + frac * (F.col(f"__hi_{i}") - F.col(f"__lo_{i}")),
-                dp,
-            ).alias(f"p{int(p * 100)}")
+        interp = F.col(f"__lo_{i}") + frac * (
+            F.col(f"__hi_{i}") - F.col(f"__lo_{i}")
         )
+        # dp=None -> emit the raw interpolated double (consumers that
+        # derive further arithmetic from the quantile, e.g.
+        # iqr_outliers' fences, must not round early)
+        out_cols.append(
+            (interp if dp is None else F.round(interp, dp))
+            .alias(f"p{int(p * 100)}")
+        )
+    if keep_n:
+        # expose the total the bucket histogram already summed —
+        # consumers that also need count(col) (iqr_outliers' pct
+        # denominator) save a full extra column scan. NOTE this n
+        # counts non-null, non-NaN values (the quantile population),
+        # not bare count(col).
+        out_cols.append(F.col("__n").alias("n"))
     return hits.groupBy().agg(*aggs).select(*out_cols)
 
 
@@ -883,17 +922,44 @@ def iqr_outliers(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     """A15 — IQR outlier summary: Q1/Q3 → bounds ±1.5·IQR → count, %,
     outlier min/max. One row.
 
-    Reference: nb:cell11-12. Two aggregation passes (quantiles, then a
-    scalar-broadcast filter+agg) — no per-row Python.
+    Reference: nb:cell11-12. Quantile pass then a scalar-broadcast
+    filter+agg — no per-row Python.
+
+    r13 (VERDICT r12 #10): the exact Q1/Q3 come from
+    :func:`exact_percentiles_bucket_select` instead of the
+    ``percentile()`` aggregate, removing this operator's per-partition
+    full-value buffer (the same 100 TB OOM hazard ``percentiles``/
+    ``filter_quantile`` shed in r12 and ``describe_stats`` sheds this
+    round). The unrounded quantiles feed the ±1.5·IQR bounds so the
+    fence arithmetic is bit-identical to the oracle's
+    quantile_cont-derived bounds; ``approx=True`` keeps the one-pass
+    ``percentile_approx`` sketch.
     """
-    q = df.agg(
-        _pcts(col, (0.25, 0.75), approx).alias("__q"),
-        F.count(col).alias("total"),
-    ).select(
-        F.element_at("__q", 1).alias("q1"),
-        F.element_at("__q", 2).alias("q3"),
-        "total",
-    ).select(
+    if approx:
+        qq = df.agg(
+            _pcts(col, (0.25, 0.75), approx).alias("__q"),
+            F.count(col).alias("total"),
+        ).select(
+            F.element_at("__q", 1).alias("q1"),
+            F.element_at("__q", 2).alias("q3"),
+            "total",
+        )
+    else:
+        # keep_n fuses the pct denominator into the histogram pass the
+        # quantiles already make (one column scan saved). total is
+        # therefore the NaN-free non-null population — equal to
+        # count(col) except on NaN-bearing columns, where the NaN-as-
+        # missing percentile contract (r11) extends to the pct
+        # denominator so numerator and denominator describe the same
+        # population.
+        qq = exact_percentiles_bucket_select(
+            df, col, ps=(0.25, 0.75), dp=None, keep_n=True
+        ).select(
+            F.col("p25").alias("q1"),
+            F.col("p75").alias("q3"),
+            F.col("n").alias("total"),
+        )
+    q = qq.select(
         "q1", "q3", "total",
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),

@@ -74,63 +74,67 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Every name was re-verified by the local oracle replica this
 #: session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- code changed in r12 (lockstep rule) --
-    "copurchase_pairs",   # r12: double-explode pair expansion landed
-    "triangle_count",     # r12: shares _basket_pair_counts
-    "basket_lift",        # r12: shares _basket_pair_counts
-    "knn_cosine_ivf",     # r12: ivf_probe_pinned 1-row contract guard
-    "pagerank_parts",     # r12: rounding-boundary guard band in-plan
-    "roc_auc",            # r12: grid-bounded plain-window prefix
-    "percentiles",        # r12: NaN filter now inside sortrank/bracket
-    #                       AND re-registered on the bucket-select
-    #                       plan (exact sort only inside target
-    #                       buckets — inverted 0.26x at sf24)
-    "percentiles_approx",  # r12: shares the percentiles() dispatcher
-    #                        (rows-only driver check)
-    "histogram_equidepth",  # r12: integer floor-division bin
-    "filter_quantile",    # r12: p95 threshold re-based on the
-    #                       bucket-select plan (the percentile()
-    #                       aggregate buffer was its 100 TB OOM risk)
-    # -- the frozen r12 queue: hll + the 33 r6-provenance entries --
-    "hll_distinct_rollup",
-    "activity_streaks",
-    "bigram_surprisal",
-    "bigram_topn",
-    "date_range",
-    "doc_chunk_overlap",
-    "golden_record_merge",
-    "hard_negative_mining",
-    "heavy_hitters_sketch",
-    "interval_occupancy",
-    "join_asof",
-    "join_asof_forward",
-    "join_broadcast_dim",
-    "join_left_anti",
-    "join_left_semi",
-    "join_range_binned",
-    "join_range_theta",
-    "join_salted_skew",
-    "lang_id_confusion",
-    "monthly_counts",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q20_excess_shipments",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "rfm_segments",
-    "scd2_intervals",
+    # -- code changed in r13 (lockstep rule) --
+    "q5_local_supplier_volume",  # r13: fact-rooted join order, isin
+    #                      nationkey pushdown, driver-side dim
+    #                      resolution (16 -> 7 jobs)
+    "percentiles",        # r13: bucket-select gained dp=None/keep_n
+    #                      params (shared operator code path)
+    "filter_quantile",    # r13: shares exact_percentiles_bucket_select
+    "describe_stats",     # r13: exact quantiles re-based on
+    #                      bucket-select (VERDICT r12 #10)
+    "outliers_iqr",       # r13: same, + keep_n fused count
+    "pagerank_parts",     # r13: magnitude-aware rounding guard band
+    #                      (ADVICE r12 #1)
+    "approx_distinct",    # VERDICT r12 #5: rows-only provenance was
+    #                      r4 — eight rounds stale, the only entry
+    #                      predating r8
+    # -- the r8-provenance cohort (VERDICT r12 #6): oldest
+    #    oracle-bearing entries, none code-touched since r8 --
+    "agg_rollup",
+    "amenities_flags",
+    "bool_encode",
+    "bool_encode_narrow",
+    "calibration_bins",
+    "clean_price",
+    "clean_price_null",
+    "conditional_agg",
+    "dataset_split",
+    "date_normalize",
+    "date_parts",
+    "feature_hashing",
+    "groupby_multi_agg",
+    "ks_drift_binned",
+    "lang_id_ngram",
+    "map_categories",
+    "mutual_info",
+    "numeric_coerce",
+    "parse_array",
+    "pivot_counts",
+    "psi_drift",
+    "quality_filter",
+    "sample_stratified",
+    "semantic_dedup_clusters",
+    "sentiment_dist",
+    "sentiment_score",
+    "split_leakage_audit",
+    "string_length",
+    "text_clean",
+    "title_case",
+    "token_count_bpe",
+    "token_topn",
+    "window_moving_avg",
+    "window_rank_topn",
+    "window_session_agg",
+    "window_sliding_agg",
+    "window_tumbling_agg",
+    "woe_iv",
 )
-# Round-13 queue: nothing is structurally owed — every oracle-bearing
-# entry's provenance will be r8+ once CORRECTNESS_r12 lands. Rotate
-# forward the OLDEST provenance (the r8 batch) plus any r13
-# code-change lockstep slots.
+# Round-13 window: 7 lockstep/stale slots + the full 38-entry r8
+# cohort = 45 of 50; 5 spare. After this round the oldest provenance
+# anywhere becomes r9 (the 43-entry r9 batch is the r14 queue).
+# Round-14 queue: rotate the r9-provenance cohort plus r14 lockstep
+# slots.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

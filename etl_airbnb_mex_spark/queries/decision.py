@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, read_dim_driver_side
 from . import register
 
 
@@ -210,23 +210,64 @@ def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n_name ASC
     """,
     "TPC-H Q5: revenue by nation where customer and supplier share the "
-    "nation, restricted to one region-year. Six-way join: the "
-    "nation-region dim chain broadcasts explicitly (region prunes "
-    "nation to 5 rows BEFORE it reaches the fact side); "
-    "customer-orders-lineitem shuffle on their keys; the "
-    "c_nationkey = s_nationkey locality predicate rides the supplier "
-    "equi-join as a second conjunct, not a post-filter. At cluster "
-    "scale supplier grows with SF, so it is NOT force-broadcast — AQE "
-    "decides from runtime stats. Revenue sums as integer 1e-4 units "
-    "(q1's integer-cents treatment, r10: exact, order-independent, no "
-    "decimal(38) aggregate buffers; per-row ≤ 1e9 → long overflow "
-    "only past ~10^9 surviving rows per nation, decimal swap "
-    "documented at q1).",
+    "nation, restricted to one region-year. r13 plan (the r12 verdict's "
+    "#2: 16 jobs / 458 MB shuffle write at sf4): the nation-region dim "
+    "chain is resolved DRIVER-SIDE into literal expressions — nation "
+    "and region are spec-bounded constants (25/5 rows at ANY scale "
+    "factor, TPC-H 4.2.3), so one metadata-scale collect (≤25 rows, "
+    "same class as the audited bucket-offset collects) replaces the "
+    "broadcast-exchange prep jobs AND turns the region-year predicate "
+    "into isin() filters that push down to the supplier/customer "
+    "parquet scans (5 of 25 nations survive → both shrink 80% BEFORE "
+    "any join). Join order is re-rooted at the fact table: lineitem ⋈ "
+    "ASIA-supplier first (supplier is the smallest SF-scaled table; "
+    "AQE broadcasts it at bench scale so the 80% lineitem kill costs "
+    "ZERO shuffle, and at cluster scale it degrades to a shuffle of "
+    "the SMALLEST side), then ⋈ year-filtered orders on orderkey "
+    "(shuffles 20% of lineitem instead of 100%), then ⋈ ASIA-customer "
+    "on custkey + the c_nationkey = s_nationkey locality conjunct "
+    "(shuffles ~3% of lineitem). n_name maps in-row from the literal "
+    "map; no join ever touches the dim chain. Revenue sums as integer "
+    "1e-4 units (q1's integer-cents treatment, r10: exact, order-"
+    "independent, no decimal(38) aggregate buffers; per-row ≤ 1e9 → "
+    "long overflow only past ~10^9 surviving rows per nation, decimal "
+    "swap documented at q1). The dim resolution is a DRIVER-SIDE "
+    "pyarrow footer read (tables.read_dim_driver_side — zero Spark "
+    "jobs, Spark-collect fallback for non-local paths), so unlike "
+    "ivf_probe_pinned's eager guard (ADVICE r12 #3) plan-only "
+    "consumers pay no cluster work at all.",
 )
 def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metadata-scale eager step: nation/region are fixed 25/5-row
+    # tables at every SF (TPC-H spec) — resolving the pruned dim
+    # driver-side (zero Spark jobs, pyarrow footer read) removes the
+    # broadcast-prep job chain and unlocks scan-level nationkey
+    # pushdown on BOTH SF-scaled join sides.
+    nations = read_dim_driver_side(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    )
+    asia_rk = {
+        row["r_regionkey"]
+        for row in read_dim_driver_side(
+            spark, sf_dir, "region", ["r_regionkey", "r_name"]
+        )
+        if row["r_name"] == "ASIA"
+    }
+    dim_rows = [row for row in nations if row["n_regionkey"] in asia_rk]
+    asia_keys = sorted(row["n_nationkey"] for row in dim_rows)
+    if dim_rows:
+        name_of = F.create_map(
+            *[
+                F.lit(x)
+                for row in sorted(dim_rows, key=lambda t: t["n_nationkey"])
+                for x in (row["n_nationkey"], row["n_name"])
+            ]
+        )
+    else:  # no ASIA region in this dataset: empty result, typed
+        name_of = F.lit(None).cast("string")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
-    )
+    ).filter(F.col("c_nationkey").isin(asia_keys))
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -236,31 +277,24 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    dim = F.broadcast(
-        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
-            "n_nationkey", "n_name"
-        )
-    )
+    ).filter(F.col("s_nationkey").isin(asia_keys))
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            s,
-            (F.col("l_suppkey") == s["s_suppkey"])
-            & (F.col("c_nationkey") == s["s_nationkey"]),
+            c,
+            (F.col("o_custkey") == c["c_custkey"])
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(
             (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue")
+        )
+        .select(
+            name_of[F.col("s_nationkey")].alias("n_name"), "revenue"
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )

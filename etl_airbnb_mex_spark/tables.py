@@ -39,6 +39,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: (sf_dir, table) -> inferred StructType. Without it, EVERY
+#: spark.read.parquet fires a footer/schema-inference Spark job — a
+#: q5-shaped 6-table query paid 6 scheduling round-trips per run
+#: before any real work (r13, the r12 verdict's q5 16-job finding).
+#: Schema is a catalog fact: infer it once per process per table, then
+#: hand it to the reader so the job disappears. On a real deployment
+#: the schema comes from the metastore/table format and this cache is
+#: the moral equivalent, not an extra consistency risk — the cached
+#: value IS the schema inference returned for that same path earlier
+#: in the process (tests/test_readers.py pins cached == inferred for
+#: every table, events' NANOS column included).
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Applies parity conf (UTC, ANSI off) so every
     query entered through here runs under oracle-identical semantics.
@@ -48,10 +62,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long and is converted to a microsecond timestamp here (truncation,
     matching DuckDB's ns→µs read of the same file)."""
     ensure_parity_conf(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+#: Tables whose row count is fixed by the data spec at EVERY scale
+#: factor (TPC-H 4.2.3: nation = 25, region = 5) — the only tables
+#: eligible for a driver-side read.
+_SPEC_BOUNDED_DIMS = frozenset({"nation", "region"})
+
+
+def read_dim_driver_side(
+    spark: SparkSession, sf_dir: str, name: str, cols: list[str]
+) -> list[dict]:
+    """Read a spec-bounded dimension table on the DRIVER, as plain
+    rows — zero Spark jobs.
+
+    nation/region are catalog-style constants (25/5 rows at any SF);
+    queries that only need them to derive literal filters/maps (q5's
+    region→nation prune) were paying two scheduled Spark jobs per run
+    for what is a metadata lookup. pyarrow reads the footer + one tiny
+    row group in microseconds; if the path is not driver-readable
+    (object-store URI on a real deployment without local pyarrow fs
+    support) it degrades to the Spark collect it replaces. Only
+    ``_SPEC_BOUNDED_DIMS`` are accepted — everything else scales with
+    SF and must stay on the cluster read path.
+    """
+    if name not in _SPEC_BOUNDED_DIMS:
+        raise ValueError(
+            f"{name!r} is not a spec-bounded dim (allowed: "
+            f"{sorted(_SPEC_BOUNDED_DIMS)}); SF-scaled tables must not "
+            "be read driver-side"
+        )
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(table_path(sf_dir, name), columns=cols)
+        cols_data = [t.column(c).to_pylist() for c in cols]
+        return [dict(zip(cols, vals)) for vals in zip(*cols_data)]
+    except (OSError, ImportError, ValueError):
+        return [
+            r.asDict()
+            for r in load_table(spark, sf_dir, name).select(*cols).collect()
+        ]
 
 
 def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -209,6 +209,20 @@ def _time_duckdb(sql: str, sf_dir: str) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
+_PHASE_RUNNER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from etl_airbnb_mex_spark.session import get_spark
+spark = get_spark(app_name="scale-bench-phase-probe")
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+    best = min(best, time.perf_counter() - t0)
+print(round(best, 3))
+"""
+
+
 def _phase_probe(spark) -> dict:
     """Machine-phase stamp recorded onto every row of this tier run:
     the r10 ambient-band finding (same-code walls swinging 2-3x within
@@ -216,14 +230,30 @@ def _phase_probe(spark) -> dict:
     ratio is only interpretable next to the machine speed it was
     measured at. Two fixed micro-benchmarks — a trivial 32-task Spark
     job (the scheduler/task-launch floor) and a fixed single-process
-    DuckDB aggregate — calibrate both engines' phase in ~1 s."""
+    DuckDB aggregate — calibrate both engines' phase in ~1 s.
+
+    ``spark=None`` (the fresh-per-query tiers, ADVICE r12 #2): the
+    Spark floor probe runs in its OWN short-lived subprocess JVM that
+    exits before the measurement subprocess starts — the parent python
+    process never owns a JVM at those tiers, so no second 8g heap is
+    co-resident with the query being measured, and the stamp reflects
+    a JVM configured identically to the one the measurement gets."""
     import duckdb
 
     best_s = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
-        best_s = min(best_s, time.perf_counter() - t0)
+    if spark is None:
+        out = subprocess.run(
+            [sys.executable, "-c", _PHASE_RUNNER.format(repo=REPO)],
+            capture_output=True, text=True, timeout=300,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(out.stderr.strip()[-300:])
+        best_s = float(out.stdout.strip().splitlines()[-1])
+    else:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+            best_s = min(best_s, time.perf_counter() - t0)
     con = duckdb.connect()
     best_d = float("inf")
     for _ in range(2):
@@ -270,7 +300,15 @@ def run_tier(label: str) -> dict:
         n for n in os.environ.get("SCALE_BENCH_ONLY", "").split(",") if n
     }
     fresh_per_query = float(label) >= FRESH_SESSION_SF
-    spark = get_spark(app_name=f"scale-bench-sf{label}")
+    # Fresh-per-query tiers keep the PARENT process JVM-free (ADVICE
+    # r12 #2): the old code held a resident local[32]/8g parent session
+    # for _phase_probe while each measurement ran in its own 8g JVM —
+    # two heaps co-resident during exactly the rows the subprocess
+    # design exists to isolate. The probe now spawns its own
+    # short-lived JVM instead (see _phase_probe).
+    spark = None if fresh_per_query else get_spark(
+        app_name=f"scale-bench-sf{label}"
+    )
     out: dict[str, dict] = {}
     for name in HEAVY:
         if only and name not in only:

@@ -638,6 +638,17 @@ def test_pagerank_rounding_boundary_guard(spark):
     # ON the boundary: the in-plan assert fires with the loud message
     with pytest.raises(SparkRuntimeException, match="boundary hit"):
         run([1.5e-12])
+    # magnitude-aware band (ADVICE r12 #1): at rank ~0.0086 the scaled
+    # value sits near 2^33 where one ulp is ~1.9e-6 grid units — a
+    # two-ulp straddle of the .5 boundary (dist 3.8e-6) passed the old
+    # fixed 1e-6 band silently but is exactly the cross-engine-drift
+    # case the guard exists for. greatest(guard, 4*ulp) must catch it.
+    two_ulp_straddle = float.fromhex("0x1.1979981324ffap-7")
+    with pytest.raises(SparkRuntimeException, match="boundary hit"):
+        run([two_ulp_straddle])
+    # ...while a same-magnitude value CLEAR of the boundary (dist 0.5
+    # vs the widened ~8.9e-6 band) still rounds normally
+    run([0.01])
     # a real run with the guard active completes (same graph as the
     # stability test): the probabilistically-never case stays silent
     edges = spark.createDataFrame(

@@ -283,3 +283,25 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path_factory):
     a = orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
     b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
     assert a == b
+
+
+def test_load_table_schema_cache_matches_inference(spark, sf_dir):
+    """r13: load_table caches the inferred StructType per (sf_dir,
+    table) so repeat reads skip the footer/schema-inference Spark job
+    (a q5-shaped 6-table query paid 6 scheduling round-trips per run).
+    The cached-schema read must be indistinguishable from inference for
+    EVERY table — schema object, dtypes, and a value sample — events'
+    TIMESTAMP(NANOS) column included (it arrives as bigint under
+    nanosAsLong on both paths and converts to µs identically)."""
+    from etl_airbnb_mex_spark import tables as T
+
+    for name in T.TABLE_NAMES:
+        T._SCHEMA_CACHE.pop((sf_dir, name), None)
+        inferred = T.load_table(spark, sf_dir, name)  # populates cache
+        assert (sf_dir, name) in T._SCHEMA_CACHE
+        cached = T.load_table(spark, sf_dir, name)    # schema() path
+        assert cached.schema == inferred.schema, name
+        assert cached.dtypes == inferred.dtypes, name
+        a = inferred.limit(5).collect()
+        b = cached.limit(5).collect()
+        assert a == b, name

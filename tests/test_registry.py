@@ -173,6 +173,10 @@ _SCALAR_BNLJ_OK: set[str] = {
     # identical audited pair of 1-row broadcasts (min/max bucket
     # bounds + total row count for the bin expression)
     "histogram_equidepth",
+    # r13: describe_stats on bucket-select (VERDICT r12 #10) — the
+    # 1-row min/max + total broadcasts plus the 1-row moments ×
+    # 1-row quantiles crossJoin (outliers_iqr was already listed)
+    "describe_stats",
 }
 
 
@@ -235,6 +239,11 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # the ≤4096-row bucket-total frame (per-window check below)
     "filter_quantile",
     "percentiles",  # r10 prefix path: bucket-total window (≤4096 rows)
+    # r13 (VERDICT r12 #10): describe_stats / outliers_iqr moved their
+    # exact quantiles off the percentile() aggregate onto the same
+    # bucket-select path — same ≤4096-row offsets window
+    "describe_stats",
+    "outliers_iqr",
     "flagship_topn_pct",
     "pct_of_total",
     "window_lag_delta",
@@ -285,6 +294,9 @@ _BOUNDED_AXIS_WINDOW_OK: dict[str, str] = {
     "percentiles": "__bkt",
     "histogram_equidepth": "__bkt",
     "roc_auc": "score",
+    # r13: the same bucket-select offsets window (VERDICT r12 #10)
+    "describe_stats": "__bkt",
+    "outliers_iqr": "__bkt",
 }
 
 
