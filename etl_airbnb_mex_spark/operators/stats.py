@@ -286,18 +286,30 @@ def mad_robust(df: DataFrame, col: str) -> DataFrame:
     — the outlier-resistant alternative to mean/stddev for skewed
     distributions (A15's IQR cousin). One row: (median, mad).
 
-    Plan: two chained median aggregates in ONE lazy plan — the first
-    median broadcasts back as a 1-row scalar, deviations are a pure
-    projection, the second median aggregates them. Exact medians for
-    oracle parity; at 100 TB swap both for ``percentile_approx`` (or
-    the sortrank path) — shape unchanged.
+    r13 (the VERDICT r12 #10 class, extended): both medians now run
+    through :func:`exact_percentiles_bucket_select` instead of the
+    ``median()`` aggregate — this was one of the last two registered
+    plans whose memory grew with the column (a per-partition
+    full-value buffer, twice). The first median broadcasts back as a
+    1-row scalar exactly as before; the deviation column is a pure
+    projection the second bucket-select consumes lazily. Exact
+    linear-interpolated medians for oracle parity; memory is
+    shuffle-bounded at any scale.
     """
-    med = df.agg(F.median(col).alias("__med"))
+    med = exact_percentiles_bucket_select(df, col, ps=(0.5,), dp=None)
+    dev = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(med.select(F.col("p50").alias("__med"))))
+        .select(
+            F.col("__med"),
+            F.abs(F.col(col) - F.col("__med")).alias("__ad"),
+        )
+    )
+    madq = exact_percentiles_bucket_select(dev, "__ad", ps=(0.5,), dp=None)
     return (
-        df.crossJoin(F.broadcast(med))
-        .agg(
-            _r(F.first("__med")).alias("median"),
-            _r(F.median(F.abs(F.col(col) - F.col("__med")))).alias("mad"),
+        med.select(_r(F.col("p50")).alias("median"))
+        .crossJoin(
+            F.broadcast(madq.select(_r(F.col("p50")).alias("mad")))
         )
     )
 

@@ -86,6 +86,11 @@ _PRIORITY: tuple[str, ...] = (
     "outliers_iqr",       # r13: same, + keep_n fused count
     "pagerank_parts",     # r13: magnitude-aware rounding guard band
     #                      (ADVICE r12 #1)
+    "join_inner_fk",      # r13: aggregate pushed below the join +
+    #                      SHUFFLE_HASH build (serial broadcast build
+    #                      was 2.25s of the 4.0s sf24 wall)
+    "scalar_stats",       # r13: median re-based on bucket-select
+    "mad_robust",         # r13: both medians re-based on bucket-select
     "approx_distinct",    # VERDICT r12 #5: rows-only provenance was
     #                      r4 — eight rounds stale, the only entry
     #                      predating r8

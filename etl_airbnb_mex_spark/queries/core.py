@@ -381,17 +381,28 @@ def describe_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     "A6 — scalar stats family: mean/median/min/max/sample-std "
-    "(nb:cell9:30-34).",
+    "(nb:cell9:30-34). r13: the median comes from the bucket-select "
+    "plan (stats.exact_percentiles_bucket_select) instead of the "
+    "median() aggregate's per-partition full-value buffer — the same "
+    "OOM-hazard removal as percentiles/describe_stats/outliers_iqr; "
+    "the moments stay one single-pass agg, joined by a 1-row scalar "
+    "broadcast.",
 )
 def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").agg(
+    o = load_table(spark, sf_dir, "orders")
+    moments = o.agg(
         F.round(dsum("o_totalprice") / F.count("o_totalprice"), 6).alias(
             "mean_price"
         ),
-        F.round(F.median("o_totalprice"), 6).alias("median_price"),
         F.round(F.min("o_totalprice"), 6).alias("min_price"),
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
         F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+    )
+    med = stats.exact_percentiles_bucket_select(
+        o, "o_totalprice", ps=(0.5,)
+    ).select(F.col("p50").alias("median_price"))
+    return moments.crossJoin(F.broadcast(med)).select(
+        "mean_price", "median_price", "min_price", "max_price", "std_price"
     )
 
 

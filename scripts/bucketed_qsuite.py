@@ -92,10 +92,17 @@ def build_q5(
     c: DataFrame, o: DataFrame, li: DataFrame, s: DataFrame,
     n: DataFrame, r: DataFrame,
 ) -> DataFrame:
-    """The registered q5 plan (queries/decision.py:226): customer ⋈
-    orders on custkey, ⋈ lineitem on orderkey, supplier + nation/region
-    dims. With o_bkt_ck + c_bkt the custkey join is exchange-free; the
-    lineitem side reads pre-partitioned from li_bkt."""
+    """The r12-registered q5 plan: customer ⋈ orders on custkey,
+    ⋈ lineitem on orderkey, supplier + nation/region dims. With
+    o_bkt_ck + c_bkt the custkey join is exchange-free; the lineitem
+    side reads pre-partitioned from li_bkt. NOTE (r13): the registered
+    q5 moved to a fact-rooted join order with driver-side dim
+    resolution and isin scan pushdown (queries/decision.py) — this
+    builder intentionally keeps the r12 shape so the recorded
+    bucketed_layout rows (6->4 exchanges, 2.23x at sf24) stay
+    interpretable against the plan they measured; the r13 plan's
+    shuffle volume is ~5x smaller per row to begin with (458 MB at
+    sf4 -> 543 MB at sf24)."""
     o = o.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -163,27 +170,34 @@ def build_q9(
 
 
 def build_join_inner_fk(o: DataFrame, c: DataFrame) -> DataFrame:
-    """The registered join_inner_fk plan (queries/extensions.py:63):
-    orders ⋈ customer on custkey + segment rollup. MEASURED TRUTH
-    about the layout here (r12 executed-plan probes at sf4 AND sf24):
-    the column-pruned customer projection (3 narrow columns) stays
-    under the 16 MiB broadcast bound at every tier on disk, so BOTH
-    layouts run the identical BroadcastHashJoin and exchange counts
-    tie (2 = the segment-agg pair) — the recorded 1.8–2.2× bucketed
-    speedups are SCAN-side (the bucketed copy is narrower and sorted),
-    not shuffle elimination. That is itself the right 100 TB lesson:
-    a prunable dimension this small is a broadcast join at any scale,
-    and co-bucketing it buys layout locality, not exchange removal.
-    The custkey co-bucket story is carried by q5, whose
-    customer⋈orders side genuinely drops exchanges (6→4, 2.23× at
-    sf24)."""
+    """The registered join_inner_fk plan (queries/extensions.py — r13
+    form): orders partial-aggregates by o_custkey BELOW the join
+    (aggregate-through-join pushdown), then a SHUFFLE_HASH-hinted join
+    to customer, then the segment rollup. Pre-r13 history (r12
+    executed-plan probes): the old direct-join form ran an identical
+    BroadcastHashJoin on both layouts (the pruned customer projection
+    stays under the 16 MiB bound on disk at every tier), so exchange
+    counts tied at 2 and the recorded 1.8-2.2x bucketed speedups were
+    SCAN-side only. The r13 plan changes the layout story: with
+    orders bucketed on o_custkey the partial agg needs no exchange,
+    and with customer co-bucketed on c_custkey the join needs none
+    either — the bucketed run should drop BOTH data-scale exchanges,
+    leaving only the 5-row segment rollup pair."""
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(cents).alias("__cents"),
+    )
     return (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
+        per_cust.join(
+            c.hint("SHUFFLE_HASH"), F.col("o_custkey") == c["c_custkey"]
+        )
         .groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            (F.sum(cents).cast("double") / F.lit(100.0)).alias("revenue"),
+            F.sum("__cnt").alias("cnt"),
+            (F.sum("__cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
         )
         .orderBy("c_mktsegment")
     )

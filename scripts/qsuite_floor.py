@@ -61,6 +61,10 @@ QUERIES = [
     # wall across 20x data)
     "join_inner_fk",
     "roc_auc",
+    # r13: copurchase_pairs' sf24 ratio ROSE (3.78x sf8 -> 5.59x sf24,
+    # spark wall 14.4 -> 90.9 s on 3x data) — decompose whether the
+    # superlinear growth is shuffle/spill or compute
+    "copurchase_pairs",
 ]
 
 
@@ -101,7 +105,15 @@ def run_tier(spark, sf_dir: str) -> dict:
     app_id = _rest(base, "/applications")[0]["id"]
 
     out: dict[str, dict] = {}
+    # QSUITE_ONLY=a,b restricts the run — at sf24+ the queries must
+    # NOT share one 8g session (the r12 contamination finding), so
+    # big-tier decompositions run one query per invocation
+    only = {
+        n for n in os.environ.get("QSUITE_ONLY", "").split(",") if n
+    }
     for name in QUERIES:
+        if only and name not in only:
+            continue
         spec = REGISTRY[name]
         spec.spark(spark, sf_dir).toPandas()  # warm JIT/codegen/footers
         sc.setJobGroup(name, name)
@@ -193,7 +205,11 @@ def main() -> None:
         "[submission, completion] intervals = driver planning / AQE "
         "re-optimization / Py4J time between jobs."
     )
-    qf.setdefault("tiers", {}).update(tiers)
+    # per-query merge inside each tier: a QSUITE_ONLY run must not
+    # clobber the tier's previously-measured rows
+    qt = qf.setdefault("tiers", {})
+    for tier, rows in tiers.items():
+        qt.setdefault(tier, {}).update(rows)
     with open(path, "w") as f:
         json.dump(sidecar, f, separators=(",", ":"))
     print(json.dumps({"qsuite_floor": tiers}, indent=1))

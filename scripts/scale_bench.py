@@ -99,6 +99,11 @@ HEAVY = [
     "percentiles",
     "percentile_by_group",
     "histogram_equidepth",
+    # r13: outliers_iqr re-registered on the bucket-select path
+    # (VERDICT r12 #10) — its sf0.1 wall rose 0.57 -> ~1.0 s for the
+    # OOM-hazard removal; the scale rows carry the crossover argument
+    # exactly as percentiles' did in r12
+    "outliers_iqr",
 ]
 
 
@@ -214,8 +219,14 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from etl_airbnb_mex_spark.session import get_spark
 spark = get_spark(app_name="scale-bench-phase-probe")
+# warm the scheduler/codegen first: this JVM is COLD (it exists only
+# for the probe), while the historical floor32 band (clean <= ~0.15)
+# was calibrated in warm parent JVMs — without warmup the stamp reads
+# the JIT, not the machine
+for _ in range(4):
+    spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
 best = float("inf")
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
     spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
     best = min(best, time.perf_counter() - t0)

@@ -177,6 +177,9 @@ _SCALAR_BNLJ_OK: set[str] = {
     # 1-row min/max + total broadcasts plus the 1-row moments ×
     # 1-row quantiles crossJoin (outliers_iqr was already listed)
     "describe_stats",
+    # r13: scalar_stats' median moved onto the same bucket-select
+    # path — same 1-row broadcast pattern (mad_robust already listed)
+    "scalar_stats",
 }
 
 
@@ -244,6 +247,11 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # bucket-select path — same ≤4096-row offsets window
     "describe_stats",
     "outliers_iqr",
+    # r13 extension of the same class: the last two registered GLOBAL
+    # percentile/median-buffer plans (scalar_stats' median, mad_robust's
+    # two chained medians) re-based on bucket-select
+    "scalar_stats",
+    "mad_robust",
     "flagship_topn_pct",
     "pct_of_total",
     "window_lag_delta",
@@ -297,6 +305,8 @@ _BOUNDED_AXIS_WINDOW_OK: dict[str, str] = {
     # r13: the same bucket-select offsets window (VERDICT r12 #10)
     "describe_stats": "__bkt",
     "outliers_iqr": "__bkt",
+    "scalar_stats": "__bkt",
+    "mad_robust": "__bkt",
 }
 
 
