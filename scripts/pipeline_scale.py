@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Pipeline throughput at real tiers (VERDICT r12 #7).
+
+The 191k rows/s headline is measured at the sf0.1-equivalent input
+(100k listings + 200k reviews = 300k rows in a 1.6 s wall — half of it
+fixed cost), which flatters neither direction: fixed costs inflate the
+denominator while the tiny input never exercises the shuffle/write
+path at depth. This script re-runs bench._pipeline_throughput at
+sf4/sf8-equivalent row counts (x40 / x80 the sf0.1 synthetic input,
+matching the scale factors' lineitem row multiples) so the
+10x-over-baseline claim has an anchor where fixed costs are amortized.
+
+Methodology: ONE python+JVM subprocess per tier (the r12 isolation
+discipline — nothing else shares the heap), a 32-task scheduler floor
+probe INSIDE the measuring JVM immediately before the run (the phase
+stamp reflects the process that produced the number, ADVICE r12 #2),
+and bench.py's own convergence rule (min of passes until the
+second-best is within 10%). Results merge per-row into
+BENCH_SIDECAR.json under "pipeline_scale".
+
+Usage: python scripts/pipeline_scale.py [tier ...]   # default: 4 8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: tier -> (n_listings, n_reviews): x40/x80 the sf0.1-equivalent
+#: 100k/200k input, tracking the data generator's linear row scaling
+TIERS = {
+    "sf4": (4_000_000, 8_000_000),
+    "sf8": (8_000_000, 16_000_000),
+}
+
+_RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import bench
+from etl_airbnb_mex_spark.session import get_spark
+spark = get_spark(app_name="pipeline-scale-" + {tier!r})
+# in-JVM scheduler-floor probe: stamps THIS process's machine phase
+floor = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+    floor = min(floor, time.perf_counter() - t0)
+res = bench._pipeline_throughput(
+    spark, n_listings={nl}, n_reviews={nr}
+)
+res["spark_floor32_sec"] = round(floor, 3)
+print("PIPELINE_JSON " + json.dumps(res))
+"""
+
+
+def main() -> None:
+    tiers = sys.argv[1:] or ["4", "8"]
+    out: dict[str, dict] = {}
+    for t in tiers:
+        tier = f"sf{t}" if not t.startswith("sf") else t
+        nl, nr = TIERS[tier]
+        print(f"# measuring {tier}: {nl + nr} input rows",
+              file=sys.stderr, flush=True)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             _RUNNER.format(repo=REPO, tier=tier, nl=nl, nr=nr)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-500:], file=sys.stderr)
+            continue
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("PIPELINE_JSON ")][-1]
+        row = json.loads(line[len("PIPELINE_JSON "):])
+        out[tier] = row
+        print(f"# {tier}: {row}", file=sys.stderr, flush=True)
+        # merge immediately (crash-proof, scale_bench convention)
+        path = os.path.join(REPO, "BENCH_SIDECAR.json")
+        with open(path) as f:
+            sidecar = json.load(f)
+        ps = sidecar.setdefault("pipeline_scale", {})
+        ps["method"] = (
+            "scripts/pipeline_scale.py: bench._pipeline_throughput at "
+            "x40/x80 the sf0.1 synthetic input, one fresh python+JVM "
+            "subprocess per tier, in-JVM 32-task floor probe as the "
+            "phase stamp, bench.py convergence rule (min of passes "
+            "until 2nd-best within 10%)."
+        )
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10, cwd=REPO,
+            ).stdout.strip()
+        except (OSError, subprocess.SubprocessError):
+            head = "unknown"
+        ps["commit"] = head
+        ps[tier] = row
+        with open(path, "w") as f:
+            json.dump(sidecar, f, separators=(",", ":"))
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
