@@ -294,6 +294,32 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Machine-phase stamp (r13): the ambient band swings same-code
+    # walls 2-5x within a day (scale_trend.notes.ambient_band_r10), so
+    # a recorded bench is only comparable to another at a known phase.
+    # Same two fixed probes as scale_bench._phase_probe: the 32-task
+    # scheduler floor (clean <= ~0.15s in a warm JVM) and a fixed
+    # single-process DuckDB aggregate.
+    import duckdb as _duckdb
+
+    _floor = float("inf")
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+        _floor = min(_floor, time.perf_counter() - _t0)
+    _con = _duckdb.connect()
+    _duck = float("inf")
+    for _ in range(2):
+        _t0 = time.perf_counter()
+        _con.execute("SELECT sum(i * 3 % 7) FROM range(10000000) t(i)").fetchall()
+        _duck = min(_duck, time.perf_counter() - _t0)
+    _con.close()
+    phase = {
+        "spark_floor32_sec": round(_floor, 3),
+        "duckdb_10m_agg_sec": round(_duck, 3),
+    }
+    print(f"# phase: {phase}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     query_errors: dict[str, str] = {}
     # Three passes: pass 0 warms JIT/codegen/page cache (standard
@@ -383,6 +409,7 @@ def main() -> None:
         "oracle": oracle_timings,
         "pipeline": pipeline,
         "bench_commit": head,
+        "bench_phase": phase,
         "sf": sf,
     }
     if query_errors:
