@@ -314,9 +314,18 @@ def main() -> None:
         _con.execute("SELECT sum(i * 3 % 7) FROM range(10000000) t(i)").fetchall()
         _duck = min(_duck, time.perf_counter() - _t0)
     _con.close()
+    try:
+        with open("/proc/loadavg") as _f:
+            _load1, _load5 = _f.read().split()[:2]
+    except OSError:
+        _load1 = _load5 = None
     phase = {
         "spark_floor32_sec": round(_floor, 3),
         "duckdb_10m_agg_sec": round(_duck, 3),
+        # host/neighbor contention the latency probes cannot see
+        # (firecracker steal): 1- and 5-min load averages
+        "loadavg_1m": _load1,
+        "loadavg_5m": _load5,
     }
     print(f"# phase: {phase}", file=sys.stderr)
 

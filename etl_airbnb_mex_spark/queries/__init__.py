@@ -91,6 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     #                      was 2.25s of the 4.0s sf24 wall)
     "scalar_stats",       # r13: median re-based on bucket-select
     "mad_robust",         # r13: both medians re-based on bucket-select
+    "q9_product_margin",  # r13: margin computed before the orderkey
+    #                      exchange (24B vs 48B rows), int-year orders
+    #                      projection
     "approx_distinct",    # VERDICT r12 #5: rows-only provenance was
     #                      r4 — eight rounds stale, the only entry
     #                      predating r8

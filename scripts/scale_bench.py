@@ -274,9 +274,19 @@ def _phase_probe(spark) -> dict:
         ).fetchall()
         best_d = min(best_d, time.perf_counter() - t0)
     con.close()
+    try:
+        with open("/proc/loadavg") as f:
+            load1, load5 = f.read().split()[:2]
+    except OSError:
+        load1 = load5 = None
     return {
         "spark_floor32_sec": round(best_s, 3),
         "duckdb_10m_agg_sec": round(best_d, 3),
+        # host/neighbor contention the latency probes cannot see
+        # (r13: a clean 0.116 floor coexisted with loadavg 5 and a
+        # +14% wall band)
+        "loadavg_1m": load1,
+        "loadavg_5m": load5,
     }
 
 
