@@ -256,15 +256,18 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_rows = [row for row in nations if row["n_regionkey"] in asia_rk]
     asia_keys = sorted(row["n_nationkey"] for row in dim_rows)
     if dim_rows:
-        name_of = F.create_map(
+        name_expr = F.create_map(
             *[
                 F.lit(x)
                 for row in sorted(dim_rows, key=lambda t: t["n_nationkey"])
                 for x in (row["n_nationkey"], row["n_name"])
             ]
-        )
-    else:  # no ASIA region in this dataset: empty result, typed
-        name_of = F.lit(None).cast("string")
+        )[F.col("s_nationkey")]
+    else:
+        # no ASIA region in this dataset: the isin([]) filters already
+        # make the result empty; the name column must still be a plain
+        # typed literal (indexing a non-map literal fails analysis)
+        name_expr = F.lit(None).cast("string")
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     ).filter(F.col("c_nationkey").isin(asia_keys))
@@ -294,7 +297,7 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue")
         )
         .select(
-            name_of[F.col("s_nationkey")].alias("n_name"), "revenue"
+            name_expr.alias("n_name"), "revenue"
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )

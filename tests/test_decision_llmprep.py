@@ -359,3 +359,44 @@ def test_chunker_property_matches_python_model(spark):
             assert row["chunk_md5"] == hashlib.md5(
                 " ".join(chunk).encode()
             ).hexdigest()
+
+
+def test_q5_no_asia_region_yields_empty_not_crash(spark, tmp_path):
+    """r13 regression: the driver-side dim resolution must degrade to
+    an EMPTY result (typed n_name string) when no region named ASIA
+    exists — the no-match branch builds a plain NULL literal, because
+    indexing an empty create_map (or a non-map literal) fails
+    analysis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": ["EUROPE"],
+    }), f"{sf}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1], pa.int32()),
+        "n_name": ["FRANCE"],
+        "n_regionkey": pa.array([0], pa.int32()),
+    }), f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(1, 1)], "c_custkey long, c_nationkey int"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, "1997-06-01")], "o_orderkey long, o_custkey long, d string"
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "cast(d as timestamp) as o_orderdate"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 1, 100.0, 0.1)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 1)], "s_suppkey long, s_nationkey int"
+    ).write.parquet(f"{sf}/supplier.parquet")
+
+    pdf = _run(spark, sf, "q5_local_supplier_volume")
+    assert len(pdf) == 0
+    assert list(pdf.columns) == ["n_name", "revenue"]
