@@ -305,3 +305,25 @@ def test_load_table_schema_cache_matches_inference(spark, sf_dir):
         a = inferred.limit(5).collect()
         b = cached.limit(5).collect()
         assert a == b, name
+
+
+def test_read_dim_driver_side_guards_and_matches_spark(spark, sf_dir):
+    """r13: the driver-side dim read is allowed ONLY for spec-bounded
+    tables (nation/region, fixed 25/5 rows at any SF); an SF-scaled
+    table must raise. The pyarrow rows must equal the Spark read."""
+    import pytest as _pytest
+
+    from etl_airbnb_mex_spark.tables import load_table, read_dim_driver_side
+
+    rows = read_dim_driver_side(
+        spark, sf_dir, "nation", ["n_nationkey", "n_name"]
+    )
+    via_spark = {
+        (r["n_nationkey"], r["n_name"])
+        for r in load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name").collect()
+    }
+    assert {(r["n_nationkey"], r["n_name"]) for r in rows} == via_spark
+    assert 0 < len(rows) <= 25
+    with _pytest.raises(ValueError, match="spec-bounded"):
+        read_dim_driver_side(spark, sf_dir, "customer", ["c_custkey"])
