@@ -37,6 +37,73 @@ def _git_head() -> str:
         # the run after all measurements completed.
         return "unknown"
 
+#: Clean-phase bounds (VERDICT r13 #1): a recorded bench is defensible
+#: only when the machine phase around it is known-clean. Floor/duck are
+#: instantaneous probes taken around the measured passes; loadavg is
+#: only meaningful AMBIENT (before any 32-thread bench work — r13's
+#: recorded stamp read loadavg 2.96 right after the pipeline phase,
+#: where self-load and neighbor steal are indistinguishable).
+_CLEAN_FLOOR32 = float(os.environ.get("SPARK_GRAFT_CLEAN_FLOOR", "0.17"))
+_CLEAN_DUCK = float(os.environ.get("SPARK_GRAFT_CLEAN_DUCK", "0.15"))
+_CLEAN_LOAD1 = float(os.environ.get("SPARK_GRAFT_CLEAN_LOAD1", "2.0"))
+#: Max seconds to wait pre-run for ambient contention to pass, and max
+#: extra recorded passes to take when a pass bracket reads dirty.
+_PHASE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_PHASE_WAIT_SEC", "240"))
+_MAX_EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_PASSES", "2"))
+
+
+def _phase_probe(spark, with_loadavg: bool = True) -> dict:
+    """Machine-phase stamp (r13): the ambient band swings same-code
+    walls 2-5x within a day, so a recorded bench is only comparable to
+    another at a known phase. Same two fixed probes as
+    scale_bench._phase_probe: the 32-task scheduler floor (clean
+    <= ~0.15s in a warm JVM) and a fixed single-process DuckDB
+    aggregate (CPU-steal signal the scheduler floor can miss)."""
+    import duckdb as _duckdb
+
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
+        floor = min(floor, time.perf_counter() - t0)
+    con = _duckdb.connect()
+    duck = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute("SELECT sum(i * 3 % 7) FROM range(10000000) t(i)").fetchall()
+        duck = min(duck, time.perf_counter() - t0)
+    con.close()
+    probe = {
+        "spark_floor32_sec": round(floor, 3),
+        "duckdb_10m_agg_sec": round(duck, 3),
+    }
+    if with_loadavg:
+        try:
+            with open("/proc/loadavg") as f:
+                load1, load5 = f.read().split()[:2]
+        except OSError:
+            load1 = load5 = None
+        probe["loadavg_1m"] = load1
+        probe["loadavg_5m"] = load5
+    return probe
+
+
+def _probe_is_clean(p: dict, gate_loadavg: bool = False) -> bool:
+    """Instant-probe cleanliness; loadavg gates only when the probe is
+    known-ambient (post-start loadavg is polluted by our own 32-thread
+    passes and would read dirty forever)."""
+    ok = (
+        p["spark_floor32_sec"] <= _CLEAN_FLOOR32
+        and p["duckdb_10m_agg_sec"] <= _CLEAN_DUCK
+    )
+    if gate_loadavg and p.get("loadavg_1m") is not None:
+        try:
+            ok = ok and float(p["loadavg_1m"]) < _CLEAN_LOAD1
+        except ValueError:
+            pass
+    return ok
+
+
 #: Headline set: one per operator family (SURVEY.md §2) — scan+agg+window,
 #: joins incl. as-of, event windows, dedup (exact + minhash), text, vector.
 HEADLINE = [
@@ -279,6 +346,29 @@ def main() -> None:
         if os.path.exists(path):
             spark.read.parquet(path).count()
 
+    # Clean-phase gate, part 1 (VERDICT r13 #1): probe AMBIENT phase
+    # before any heavy bench work — the only moment loadavg separates
+    # neighbor contention from our own 32 threads — and wait it out
+    # (bounded) rather than record a number the stamp itself calls
+    # contended. Every sample is kept for the sidecar band.
+    phase_samples: list[dict] = []
+    waited = 0.0
+    ambient = _phase_probe(spark)
+    ambient["at"] = "ambient"
+    phase_samples.append(ambient)
+    while (
+        not _probe_is_clean(ambient, gate_loadavg=True)
+        and waited < _PHASE_WAIT_SEC
+    ):
+        print(f"# phase dirty, waiting 20s (waited {waited:.0f}s): "
+              f"{ambient}", file=sys.stderr)
+        time.sleep(20)
+        waited += 20
+        ambient = _phase_probe(spark)
+        ambient["at"] = "ambient"
+        phase_samples.append(ambient)
+    ambient_clean = _probe_is_clean(ambient, gate_loadavg=True)
+
     # Pipeline throughput runs FIRST, before the ~100-query headline
     # loop: measured after the loop it tracked the grown JVM heap /
     # code-cache state of whatever the registry did that round (r6→r8
@@ -294,50 +384,10 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Machine-phase stamp (r13): the ambient band swings same-code
-    # walls 2-5x within a day (scale_trend.notes.ambient_band_r10), so
-    # a recorded bench is only comparable to another at a known phase.
-    # Same two fixed probes as scale_bench._phase_probe: the 32-task
-    # scheduler floor (clean <= ~0.15s in a warm JVM) and a fixed
-    # single-process DuckDB aggregate.
-    import duckdb as _duckdb
-
-    _floor = float("inf")
-    for _ in range(3):
-        _t0 = time.perf_counter()
-        spark.range(0, 32 * 1000, 1, 32).selectExpr("sum(id)").collect()
-        _floor = min(_floor, time.perf_counter() - _t0)
-    _con = _duckdb.connect()
-    _duck = float("inf")
-    for _ in range(2):
-        _t0 = time.perf_counter()
-        _con.execute("SELECT sum(i * 3 % 7) FROM range(10000000) t(i)").fetchall()
-        _duck = min(_duck, time.perf_counter() - _t0)
-    _con.close()
-    try:
-        with open("/proc/loadavg") as _f:
-            _load1, _load5 = _f.read().split()[:2]
-    except OSError:
-        _load1 = _load5 = None
-    phase = {
-        "spark_floor32_sec": round(_floor, 3),
-        "duckdb_10m_agg_sec": round(_duck, 3),
-        # host/neighbor contention the latency probes cannot see
-        # (firecracker steal): 1- and 5-min load averages
-        "loadavg_1m": _load1,
-        "loadavg_5m": _load5,
-    }
-    print(f"# phase: {phase}", file=sys.stderr)
-
     timings: dict[str, float] = {}
     query_errors: dict[str, str] = {}
-    # Three passes: pass 0 warms JIT/codegen/page cache (standard
-    # steady-state benchmarking; the DuckDB oracle likewise benefits from
-    # a warm OS cache); the recorded number is the MIN of passes 1-2 —
-    # ambient sandbox contention was measured to swing identical code
-    # 2-3x between clean runs (VERDICT.md r2 "Performance"), and min-of-2
-    # reports steady-state capability instead of scheduler luck.
-    for recorded in (False, True, True):
+
+    def _headline_pass(recorded: bool) -> None:
         for name in HEADLINE:
             if name in query_errors:
                 continue  # already failed in an earlier pass
@@ -364,7 +414,74 @@ def main() -> None:
                 timings[name] = round(
                     elapsed if prev is None else min(prev, elapsed), 3
                 )
-                print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+                print(f"# {name}: {elapsed:.3f}s ({n} rows)",
+                      file=sys.stderr)
+
+    # Three passes: pass 0 warms JIT/codegen/page cache (standard
+    # steady-state benchmarking; the DuckDB oracle likewise benefits from
+    # a warm OS cache); the recorded number is the MIN of passes 1-2 —
+    # ambient sandbox contention was measured to swing identical code
+    # 2-3x between clean runs (VERDICT.md r2 "Performance"), and min-of-2
+    # reports steady-state capability instead of scheduler luck.
+    #
+    # Clean-phase gate, part 2 (VERDICT r13 #1): the recorded passes
+    # are BRACKETED by instant probes (floor + duck only — loadavg is
+    # self-polluted from here on). A dirty bracket triggers up to
+    # _MAX_EXTRA_PASSES more recorded passes, each bracketed, until a
+    # clean bracket lands; min-of-passes then naturally prefers the
+    # clean sample. All probes are recorded in the sidecar.
+    _headline_pass(False)
+    pre = _phase_probe(spark, with_loadavg=False)
+    pre["at"] = "pre_pass"
+    phase_samples.append(pre)
+    _headline_pass(True)
+    _headline_pass(True)
+    post = _phase_probe(spark, with_loadavg=False)
+    post["at"] = "post_pass"
+    phase_samples.append(post)
+    bracket_clean = _probe_is_clean(pre) and _probe_is_clean(post)
+    extra_passes = 0
+    while (
+        not (ambient_clean and bracket_clean)
+        and extra_passes < _MAX_EXTRA_PASSES
+    ):
+        extra_passes += 1
+        print(f"# bracket dirty (ambient_clean={ambient_clean}), extra "
+              f"recorded pass {extra_passes}", file=sys.stderr)
+        pre = _phase_probe(spark)
+        pre["at"] = f"pre_extra_{extra_passes}"
+        phase_samples.append(pre)
+        _headline_pass(True)
+        post = _phase_probe(spark, with_loadavg=False)
+        post["at"] = f"post_extra_{extra_passes}"
+        phase_samples.append(post)
+        bracket_clean = _probe_is_clean(pre) and _probe_is_clean(post)
+        if bracket_clean:
+            # an extra bracket proves the instant phase; ambient
+            # loadavg (pre-run) stays recorded but a clean bracketed
+            # re-pass supersedes a dirty pre-run ambient wait-out
+            ambient_clean = True
+    run_clean = ambient_clean and bracket_clean
+    phase = {
+        # canonical stamp fields (consumers: VERDICT, scale notes) —
+        # the WORST of the bracket actually covering the recorded
+        # passes, plus the ambient loadavg (the only honest one)
+        "spark_floor32_sec": max(
+            pre["spark_floor32_sec"], post["spark_floor32_sec"]
+        ),
+        "duckdb_10m_agg_sec": max(
+            pre["duckdb_10m_agg_sec"], post["duckdb_10m_agg_sec"]
+        ),
+        "loadavg_1m": ambient.get("loadavg_1m"),
+        "loadavg_5m": ambient.get("loadavg_5m"),
+        "loadavg_is_ambient": True,
+        "clean": run_clean,
+        "extra_passes": extra_passes,
+        "samples": phase_samples,
+    }
+    if not run_clean:
+        phase["all_samples_contended"] = True
+    print(f"# phase: {phase}", file=sys.stderr)
     total = sum(timings.values())
 
     # DuckDB oracle wall clocks for the same headline set (two passes,
@@ -374,7 +491,10 @@ def main() -> None:
 
     con = duckdb_connection(SF_DIR)
     oracle_timings: dict[str, float] = {}
-    for recorded in (False, True, True):
+    # a dirty run gets the oracle the same extra-pass courtesy — a
+    # contended oracle denominator flatters the spark/oracle ratio
+    oracle_passes = (False, True, True) + (True,) * extra_passes
+    for recorded in oracle_passes:
         for name in HEADLINE:
             spec = REGISTRY[name]
             if spec.oracle is None or f"oracle:{name}" in query_errors:
@@ -457,6 +577,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(timings),
                 "queries_full": "BENCH_SIDECAR.json:spark",
+                "phase_clean": run_clean,
                 "pipeline_rows_per_sec": pipeline["rows_per_sec"],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },

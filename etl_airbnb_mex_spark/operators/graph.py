@@ -71,8 +71,16 @@ def _boundary_guarded_round(value: Column, dp: int, guard: float) -> Column:
     # floor for small ranks and widens to k ulps where the grid-unit
     # band drops below what double resolution can represent.
     ulp_grid = F.abs(scaled) * F.lit(2.0 ** -52)
-    guard_eff = F.greatest(
-        F.lit(float(guard)), F.lit(_GUARD_ULPS) * ulp_grid
+    # Clamp to 0.25 (ADVICE r13 #3): dist ranges over [0, 0.5], so an
+    # unbounded ulp band would exceed the maximum attainable distance
+    # once |scaled| > ~1.1e15/_GUARD_ULPS and the assert would fire
+    # unconditionally. Past |scaled| = 2^52 pmod(scaled, 1) is
+    # identically 0 (dist = 0.5 >= 0.25 — always passes), which is the
+    # right answer there: a double that large has no fractional part,
+    # so rounding is the identity and no boundary straddle exists.
+    guard_eff = F.least(
+        F.greatest(F.lit(float(guard)), F.lit(_GUARD_ULPS) * ulp_grid),
+        F.lit(0.25),
     )
     ok = F.assert_true(
         dist >= guard_eff,

@@ -21,7 +21,7 @@ def _r(c: Column, dp: int = ROUND_DP) -> Column:
     return F.round(c, dp)
 
 
-def _pcts(col: str, ps: tuple[float, ...], approx: bool) -> Column:
+def _pcts(col: str | Column, ps: tuple[float, ...], approx: bool) -> Column:
     """ONE percentile aggregate for all cut points: each F.percentile call
     buffers the full column independently, so k separate calls cost k
     sort buffers — the array form costs one (measured 15.2 s → one-pass
@@ -946,11 +946,26 @@ def iqr_outliers(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
     fence arithmetic is bit-identical to the oracle's
     quantile_cont-derived bounds; ``approx=True`` keeps the one-pass
     ``percentile_approx`` sketch.
+
+    r14 (ADVICE r13 #1): the outlier filter excludes NaN on float
+    columns — Spark's total ordering places NaN above every double, so
+    ``c > hi`` was true for NaN rows while the keep_n denominator (per
+    the r11 NaN-as-missing contract, matching pandas) excludes them;
+    the numerator now describes the same NaN-free population as the
+    denominator, and the approx path's ``total`` is aligned to the
+    same contract.
     """
+    c = F.col(col)
+    is_float = df.schema[col].dataType.typeName() in ("float", "double")
+    not_nan = (~F.isnan(c)) if is_float else F.lit(True)
+    # NaN-masked view of the column: the approx quantiles AND the pct
+    # denominator both skip NaN (NaN ranks above every double, so an
+    # unmasked percentile_approx inflates q3 on NaN-bearing columns).
+    masked = F.when(not_nan, c) if is_float else c
     if approx:
         qq = df.agg(
-            _pcts(col, (0.25, 0.75), approx).alias("__q"),
-            F.count(col).alias("total"),
+            _pcts(masked, (0.25, 0.75), approx).alias("__q"),
+            F.count(masked).alias("total"),
         ).select(
             F.element_at("__q", 1).alias("q1"),
             F.element_at("__q", 2).alias("q3"),
@@ -977,10 +992,9 @@ def iqr_outliers(df: DataFrame, col: str, approx: bool = False) -> DataFrame:
         (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
     )
     # q is a 1-row frame: the crossJoin is a broadcast of scalars.
-    c = F.col(col)
     return (
         df.crossJoin(F.broadcast(q))
-        .filter((c < F.col("lo")) | (c > F.col("hi")))
+        .filter(((c < F.col("lo")) | (c > F.col("hi"))) & not_nan)
         .agg(
             F.count(F.lit(1)).alias("outlier_count"),
             _r(F.first("q1")).alias("q1"),

@@ -49,8 +49,22 @@ def table_path(sf_dir: str, name: str) -> str:
 #: the moral equivalent, not an extra consistency risk — the cached
 #: value IS the schema inference returned for that same path earlier
 #: in the process (tests/test_readers.py pins cached == inferred for
-#: every table, events' NANOS column included).
-_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+#: every table, events' NANOS column included). The key includes the
+#: file's (mtime_ns, size) so an in-process regeneration of the same
+#: path with a different schema re-infers instead of silently reading
+#: NULLs through a stale user-supplied schema (ADVICE r13 #2 — the
+#: wiped-.scaledata regen workflow rewrites files in place).
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
+
+
+def _schema_cache_key(sf_dir: str, name: str) -> tuple:
+    try:
+        st = os.stat(table_path(sf_dir, name))
+        return (sf_dir, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # Non-local fs (object-store URI): no driver-side stat; fall
+        # back to the path key — those paths are immutable deployments.
+        return (sf_dir, name)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,7 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long and is converted to a microsecond timestamp here (truncation,
     matching DuckDB's ns→µs read of the same file)."""
     ensure_parity_conf(spark)
-    key = (sf_dir, name)
+    key = _schema_cache_key(sf_dir, name)
     cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         df = spark.read.schema(cached).parquet(table_path(sf_dir, name))

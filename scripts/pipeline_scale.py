@@ -73,9 +73,16 @@ def main() -> None:
         if r.returncode != 0:
             print(r.stderr[-500:], file=sys.stderr)
             continue
-        line = [ln for ln in r.stdout.splitlines()
-                if ln.startswith("PIPELINE_JSON ")][-1]
-        row = json.loads(line[len("PIPELINE_JSON "):])
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("PIPELINE_JSON ")]
+        if not lines:
+            # Exit 0 but no marker (truncated/polluted stdout): skip the
+            # tier like the nonzero-returncode branch instead of dying
+            # on [-1] and aborting the remaining tiers (ADVICE r13 #4).
+            print(f"# {tier}: no PIPELINE_JSON marker in stdout; "
+                  f"stderr tail: {r.stderr[-500:]}", file=sys.stderr)
+            continue
+        row = json.loads(lines[-1][len("PIPELINE_JSON "):])
         out[tier] = row
         print(f"# {tier}: {row}", file=sys.stderr, flush=True)
         # merge immediately (crash-proof, scale_bench convention)

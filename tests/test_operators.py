@@ -649,6 +649,14 @@ def test_pagerank_rounding_boundary_guard(spark):
     # ...while a same-magnitude value CLEAR of the boundary (dist 0.5
     # vs the widened ~8.9e-6 band) still rounds normally
     run([0.01])
+    # clamp (ADVICE r13 #3): at |scaled| ~1e16 the 4-ulp band would
+    # exceed the max attainable dist of 0.5 and fire unconditionally;
+    # with the 0.25 clamp a large value clear of any .5 straddle
+    # (1e4.25 at dp=12 -> scaled 2.5e15, frac representable, dist 0.25
+    # ... use an exactly-representable integer: frac 0, dist 0.5)
+    # rounds as the identity instead of aborting.
+    big = run([12345.0, 2.0 ** 53])
+    assert [r["r"] for r in big] == [12345.0, 2.0 ** 53]
     # a real run with the guard active completes (same graph as the
     # stability test): the probabilistically-never case stays silent
     edges = spark.createDataFrame(
@@ -1632,6 +1640,36 @@ def test_percentiles_nan_is_missing_on_every_method(spark):
     # sortrank path agrees too (eager, returns the same wide frame)
     row = percentiles(df, "v", ps=(0.5, 0.99), method="sortrank").collect()[0]
     assert row["p50"] == 50.5 and abs(row["p99"] - 99.01) < 1e-9
+
+
+def test_iqr_outliers_nan_excluded_from_both_sides(spark):
+    """ADVICE r13 #1: Spark orders NaN above every double, so NaN rows
+    satisfied `c > hi` while the keep_n denominator excluded them —
+    numerator and denominator described different populations. The
+    contract (r11 NaN-as-missing, matching pandas skipna) is that NaN
+    is invisible to the whole summary: 10 normals + 1 true outlier +
+    3 NaN must report count=1, pct=1/11, and a finite outlier_max."""
+    import math
+
+    from etl_airbnb_mex_spark.operators.stats import iqr_outliers
+
+    nan = float("nan")
+    vals = [float(i) for i in range(1, 11)] + [1000.0] + [nan] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for approx in (False, True):
+        row = iqr_outliers(df, "v", approx=approx).collect()[0]
+        assert row["outlier_count"] == 1, (approx, row)
+        assert abs(row["outlier_pct"] - 100.0 / 11.0) < 0.01, (approx, row)
+        assert row["outlier_max"] == 1000.0 and not math.isnan(
+            row["outlier_max"]
+        ), (approx, row)
+    # non-float columns skip the isnan guard entirely (isnan is
+    # undefined for ints) and still work
+    dfi = spark.createDataFrame(
+        [(i,) for i in range(1, 11)] + [(1000,)], "v int"
+    )
+    row = iqr_outliers(dfi, "v").collect()[0]
+    assert row["outlier_count"] == 1
 
 
 # ---------------------------------------------------------------------------

@@ -296,15 +296,44 @@ def test_load_table_schema_cache_matches_inference(spark, sf_dir):
     from etl_airbnb_mex_spark import tables as T
 
     for name in T.TABLE_NAMES:
-        T._SCHEMA_CACHE.pop((sf_dir, name), None)
+        key = T._schema_cache_key(sf_dir, name)
+        T._SCHEMA_CACHE.pop(key, None)
         inferred = T.load_table(spark, sf_dir, name)  # populates cache
-        assert (sf_dir, name) in T._SCHEMA_CACHE
+        assert key in T._SCHEMA_CACHE
         cached = T.load_table(spark, sf_dir, name)    # schema() path
         assert cached.schema == inferred.schema, name
         assert cached.dtypes == inferred.dtypes, name
         a = inferred.limit(5).collect()
         b = cached.limit(5).collect()
         assert a == b, name
+
+
+def test_load_table_schema_cache_invalidates_on_regen(spark, tmp_path):
+    """ADVICE r13 #2: the cache key carries the file's (mtime_ns,
+    size), so regenerating a table at the same path with a DIFFERENT
+    schema re-infers instead of reading NULLs through the stale
+    user-supplied schema (spark.read.schema() is not validated against
+    the parquet footer)."""
+    import os
+    import time
+
+    from etl_airbnb_mex_spark import tables as T
+
+    sf_dir = str(tmp_path)
+    p = T.table_path(sf_dir, "nation")
+    spark.range(3).selectExpr("id AS n_nationkey").toPandas().to_parquet(p)
+    first = T.load_table(spark, sf_dir, "nation")
+    assert first.columns == ["n_nationkey"]
+    # regenerate in place with a renamed column; nudge mtime so the
+    # key is provably different even on coarse-mtime filesystems
+    spark.range(3).selectExpr(
+        "id AS n_nationkey2", "id * 2 AS extra"
+    ).toPandas().to_parquet(p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    again = T.load_table(spark, sf_dir, "nation")
+    assert set(again.columns) == {"n_nationkey2", "extra"}
+    assert again.filter("n_nationkey2 IS NULL").count() == 0
 
 
 def test_read_dim_driver_side_guards_and_matches_spark(spark, sf_dir):
