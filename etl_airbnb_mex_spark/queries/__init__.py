@@ -74,75 +74,61 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Every name was re-verified by the local oracle replica this
 #: session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- code changed in r13 (lockstep rule) --
-    "q5_local_supplier_volume",  # r13: fact-rooted join order, isin
-    #                      nationkey pushdown, driver-side dim
-    #                      resolution (16 -> 7 jobs)
-    "percentiles",        # r13: bucket-select gained dp=None/keep_n
-    #                      params (shared operator code path)
-    "filter_quantile",    # r13: shares exact_percentiles_bucket_select
-    "describe_stats",     # r13: exact quantiles re-based on
-    #                      bucket-select (VERDICT r12 #10)
-    "outliers_iqr",       # r13: same, + keep_n fused count
-    "pagerank_parts",     # r13: magnitude-aware rounding guard band
-    #                      (ADVICE r12 #1)
-    "join_inner_fk",      # r13: aggregate pushed below the join +
-    #                      SHUFFLE_HASH build (serial broadcast build
-    #                      was 2.25s of the 4.0s sf24 wall)
-    "scalar_stats",       # r13: median re-based on bucket-select
-    "mad_robust",         # r13: both medians re-based on bucket-select
-    "q9_product_margin",  # r13: margin computed before the orderkey
-    #                      exchange (24B vs 48B rows), int-year orders
-    #                      projection
-    "approx_distinct",    # VERDICT r12 #5: rows-only provenance was
-    #                      r4 — eight rounds stale, the only entry
-    #                      predating r8
-    # -- the r8-provenance cohort (VERDICT r12 #6): oldest
-    #    oracle-bearing entries, none code-touched since r8 --
-    "agg_rollup",
-    "amenities_flags",
-    "bool_encode",
-    "bool_encode_narrow",
-    "calibration_bins",
-    "clean_price",
-    "clean_price_null",
-    "conditional_agg",
-    "dataset_split",
-    "date_normalize",
-    "date_parts",
-    "feature_hashing",
-    "groupby_multi_agg",
-    "ks_drift_binned",
-    "lang_id_ngram",
-    "map_categories",
-    "mutual_info",
-    "numeric_coerce",
-    "parse_array",
-    "pivot_counts",
-    "psi_drift",
-    "quality_filter",
-    "sample_stratified",
-    "semantic_dedup_clusters",
-    "sentiment_dist",
-    "sentiment_score",
-    "split_leakage_audit",
-    "string_length",
-    "text_clean",
-    "title_case",
-    "token_count_bpe",
-    "token_topn",
-    "window_moving_avg",
-    "window_rank_topn",
-    "window_session_agg",
-    "window_sliding_agg",
-    "window_tumbling_agg",
-    "woe_iv",
+    # -- code changed in r14 (lockstep rule) --
+    "outliers_iqr",       # r14: NaN excluded from the outlier filter +
+    #                      the approx path's quantiles/denominator
+    #                      (ADVICE r13 #1)
+    "pagerank_parts",     # r14: rounding-guard band clamped at 0.25
+    #                      (ADVICE r13 #3)
+    # -- the r9-provenance cohort (VERDICT r13 #5): oldest
+    #    oracle-bearing entries, none code-touched since r9 --
+    "agg_cube",
+    "agg_grouping_sets",
+    "corpus_pipeline",
+    "cosine_near_dup",
+    "decontaminate",
+    "dedup_minhash",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_winnowing",
+    "dq_checks",
+    "embedding_centroids",
+    "group_collect",
+    "image_near_dup",
+    "join_multiway_revenue",
+    "json_extract",
+    "knn_cosine_lsh",
+    "lang_id",
+    "linreg_by_group",
+    "merge_upsert_snapshot",
+    "near_dedup_corpus",
+    "near_dup_components",
+    "ngram_jaccard",
+    "ngram_jaccard_verified",
+    "percentile_by_group",
+    "pii_scrub",
+    "q21_waiting_suppliers",
+    "quality_score",
+    "repetition_ratio",
+    "sequence_pack",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_by_name",
+    "subquery_above_avg",
+    "token_count",
+    "unpivot_metrics",
+    "video_frame_dedup",
+    "window_cume_dist",
+    "window_dense_rank",
+    "window_first_last",
+    "window_ntile",
+    "window_range_frame",
 )
-# Round-13 window: 7 lockstep/stale slots + the full 38-entry r8
-# cohort = 45 of 50; 5 spare. After this round the oldest provenance
-# anywhere becomes r9 (the 43-entry r9 batch is the r14 queue).
-# Round-14 queue: rotate the r9-provenance cohort plus r14 lockstep
-# slots.
+# Round-14 window: 2 lockstep slots (ADVICE r13 plan-touching fixes)
+# + the full 42-entry r9 cohort = 44 of 50; 6 spare for any further
+# r14 lockstep additions. After this round the oldest provenance
+# anywhere becomes r10 (the 39-entry r10 batch is the r15 queue).
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The
