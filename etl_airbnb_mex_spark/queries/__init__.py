@@ -80,6 +80,15 @@ _PRIORITY: tuple[str, ...] = (
     #                      (ADVICE r13 #1)
     "pagerank_parts",     # r14: rounding-guard band clamped at 0.25
     #                      (ADVICE r13 #3)
+    "q5_local_supplier_volume",   # r14: body refactored into the
+    #                      frame-parameterized _q5_from_frames builder
+    #                      (plan identical; lockstep on code-touch)
+    "join_inner_fk",      # r14: same refactor
+    # -- new entries this round (never driver-checked before):
+    #    bucketed-layout twins, VERDICT r13 #8 --
+    "join_inner_fk_bucketed",
+    "q21_bucketed",
+    "q5_bucketed",
     # -- the r9-provenance cohort (VERDICT r13 #5): oldest
     #    oracle-bearing entries, none code-touched since r9 --
     "agg_cube",
@@ -125,10 +134,12 @@ _PRIORITY: tuple[str, ...] = (
     "window_ntile",
     "window_range_frame",
 )
-# Round-14 window: 2 lockstep slots (ADVICE r13 plan-touching fixes)
-# + the full 42-entry r9 cohort = 44 of 50; 6 spare for any further
-# r14 lockstep additions. After this round the oldest provenance
-# anywhere becomes r10 (the 39-entry r10 batch is the r15 queue).
+# Round-14 window: 4 lockstep slots (2 ADVICE r13 plan-touching
+# fixes + 2 builder-refactor touches; q21_waiting_suppliers'
+# refactor touch is covered by its cohort slot below) + 3 new
+# bucketed-twin entries + the full 42-entry r9 cohort = 49 of 50;
+# 1 spare. After this round the oldest provenance anywhere becomes
+# r10 (the 39-entry r10 batch is the r15 queue).
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The
@@ -171,4 +182,6 @@ def _load() -> None:
         from . import decision  # noqa: F401
         from . import llmprep  # noqa: F401
         from . import mleval  # noqa: F401
+        from . import bucketed  # noqa: F401  (after decision/extensions:
+        #                        the twins reuse their oracle SQL)
         _loaded = True

@@ -1,0 +1,217 @@
+"""Bucketed-layout twins of the join-suite queries (VERDICT r13 #8).
+
+The write-once/join-many story a 100 TB deployment actually runs: the
+suite's dominant exchanges are fact-fact join shuffles (lineitem ⋈
+orders on the orderkey, orders ⋈ customer on the custkey) and
+aggregations clustered on the same keys. A layout bucketed on the join
+key (``write_bucketed_table``, sources/writers.py) establishes
+HashPartitioning ONCE at write time; every subsequent join/groupBy on
+that key then needs NO Exchange on the bucketed side(s).
+
+Until r14 this lived only in ``scripts/bucketed_qsuite.py`` + sidecar
+rows (1.7–2.3× at sf4/sf24); registering the variants makes the
+deployment answer a TESTED API SURFACE: each twin runs the IDENTICAL
+logical plan as its plain entry (the plan bodies are shared
+frame-parameterized builders — ``_q5_from_frames`` /
+``_q21_from_frames`` / ``_join_inner_fk_from_frames`` — so the twins
+CANNOT drift), carries the SAME oracle SQL (layout is an optimization,
+never a semantics change — the driver's hash compare proves it every
+round), and plan-guard tests pin the eliminated exchanges
+(tests/test_bucketed_variants.py).
+
+Layout cache: bucketed copies are written once per (sf_dir, layout)
+under ``<repo>/.scaledata/bkt/`` as EXTERNAL tables, stamped with the
+source parquet's (mtime_ns, size). A later session (the catalog is
+in-memory, files persist) re-registers the existing files via
+``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL — bucket ids are
+encoded in the file names, so the metadata round-trips. A stale stamp
+(the wiped-.scaledata regen workflow) drops and rewrites. On a real
+deployment the bucketed table lives in the metastore and this module
+degrades to ``spark.table(name)``.
+
+Reference: the reference engine has no joins at all (SURVEY.md §2.4);
+this is engine-extension surface, same as the plain join suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.writers import write_bucketed_table
+from ..tables import load_table, table_path
+from . import REGISTRY, register
+from . import decision as _decision
+from . import extensions as _extensions
+
+#: layout-time commitment, shared with scripts/bucketed_qsuite.py —
+#: both join sides must agree on it (sources/writers.py docstring)
+N_BUCKETS = 32
+
+#: layout key -> (source table, bucket/sort columns)
+_LAYOUTS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "li_ok": ("lineitem", ("l_orderkey",)),
+    "o_ok": ("orders", ("o_orderkey",)),
+    "o_ck": ("orders", ("o_custkey",)),
+    "c_ck": ("customer", ("c_custkey",)),
+}
+
+
+def _cache_root() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".scaledata", "bkt",
+    )
+
+
+def _label(sf_dir: str) -> str:
+    base = "".join(
+        ch if ch.isalnum() else "_"
+        for ch in os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    ).lower()
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    return f"{base}_{digest}"
+
+
+def _src_sig(sf_dir: str, table: str) -> list[int] | None:
+    try:
+        st = os.stat(table_path(sf_dir, table))
+        return [st.st_mtime_ns, st.st_size]
+    except OSError:
+        return None
+
+
+def bucketed_table(
+    spark: SparkSession, sf_dir: str, layout: str
+) -> DataFrame:
+    """Return the bucketed copy of a layout, creating or re-registering
+    it as needed (idempotent per (sf_dir, layout); see module doc)."""
+    table, keys = _LAYOUTS[layout]
+    tname = f"bkt_{_label(sf_dir)}_{layout}"
+    path = os.path.join(_cache_root(), _label(sf_dir), layout)
+    stamp_path = path + "_STAMP.json"
+    sig = _src_sig(sf_dir, table)
+
+    def _stamp_ok() -> bool:
+        try:
+            with open(stamp_path) as f:
+                return json.load(f).get("src_sig") == sig
+        except (OSError, ValueError):
+            return False
+
+    if spark.catalog.tableExists(tname):
+        if _stamp_ok():
+            return spark.table(tname)
+        spark.sql(f"DROP TABLE `{tname}`")
+    if _stamp_ok() and os.path.isdir(path):
+        # files persisted from an earlier process: re-attach the bucket
+        # metadata (bucket ids are in the file names, so a CLUSTERED BY
+        # external table over the same LOCATION restores the layout)
+        src_schema = load_table(spark, sf_dir, table).schema
+        cols_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in src_schema.fields
+        )
+        keys_sql = ", ".join(f"`{k}`" for k in keys)
+        spark.sql(
+            f"CREATE TABLE `{tname}` ({cols_sql}) USING parquet "
+            f"CLUSTERED BY ({keys_sql}) SORTED BY ({keys_sql}) "
+            f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+        return spark.table(tname)
+    # (re)write the layout: one-time, amortized over every later run
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.remove(stamp_path)
+    except OSError:
+        pass
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_bucketed_table(
+        load_table(spark, sf_dir, table), tname, keys,
+        n_buckets=N_BUCKETS, sort_cols=keys, path=path,
+    )
+    with open(stamp_path, "w") as f:
+        json.dump({"src_sig": sig, "n_buckets": N_BUCKETS}, f)
+    return spark.table(tname)
+
+
+def _twin_doc(plain: str, layouts: str, dropped: str) -> str:
+    return (
+        f"Bucketed-layout twin of {plain} (VERDICT r13 #8): the "
+        f"IDENTICAL logical plan (shared frame-parameterized builder) "
+        f"over {layouts}, carrying the same oracle SQL — the driver's "
+        f"hash compare asserts layout invariance every round. "
+        f"Exchange elimination: {dropped}. Layout cost is write-once "
+        f"(stamped cache under .scaledata/bkt); speedups measured in "
+        f"BENCH_SIDECAR.json:bucketed_layout (1.7-2.3x at sf4/sf24)."
+    )
+
+
+@register(
+    "join_inner_fk_bucketed",
+    REGISTRY["join_inner_fk"].oracle,
+    _twin_doc(
+        "join_inner_fk",
+        "orders bucketed on o_custkey + customer co-bucketed on "
+        "c_custkey",
+        "the o_custkey partial-agg exchange AND the join exchange "
+        "both vanish (6->2 total at sf4)",
+    ),
+)
+def join_inner_fk_bucketed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _extensions._join_inner_fk_from_frames(
+        o=bucketed_table(spark, sf_dir, "o_ck"),
+        c=bucketed_table(spark, sf_dir, "c_ck"),
+    )
+
+
+@register(
+    "q21_bucketed",
+    REGISTRY["q21_waiting_suppliers"].oracle,
+    _twin_doc(
+        "q21_waiting_suppliers",
+        "lineitem + orders co-bucketed on the orderkey",
+        "the orderkey equi-join runs exchange-free on both sides, and "
+        "HashPartitioning(l_orderkey) already satisfies both "
+        "downstream aggs' clustering",
+    ),
+)
+def q21_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decision._q21_from_frames(
+        li=bucketed_table(spark, sf_dir, "li_ok"),
+        o=bucketed_table(spark, sf_dir, "o_ok"),
+        s=load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "q5_bucketed",
+    REGISTRY["q5_local_supplier_volume"].oracle,
+    _twin_doc(
+        "q5_local_supplier_volume",
+        "lineitem + orders co-bucketed on the orderkey, customer on "
+        "c_custkey",
+        "the li side of the orderkey join and the customer side of "
+        "the custkey join read pre-partitioned; the one remaining "
+        "data-scale exchange is the joined stream re-keying to the "
+        "custkey (unavoidable: it leaves the orderkey domain)",
+    ),
+)
+def q5_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decision._q5_from_frames(
+        spark,
+        sf_dir,
+        li=bucketed_table(spark, sf_dir, "li_ok"),
+        o=bucketed_table(spark, sf_dir, "o_ok"),
+        c=bucketed_table(spark, sf_dir, "c_ck"),
+        s=load_table(spark, sf_dir, "supplier"),
+    )

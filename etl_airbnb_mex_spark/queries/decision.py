@@ -238,6 +238,31 @@ def q3_shipping_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consumers pay no cluster work at all.",
 )
 def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q5_from_frames(
+        spark,
+        sf_dir,
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        c=load_table(spark, sf_dir, "customer"),
+        s=load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def _q5_from_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    li: DataFrame,
+    o: DataFrame,
+    c: DataFrame,
+    s: DataFrame,
+) -> DataFrame:
+    """The registered q5 plan, parameterized by its SF-scaled input
+    frames so the bucketed-layout twin (queries/bucketed.py,
+    VERDICT r13 #8) executes the IDENTICAL logical plan over a
+    different table layout — layout is an optimization, never a
+    semantics change. ``sf_dir`` is still needed for the driver-side
+    dim resolution (nation/region are spec-bounded catalog constants,
+    never layout candidates)."""
     # Metadata-scale eager step: nation/region are fixed 25/5-row
     # tables at every SF (TPC-H spec) — resolving the pruned dim
     # driver-side (zero Spark jobs, pyarrow footer read) removes the
@@ -268,17 +293,17 @@ def q5_local_supplier_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # make the result empty; the name column must still be a plain
         # typed literal (indexing a non-map literal fails analysis)
         name_expr = F.lit(None).cast("string")
-    c = load_table(spark, sf_dir, "customer").select(
+    c = c.select(
         "c_custkey", "c_nationkey"
     ).filter(F.col("c_nationkey").isin(asia_keys))
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = o.filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = li.select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    s = load_table(spark, sf_dir, "supplier").select(
+    s = s.select(
         "s_suppkey", "s_nationkey"
     ).filter(F.col("s_nationkey").isin(asia_keys))
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
@@ -1094,12 +1119,22 @@ def q20_excess_shipments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ok-keyed exchange themselves — AQE picks per actual size).",
 )
 def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    return _q21_from_frames(
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        s=load_table(spark, sf_dir, "supplier"),
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
-    )
+
+
+def _q21_from_frames(
+    li: DataFrame, o: DataFrame, s: DataFrame
+) -> DataFrame:
+    """The registered q21 plan, parameterized by input frames for the
+    bucketed-layout twin (queries/bucketed.py, VERDICT r13 #8): with
+    lineitem and orders co-bucketed on the orderkey the equi-join AND
+    both orderkey-clustered aggregations run exchange-free."""
+    li = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = o.select("o_orderkey", "o_orderdate")
     late = F.when(
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
@@ -1122,11 +1157,7 @@ def q21_waiting_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("__n") > 1) & (F.col("__nlate") == 1))
     )
-    s = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_name"
-        )
-    )
+    s = F.broadcast(s.select("s_suppkey", "s_name"))
     return (
         per_order.join(s, F.col("__late_sk") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -56,36 +56,12 @@ N_BUCKETS = 32
 
 
 def build_q21(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
-    """The registered q21 single-pass plan (queries/decision.py:1048),
-    parameterized by input frames."""
-    late = F.when(
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
-        1,
-    ).otherwise(0)
-    per_order = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("late").alias("__nlate"),
-            F.max(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("__late_sk"),
-        )
-        .filter((F.col("__n") > 1) & (F.col("__nlate") == 1))
-    )
-    return (
-        per_order.join(
-            F.broadcast(s), F.col("__late_sk") == F.col("s_suppkey")
-        )
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(20)
-    )
+    """The registered q21 single-pass plan — since r14 this IS the
+    registered builder (queries/decision.py:_q21_from_frames), so the
+    script cannot drift from what the engine ships."""
+    from etl_airbnb_mex_spark.queries.decision import _q21_from_frames
+
+    return _q21_from_frames(li=li, o=o, s=s)
 
 
 def build_q5(
@@ -170,37 +146,21 @@ def build_q9(
 
 
 def build_join_inner_fk(o: DataFrame, c: DataFrame) -> DataFrame:
-    """The registered join_inner_fk plan (queries/extensions.py — r13
-    form): orders partial-aggregates by o_custkey BELOW the join
-    (aggregate-through-join pushdown), then a SHUFFLE_HASH-hinted join
-    to customer, then the segment rollup. Pre-r13 history (r12
-    executed-plan probes): the old direct-join form ran an identical
-    BroadcastHashJoin on both layouts (the pruned customer projection
-    stays under the 16 MiB bound on disk at every tier), so exchange
-    counts tied at 2 and the recorded 1.8-2.2x bucketed speedups were
-    SCAN-side only. The r13 plan changes the layout story: with
-    orders bucketed on o_custkey the partial agg needs no exchange,
-    and with customer co-bucketed on c_custkey the join needs none
-    either — the bucketed run should drop BOTH data-scale exchanges,
-    leaving only the 5-row segment rollup pair."""
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.sum(cents).alias("__cents"),
+    """The registered join_inner_fk plan (r13 form: aggregate-through-
+    join pushdown + SHUFFLE_HASH) — since r14 this IS the registered
+    builder (queries/extensions.py:_join_inner_fk_from_frames), so the
+    script cannot drift from what the engine ships. Layout story:
+    with orders bucketed on o_custkey the partial agg needs no
+    exchange, and with customer co-bucketed on c_custkey neither does
+    the join — the bucketed run drops BOTH data-scale exchanges,
+    leaving only the 5-row segment rollup pair (pre-r13 history: the
+    old direct-join form ran an identical BroadcastHashJoin on both
+    layouts, so its recorded 1.8-2.2x speedups were scan-side only)."""
+    from etl_airbnb_mex_spark.queries.extensions import (
+        _join_inner_fk_from_frames,
     )
-    return (
-        per_cust.join(
-            c.hint("SHUFFLE_HASH"), F.col("o_custkey") == c["c_custkey"]
-        )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.sum("__cnt").alias("cnt"),
-            (F.sum("__cents").cast("double") / F.lit(100.0)).alias(
-                "revenue"
-            ),
-        )
-        .orderBy("c_mktsegment")
-    )
+
+    return _join_inner_fk_from_frames(o=o, c=c)
 
 
 def _time(df_fn) -> float:

@@ -1,0 +1,128 @@
+"""Bucketed-layout twins (queries/bucketed.py, VERDICT r13 #8): the
+registered q5/q21/join_inner_fk bucketed variants must (a) produce
+results identical to their plain twins (layout is an optimization,
+never a semantics change), (b) carry the plain twin's oracle SQL
+verbatim, (c) actually drop the exchanges the layout exists to drop,
+and (d) survive the cache lifecycle (cross-session DDL re-register,
+stale-stamp rewrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_airbnb_mex_spark.queries import REGISTRY, _load
+
+_load()
+
+TWINS = [
+    ("join_inner_fk", "join_inner_fk_bucketed"),
+    ("q21_waiting_suppliers", "q21_bucketed"),
+    ("q5_local_supplier_volume", "q5_bucketed"),
+]
+
+
+@pytest.mark.parametrize("plain,bkt", TWINS)
+def test_bucketed_twin_equals_plain(spark, sf_dir, plain, bkt):
+    a = REGISTRY[plain].spark(spark, sf_dir).toPandas()
+    b = REGISTRY[bkt].spark(spark, sf_dir).toPandas()
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist(), (plain, bkt)
+
+
+@pytest.mark.parametrize("plain,bkt", TWINS)
+def test_bucketed_twin_oracle_is_plain_oracle(plain, bkt):
+    """The twins' correctness claim IS layout invariance: same SQL,
+    same driver hash — any drift between the shared builder's two
+    call sites would fail the twin's own oracle row."""
+    assert REGISTRY[bkt].oracle == REGISTRY[plain].oracle
+    assert REGISTRY[bkt].oracle is not None
+
+
+def _n_hash_exchanges(df) -> int:
+    """Hash exchanges in the FINAL adaptive plan (the frame is executed
+    first: an un-executed AQE plan hides runtime exchange decisions)."""
+    df.toPandas()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+
+
+@pytest.mark.parametrize(
+    "plain,bkt",
+    [t for t in TWINS if t[1] != "q5_bucketed"],
+)
+def test_bucketed_twin_drops_exchanges(spark, sf_dir, plain, bkt):
+    """join_inner_fk: the o_custkey partial-agg exchange AND both
+    SHUFFLE_HASH join exchanges vanish; q21: the orderkey join runs
+    exchange-free on both sides and HashPartitioning(l_orderkey)
+    satisfies both downstream aggs. What remains in each is the
+    metadata-scale final-agg pair (5 segments / 25 names). q5 is
+    excluded here: at test SF its joins all broadcast, so plain and
+    bucketed tie (its win is measured at sf4+,
+    BENCH_SIDECAR.json:bucketed_layout)."""
+    ep = _n_hash_exchanges(REGISTRY[plain].spark(spark, sf_dir))
+    eb = _n_hash_exchanges(REGISTRY[bkt].spark(spark, sf_dir))
+    assert eb < ep, (plain, ep, bkt, eb)
+    assert eb <= 2, (bkt, eb)
+
+
+def test_bucketed_cache_reuses_and_rewrites_on_stale(spark, tmp_path):
+    """Lifecycle: first call writes the layout + stamp; a second call
+    reuses it (the stamp matches); regenerating the SOURCE parquet
+    in place invalidates the stamp and the next call rewrites."""
+    import etl_airbnb_mex_spark.queries.bucketed as B
+
+    sf = str(tmp_path)
+    spark.range(100).selectExpr(
+        "id AS o_orderkey", "id % 10 AS o_custkey",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+    ).toPandas().to_parquet(os.path.join(sf, "orders.parquet"))
+    df1 = B.bucketed_table(spark, sf, "o_ck")
+    assert df1.count() == 100
+    path = os.path.join(B._cache_root(), B._label(sf), "o_ck")
+    stamp = json.load(open(path + "_STAMP.json"))
+    # reuse: stamp file untouched by the second call
+    before = os.stat(path + "_STAMP.json").st_mtime_ns
+    assert B.bucketed_table(spark, sf, "o_ck").count() == 100
+    assert os.stat(path + "_STAMP.json").st_mtime_ns == before
+    assert stamp["n_buckets"] == B.N_BUCKETS
+    # regen source with different contents -> rewrite
+    spark.range(50).selectExpr(
+        "id AS o_orderkey", "id % 5 AS o_custkey",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+    ).toPandas().to_parquet(os.path.join(sf, "orders.parquet"))
+    st = os.stat(os.path.join(sf, "orders.parquet"))
+    os.utime(os.path.join(sf, "orders.parquet"),
+             ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert B.bucketed_table(spark, sf, "o_ck").count() == 50
+
+
+def test_bucketed_ddl_reregister_matches_write(spark, tmp_path):
+    """Cross-session path: with the files + stamp on disk but the
+    table absent from the (in-memory) catalog, bucketed_table must
+    re-attach via CREATE TABLE ... CLUSTERED BY ... LOCATION and the
+    re-attached table must still be bucket-scannable with identical
+    contents."""
+    import etl_airbnb_mex_spark.queries.bucketed as B
+
+    sf = str(tmp_path)
+    spark.range(200).selectExpr(
+        "id AS o_orderkey", "id % 7 AS o_custkey",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+    ).toPandas().to_parquet(os.path.join(sf, "orders.parquet"))
+    first = B.bucketed_table(spark, sf, "o_ck")
+    rows = sorted(r["o_orderkey"] for r in first.collect())
+    tname = f"bkt_{B._label(sf)}_o_ck"
+    # simulate a new session: drop ONLY the catalog entry, keep files
+    spark.sql(f"DROP TABLE `{tname}`")
+    again = B.bucketed_table(spark, sf, "o_ck")
+    assert sorted(r["o_orderkey"] for r in again.collect()) == rows
+    meta = spark.sql(f"DESCRIBE TABLE EXTENDED `{tname}`").toPandas()
+    blob = " ".join(str(v) for v in meta.values.tolist())
+    assert "32" in blob and "o_custkey" in blob  # bucket spec survived
