@@ -199,6 +199,12 @@ HEADLINE = [
     "mutual_info",
     # round 11: re-registered on the lazy prefix path (VERDICT r10 #3)
     "histogram_equidepth",
+    # round 14: bucketed-layout twins (VERDICT r13 #8) — the layout
+    # write happens once in the un-recorded warm pass (stamped cache);
+    # recorded passes measure the read-side, i.e. the deployment story
+    "join_inner_fk_bucketed",
+    "q21_bucketed",
+    "q5_bucketed",
 ]
 
 
