@@ -35,6 +35,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TIERS = {
     "sf4": (4_000_000, 8_000_000),
     "sf8": (8_000_000, 16_000_000),
+    # r14 (VERDICT r13 #9): two more doublings-ish past sf8 — anchors
+    # the throughput linearity claim across 24x the sf0.1 input
+    "sf24": (24_000_000, 48_000_000),
 }
 
 _RUNNER = r"""
