@@ -48,8 +48,14 @@ _CLEAN_DUCK = float(os.environ.get("SPARK_GRAFT_CLEAN_DUCK", "0.15"))
 _CLEAN_LOAD1 = float(os.environ.get("SPARK_GRAFT_CLEAN_LOAD1", "2.0"))
 #: Max seconds to wait pre-run for ambient contention to pass, and max
 #: extra recorded passes to take when a pass bracket reads dirty.
-_PHASE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_PHASE_WAIT_SEC", "240"))
+_PHASE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_PHASE_WAIT_SEC", "120"))
 _MAX_EXTRA_PASSES = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_PASSES", "2"))
+#: Global wall budget for the whole bench: waits and extra passes are
+#: skipped once elapsed exceeds it, so the clean-phase gate can never
+#: push the run past an external driver timeout. The base run
+#: (pipeline + 3 headline passes + 3 oracle passes) fits well inside.
+_BENCH_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
 
 
 def _phase_probe(spark, with_loadavg: bool = True) -> dict:
@@ -337,6 +343,11 @@ def _pipeline_throughput(spark, n_listings: int = 100_000,
 
 
 def main() -> None:
+    t_bench_start = time.perf_counter()
+
+    def _budget_left() -> float:
+        return _BENCH_BUDGET_SEC - (time.perf_counter() - t_bench_start)
+
     from etl_airbnb_mex_spark.queries import REGISTRY, _load
     from etl_airbnb_mex_spark.session import get_spark
 
@@ -365,6 +376,7 @@ def main() -> None:
     while (
         not _probe_is_clean(ambient, gate_loadavg=True)
         and waited < _PHASE_WAIT_SEC
+        and _budget_left() > 300
     ):
         print(f"# phase dirty, waiting 20s (waited {waited:.0f}s): "
               f"{ambient}", file=sys.stderr)
@@ -447,9 +459,12 @@ def main() -> None:
     phase_samples.append(post)
     bracket_clean = _probe_is_clean(pre) and _probe_is_clean(post)
     extra_passes = 0
+    # one recorded pass costs roughly total (the per-query mins); skip
+    # extras when they would overrun the global budget
     while (
         not (ambient_clean and bracket_clean)
         and extra_passes < _MAX_EXTRA_PASSES
+        and _budget_left() > max(60.0, 1.3 * sum(timings.values()))
     ):
         extra_passes += 1
         print(f"# bracket dirty (ambient_clean={ambient_clean}), extra "
@@ -487,6 +502,8 @@ def main() -> None:
     }
     if not run_clean:
         phase["all_samples_contended"] = True
+        if _budget_left() <= max(60.0, 1.3 * sum(timings.values())):
+            phase["budget_exhausted"] = True
     print(f"# phase: {phase}", file=sys.stderr)
     total = sum(timings.values())
 
