@@ -251,6 +251,18 @@ def _phase_probe(spark) -> dict:
     a JVM configured identically to the one the measurement gets."""
     import duckdb
 
+    # loadavg FIRST (r14): the probe's own JVM warm-up and the duck
+    # aggregate are 10+ seconds of multi-core work — reading
+    # /proc/loadavg after them (and right after the previous query's
+    # measurement at fresh-per-query tiers) stamps SELF-load onto the
+    # row. Read before this probe adds any; still downstream of the
+    # preceding measurement's decay, so interpret vs the floor probes.
+    try:
+        with open("/proc/loadavg") as f:
+            load1, load5 = f.read().split()[:2]
+    except OSError:
+        load1 = load5 = None
+
     best_s = float("inf")
     if spark is None:
         out = subprocess.run(
@@ -274,11 +286,6 @@ def _phase_probe(spark) -> dict:
         ).fetchall()
         best_d = min(best_d, time.perf_counter() - t0)
     con.close()
-    try:
-        with open("/proc/loadavg") as f:
-            load1, load5 = f.read().split()[:2]
-    except OSError:
-        load1 = load5 = None
     return {
         "spark_floor32_sec": round(best_s, 3),
         "duckdb_10m_agg_sec": round(best_d, 3),
