@@ -79,9 +79,23 @@ def _phase_probe(spark, with_loadavg: bool = True) -> dict:
         con.execute("SELECT sum(i * 3 % 7) FROM range(10000000) t(i)").fetchall()
         duck = min(duck, time.perf_counter() - t0)
     con.close()
+    # Sustained 32-core capacity probe (r14): the floor (tiny tasks)
+    # and duck (single core) probes both read clean on days when
+    # sustained multi-core throughput is 1.5x down (measured via an
+    # interleaved same-code A/B vs the r12 recorded day,
+    # BENCH_SIDECAR.json:r14_machine_day_ab). A fixed CPU-bound
+    # 32-task job (~1s nominal) sees exactly that axis. Recorded, not
+    # yet gated — the clean band needs cross-day calibration first.
+    sustained = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7)").collect()
+        sustained = min(sustained, time.perf_counter() - t0)
     probe = {
         "spark_floor32_sec": round(floor, 3),
         "duckdb_10m_agg_sec": round(duck, 3),
+        "spark_sustained32_sec": round(sustained, 3),
     }
     if with_loadavg:
         try:
@@ -492,6 +506,9 @@ def main() -> None:
         ),
         "duckdb_10m_agg_sec": max(
             pre["duckdb_10m_agg_sec"], post["duckdb_10m_agg_sec"]
+        ),
+        "spark_sustained32_sec": max(
+            pre["spark_sustained32_sec"], post["spark_sustained32_sec"]
         ),
         "loadavg_1m": ambient.get("loadavg_1m"),
         "loadavg_5m": ambient.get("loadavg_5m"),
