@@ -92,6 +92,17 @@ def bucketed_table(
     """Return the bucketed copy of a layout, creating or re-registering
     it as needed (idempotent per (sf_dir, layout); see module doc)."""
     table, keys = _LAYOUTS[layout]
+    # Trust sortBy metadata on scan (sort-elision for SMJ fallbacks,
+    # e.g. q21's oversized build sides at sf24+): legal because
+    # write_bucketed_table guarantees ONE file per bucket (repartition
+    # before bucketBy — multi-file buckets would make the ordering
+    # claim false, which is why Spark 3 gates it behind this flag).
+    # Runtime-settable; every bucketed table this module manages is
+    # written by that writer, and the driver's oracle hash guards the
+    # semantics every round.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     tname = f"bkt_{_label(sf_dir)}_{layout}"
     path = os.path.join(_cache_root(), _label(sf_dir), layout)
     stamp_path = path + "_STAMP.json"

@@ -104,6 +104,14 @@ HEAVY = [
     # OOM-hazard removal; the scale rows carry the crossover argument
     # exactly as percentiles' did in r12
     "outliers_iqr",
+    # r14: the registered bucketed-layout twins (queries/bucketed.py)
+    # — the deployment answer next to the plain entries' weak grades,
+    # measured on the TESTED API surface (same oracle SQL; the layout
+    # write is a stamped one-time cache — pre-warm .scaledata/bkt for
+    # the tier before timing, or the warm pass pays the write)
+    "join_inner_fk_bucketed",
+    "q21_bucketed",
+    "q5_bucketed",
 ]
 
 
