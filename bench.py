@@ -67,6 +67,18 @@ def _phase_probe(spark, with_loadavg: bool = True) -> dict:
     aggregate (CPU-steal signal the scheduler floor can miss)."""
     import duckdb as _duckdb
 
+    # loadavg FIRST (ADVICE r14 #1, mirroring scale_bench): the probe's
+    # own floor/duck/sustained jobs are ~5-15s of 32-core work — read
+    # after them, a clean machine's own probe load can exceed the 2.0
+    # ambient gate and stamp a clean run as contended.
+    load1 = load5 = None
+    if with_loadavg:
+        try:
+            with open("/proc/loadavg") as f:
+                load1, load5 = f.read().split()[:2]
+        except OSError:
+            pass
+
     floor = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -98,11 +110,6 @@ def _phase_probe(spark, with_loadavg: bool = True) -> dict:
         "spark_sustained32_sec": round(sustained, 3),
     }
     if with_loadavg:
-        try:
-            with open("/proc/loadavg") as f:
-                load1, load5 = f.read().split()[:2]
-        except OSError:
-            load1 = load5 = None
         probe["loadavg_1m"] = load1
         probe["loadavg_5m"] = load5
     return probe
@@ -532,9 +539,19 @@ def main() -> None:
     con = duckdb_connection(SF_DIR)
     oracle_timings: dict[str, float] = {}
     # a dirty run gets the oracle the same extra-pass courtesy — a
-    # contended oracle denominator flatters the spark/oracle ratio
+    # contended oracle denominator flatters the spark/oracle ratio.
+    # The extras are budget-gated like the Spark extra passes (ADVICE
+    # r14 #3): each is skipped once _budget_left() can no longer cover
+    # another pass (estimated from the recorded oracle total so far),
+    # so a dirty run cannot push the wall past _BENCH_BUDGET_SEC.
     oracle_passes = (False, True, True) + (True,) * extra_passes
-    for recorded in oracle_passes:
+    for i, recorded in enumerate(oracle_passes):
+        if i >= 3 and _budget_left() < max(
+            30.0, 1.3 * sum(oracle_timings.values())
+        ):
+            print(f"# oracle extra pass {i - 2} skipped: budget",
+                  file=sys.stderr)
+            break
         for name in HEADLINE:
             spec = REGISTRY[name]
             if spec.oracle is None or f"oracle:{name}" in query_errors:

@@ -74,72 +74,67 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Every name was re-verified by the local oracle replica this
 #: session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- code changed in r14 (lockstep rule) --
-    "outliers_iqr",       # r14: NaN excluded from the outlier filter +
-    #                      the approx path's quantiles/denominator
-    #                      (ADVICE r13 #1)
-    "pagerank_parts",     # r14: rounding-guard band clamped at 0.25
-    #                      (ADVICE r13 #3)
-    "q5_local_supplier_volume",   # r14: body refactored into the
-    #                      frame-parameterized _q5_from_frames builder
-    #                      (plan identical; lockstep on code-touch)
-    "join_inner_fk",      # r14: same refactor
-    # -- new entries this round (never driver-checked before):
-    #    bucketed-layout twins, VERDICT r13 #8 --
-    "join_inner_fk_bucketed",
-    "q21_bucketed",
-    "q5_bucketed",
-    # -- the r9-provenance cohort (VERDICT r13 #5): oldest
-    #    oracle-bearing entries, none code-touched since r9 --
-    "agg_cube",
-    "agg_grouping_sets",
-    "corpus_pipeline",
-    "cosine_near_dup",
-    "decontaminate",
-    "dedup_minhash",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_winnowing",
-    "dq_checks",
-    "embedding_centroids",
-    "group_collect",
-    "image_near_dup",
-    "join_multiway_revenue",
-    "json_extract",
-    "knn_cosine_lsh",
-    "lang_id",
-    "linreg_by_group",
-    "merge_upsert_snapshot",
-    "near_dedup_corpus",
-    "near_dup_components",
-    "ngram_jaccard",
-    "ngram_jaccard_verified",
-    "percentile_by_group",
-    "pii_scrub",
-    "q21_waiting_suppliers",
-    "quality_score",
-    "repetition_ratio",
-    "sequence_pack",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_union_by_name",
-    "subquery_above_avg",
-    "token_count",
-    "unpivot_metrics",
-    "video_frame_dedup",
-    "window_cume_dist",
-    "window_dense_rank",
-    "window_first_last",
-    "window_ntile",
-    "window_range_frame",
+    # -- code changed in r15 (lockstep rule) --
+    "join_inner_fk_bucketed",  # r15: bucketed_table now asserts the
+    #                      one-file-per-bucket invariant on every
+    #                      attach path before the sort-trust flag
+    #                      applies (VERDICT r14 #2 / ADVICE r14 #2)
+    "q21_bucketed",       # r15: same bucketed_table change
+    "q5_bucketed",        # r15: same bucketed_table change
+    "q9_product_margin",  # r15: body refactored into the frame-
+    #                      parameterized _q9_from_frames builder for
+    #                      the layout A/B (plan identical; lockstep on
+    #                      code-touch)
+    # -- the r10-provenance cohort (VERDICT r14 #5): oldest
+    #    oracle-bearing entries, none code-touched since r10 --
+    "anomaly_zscore",
+    "centroid_assign",
+    "chi_square_assoc",
+    "cohort_retention",
+    "corr_matrix",
+    "dedup_by_key",
+    "dedup_text_exact",
+    "dup_fullrow_count",
+    "dup_key_count",
+    "dup_ngram_frac",
+    "feature_scale",
+    "ffill_timeseries",
+    "funnel_conversion",
+    "gini_concentration",
+    "gopher_quality_signals",
+    "histogram",
+    "histogram2d",
+    "join_bloom_prefilter",
+    "key_skew_profile",
+    "mode_by_group",
+    "mode_value",
+    "mom_growth",
+    "monthly_active_users",
+    "monthly_cumulative",
+    "monthly_gapfill",
+    "null_profile",
+    "pct_of_total",
+    "pivot_wide",
+    "q1_pricing_summary",
+    "roc_auc_exact",
+    "sample_weighted",
+    "sessionize_ids",
+    "target_encode",
+    "topn_by_count",
+    "twap_by_user",
+    "vocab_prune",
+    "window_lag_delta",
+    "winsorize_stats",
+    "zipf_slope",
 )
-# Round-14 window: 4 lockstep slots (2 ADVICE r13 plan-touching
-# fixes + 2 builder-refactor touches; q21_waiting_suppliers'
-# refactor touch is covered by its cohort slot below) + 3 new
-# bucketed-twin entries + the full 42-entry r9 cohort = 49 of 50;
-# 1 spare. After this round the oldest provenance anywhere becomes
-# r10 (the 39-entry r10 batch is the r15 queue).
+# Round-15 window: 4 lockstep slots (the bucketed twins — their
+# shared bucketed_table gained the one-file-per-bucket assertion,
+# VERDICT r14 #2 — plus q9's builder extraction) + the full
+# 39-entry r10 cohort = 43 of 50; 7 spare (reserved for
+# q9_bucketed / any further plan touch this round). After this
+# round the oldest provenance anywhere becomes r11. Every cohort
+# name re-verified by the local oracle replica this session before
+# the window was frozen.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -29,6 +29,16 @@ encoded in the file names, so the metadata round-trips. A stale stamp
 deployment the bucketed table lives in the metastore and this module
 degrades to ``spark.table(name)``.
 
+Sort-trust flag caveat (ADVICE r14 #2): this module enables the
+session-global ``spark.sql.legacy.bucketedTableScan.outputOrdering``
+flag, which is legal ONLY for one-file-per-bucket layouts. Every
+attach path asserts that invariant on the actual files
+(``assert_one_file_per_bucket``) and refuses multi-file buckets; a
+deployment that scans externally-written bucketed tables (where
+multi-file buckets are common) in the same session must keep the flag
+off — with it off the twins still run, paying an in-memory sort before
+any SMJ instead of trusting the file order.
+
 Reference: the reference engine has no joins at all (SURVEY.md §2.4);
 this is engine-extension surface, same as the plain join suite.
 """
@@ -38,6 +48,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,23 +97,50 @@ def _src_sig(sf_dir: str, table: str) -> list[int] | None:
         return None
 
 
+#: bucketBy file naming: part-<task>-<uuid>_<bucketid>.c000[.codec].parquet
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def assert_one_file_per_bucket(path: str, context: str) -> None:
+    """Refuse a bucketed directory with >1 file in any bucket
+    (VERDICT r14 #2 / ADVICE r14 #2).
+
+    The session-global
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` flag this
+    module enables makes EVERY bucketed scan in the session trust
+    sortBy metadata, which is legal only when each bucket is one file
+    (two sorted files in one bucket read concatenated = NOT sorted; a
+    sort-merge join would silently return wrong results). The writer
+    guarantees the invariant (repartition-before-bucketBy), but the
+    DDL re-attach path previously trusted a stamp, not the files —
+    this check makes the invariant load-bearing at every attach. One
+    listdir; .crc sidecars and non-bucket files are ignored.
+    Deployments with externally-written multi-file-bucket tables must
+    keep the flag off (module docstring)."""
+    counts: dict[int, int] = {}
+    for fn in os.listdir(path):
+        if fn.startswith((".", "_")):
+            continue
+        m = _BUCKET_ID_RE.search(fn)
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    bad = {b: n for b, n in counts.items() if n > 1}
+    if bad:
+        raise ValueError(
+            f"{context}: bucketed layout at {path!r} has multiple "
+            f"files per bucket {sorted(bad.items())[:5]} — the "
+            "sortBy-trust flag would falsely claim per-bucket "
+            "ordering; refusing to attach"
+        )
+
+
 def bucketed_table(
     spark: SparkSession, sf_dir: str, layout: str
 ) -> DataFrame:
     """Return the bucketed copy of a layout, creating or re-registering
     it as needed (idempotent per (sf_dir, layout); see module doc)."""
     table, keys = _LAYOUTS[layout]
-    # Trust sortBy metadata on scan (sort-elision for SMJ fallbacks,
-    # e.g. q21's oversized build sides at sf24+): legal because
-    # write_bucketed_table guarantees ONE file per bucket (repartition
-    # before bucketBy — multi-file buckets would make the ordering
-    # claim false, which is why Spark 3 gates it behind this flag).
-    # Runtime-settable; every bucketed table this module manages is
-    # written by that writer, and the driver's oracle hash guards the
-    # semantics every round.
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
     tname = f"bkt_{_label(sf_dir)}_{layout}"
     path = os.path.join(_cache_root(), _label(sf_dir), layout)
     stamp_path = path + "_STAMP.json"
@@ -115,14 +153,33 @@ def bucketed_table(
         except (OSError, ValueError):
             return False
 
+    # Trust sortBy metadata on scan (sort-elision for SMJ fallbacks,
+    # e.g. q21's oversized build sides at sf24+): legal because every
+    # return path below verifies ONE file per bucket on the actual
+    # files (assert_one_file_per_bucket) before the table is served —
+    # multi-file buckets would make the ordering claim false, which is
+    # why Spark 3 gates it behind this flag. The flag is session-global
+    # and runtime-settable; it is safe here because this module is the
+    # only bucketed-table producer in the engine and refuses to attach
+    # any layout violating the invariant. Deployments scanning
+    # externally-written bucketed tables in the same session must keep
+    # it off (ADVICE r14 #2).
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     if spark.catalog.tableExists(tname):
         if _stamp_ok():
+            assert_one_file_per_bucket(path, f"{tname} (catalog hit)")
             return spark.table(tname)
         spark.sql(f"DROP TABLE `{tname}`")
     if _stamp_ok() and os.path.isdir(path):
         # files persisted from an earlier process: re-attach the bucket
         # metadata (bucket ids are in the file names, so a CLUSTERED BY
-        # external table over the same LOCATION restores the layout)
+        # external table over the same LOCATION restores the layout).
+        # The stamp is necessary (source unchanged) but NOT sufficient
+        # for the sort-trust flag — the invariant is asserted on the
+        # files themselves (VERDICT r14 #2).
+        assert_one_file_per_bucket(path, f"{tname} (re-attach)")
         src_schema = load_table(spark, sf_dir, table).schema
         cols_sql = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
@@ -148,6 +205,9 @@ def bucketed_table(
         load_table(spark, sf_dir, table), tname, keys,
         n_buckets=N_BUCKETS, sort_cols=keys, path=path,
     )
+    # the writer's repartition-before-bucketBy guarantees this; assert
+    # anyway so a writer regression can never silently unsort an SMJ
+    assert_one_file_per_bucket(path, f"{tname} (fresh write)")
     with open(stamp_path, "w") as f:
         json.dump({"src_sig": sig, "n_buckets": N_BUCKETS}, f)
     return spark.table(tname)

@@ -911,26 +911,39 @@ def q6_forecast_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per (nation, year), decimal swap documented at q1.",
 )
 def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    return _q9_from_frames(
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        s=load_table(spark, sf_dir, "supplier"),
+        n=F.broadcast(
+            load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            )
+        ),
+        p=F.broadcast(
+            load_table(spark, sf_dir, "part")
+            .filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey", "p_retailprice")
+        ),
+    )
+
+
+def _q9_from_frames(
+    li: DataFrame, o: DataFrame, s: DataFrame, n: DataFrame, p: DataFrame
+) -> DataFrame:
+    """The registered q9 plan, parameterized by its input frames so the
+    layout A/B (scripts/q9_layout_ab.py, VERDICT r14 #1) and any future
+    bucketed twin execute the IDENTICAL logical plan over a different
+    table layout. ``n`` and ``p`` arrive pre-filtered/projected and
+    pre-hinted — the registered caller broadcasts both (nation is
+    spec-bounded; ECONOMY part is ~1/6 of an SF-scaled dim), while the
+    layout A/B may pass a bucketed part with a merge hint instead."""
+    li = li.select(
         "l_orderkey", "l_suppkey", "l_partkey",
         "l_quantity", "l_extendedprice", "l_discount",
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    n = F.broadcast(
-        load_table(spark, sf_dir, "nation").select(
-            "n_nationkey", "n_name"
-        )
-    )
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_type") == "ECONOMY")
-        .select("p_partkey", "p_retailprice")
-    )
+    o = o.select("o_orderkey", "o_orderdate")
+    s = s.select("s_suppkey", "s_nationkey")
     margin_e4 = (
         F.round(F.col("l_extendedprice") * 100).cast("long")
         * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))

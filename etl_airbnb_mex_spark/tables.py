@@ -49,22 +49,26 @@ def table_path(sf_dir: str, name: str) -> str:
 #: the moral equivalent, not an extra consistency risk — the cached
 #: value IS the schema inference returned for that same path earlier
 #: in the process (tests/test_readers.py pins cached == inferred for
-#: every table, events' NANOS column included). The key includes the
-#: file's (mtime_ns, size) so an in-process regeneration of the same
-#: path with a different schema re-infers instead of silently reading
-#: NULLs through a stale user-supplied schema (ADVICE r13 #2 — the
-#: wiped-.scaledata regen workflow rewrites files in place).
-_SCHEMA_CACHE: dict[tuple, "object"] = {}
+#: every table, events' NANOS column included). The entry carries the
+#: file's (mtime_ns, size) signature so an in-process regeneration of
+#: the same path with a different schema re-infers instead of silently
+#: reading NULLs through a stale user-supplied schema (ADVICE r13 #2 —
+#: the wiped-.scaledata regen workflow rewrites files in place). The
+#: dict is keyed by (sf_dir, name) with the signature stored in the
+#: VALUE (ADVICE r14 #4): a stale signature replaces its entry instead
+#: of accreting a new key per regeneration, so long regen loops stay
+#: bounded at one entry per table.
+_SCHEMA_CACHE: dict[tuple[str, str], tuple[tuple, "object"]] = {}
 
 
-def _schema_cache_key(sf_dir: str, name: str) -> tuple:
+def _schema_sig(sf_dir: str, name: str) -> tuple:
     try:
         st = os.stat(table_path(sf_dir, name))
-        return (sf_dir, name, st.st_mtime_ns, st.st_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
-        # Non-local fs (object-store URI): no driver-side stat; fall
-        # back to the path key — those paths are immutable deployments.
-        return (sf_dir, name)
+        # Non-local fs (object-store URI): no driver-side stat; those
+        # paths are immutable deployments — a constant sig always hits.
+        return ("immutable",)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -76,13 +80,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long and is converted to a microsecond timestamp here (truncation,
     matching DuckDB's ns→µs read of the same file)."""
     ensure_parity_conf(spark)
-    key = _schema_cache_key(sf_dir, name)
-    cached = _SCHEMA_CACHE.get(key)
-    if cached is not None:
-        df = spark.read.schema(cached).parquet(table_path(sf_dir, name))
+    sig = _schema_sig(sf_dir, name)
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is not None and cached[0] == sig:
+        df = spark.read.schema(cached[1]).parquet(table_path(sf_dir, name))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[(sf_dir, name)] = (sig, df.schema)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

@@ -126,3 +126,41 @@ def test_bucketed_ddl_reregister_matches_write(spark, tmp_path):
     meta = spark.sql(f"DESCRIBE TABLE EXTENDED `{tname}`").toPandas()
     blob = " ".join(str(v) for v in meta.values.tolist())
     assert "32" in blob and "o_custkey" in blob  # bucket spec survived
+
+
+def test_multifile_bucket_refuses_attach(spark, tmp_path):
+    """VERDICT r14 #2 / ADVICE r14 #2: the session-global sort-trust
+    flag is legal only for one-file-per-bucket layouts, so an attach
+    over a directory with two files in one bucket must REFUSE rather
+    than silently claim per-bucket ordering (a concatenated pair of
+    sorted files is not sorted; an SMJ would return wrong results).
+    Simulated by duplicating one bucket file under a second task id in
+    the cached layout, then forcing the DDL re-attach path."""
+    import shutil
+
+    import etl_airbnb_mex_spark.queries.bucketed as B
+
+    sf = str(tmp_path)
+    spark.range(100).selectExpr(
+        "id AS o_orderkey", "id % 10 AS o_custkey",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+    ).toPandas().to_parquet(os.path.join(sf, "orders.parquet"))
+    B.bucketed_table(spark, sf, "o_ck")
+    tname = f"bkt_{B._label(sf)}_o_ck"
+    path = os.path.join(B._cache_root(), B._label(sf), "o_ck")
+    # duplicate one bucket's file under a different task prefix
+    victim = next(
+        fn for fn in os.listdir(path)
+        if not fn.startswith(".") and B._BUCKET_ID_RE.search(fn)
+    )
+    shutil.copy(
+        os.path.join(path, victim),
+        os.path.join(path, "part-99999-deadbeef" + victim[10:]),
+    )
+    # catalog-hit path must refuse
+    with pytest.raises(ValueError, match="multiple"):
+        B.bucketed_table(spark, sf, "o_ck")
+    # DDL re-attach path (fresh session simulation) must refuse too
+    spark.sql(f"DROP TABLE `{tname}`")
+    with pytest.raises(ValueError, match="multiple"):
+        B.bucketed_table(spark, sf, "o_ck")

@@ -296,10 +296,9 @@ def test_load_table_schema_cache_matches_inference(spark, sf_dir):
     from etl_airbnb_mex_spark import tables as T
 
     for name in T.TABLE_NAMES:
-        key = T._schema_cache_key(sf_dir, name)
-        T._SCHEMA_CACHE.pop(key, None)
+        T._SCHEMA_CACHE.pop((sf_dir, name), None)
         inferred = T.load_table(spark, sf_dir, name)  # populates cache
-        assert key in T._SCHEMA_CACHE
+        assert (sf_dir, name) in T._SCHEMA_CACHE
         cached = T.load_table(spark, sf_dir, name)    # schema() path
         assert cached.schema == inferred.schema, name
         assert cached.dtypes == inferred.dtypes, name
@@ -334,6 +333,11 @@ def test_load_table_schema_cache_invalidates_on_regen(spark, tmp_path):
     again = T.load_table(spark, sf_dir, "nation")
     assert set(again.columns) == {"n_nationkey2", "extra"}
     assert again.filter("n_nationkey2 IS NULL").count() == 0
+    # ADVICE r14 #4: regeneration REPLACES the entry (sig lives in the
+    # value, not the key) — a regen loop must not grow the cache
+    assert (
+        len([k for k in T._SCHEMA_CACHE if k == (sf_dir, "nation")]) == 1
+    )
 
 
 def test_read_dim_driver_side_guards_and_matches_spark(spark, sf_dir):
