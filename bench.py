@@ -46,6 +46,16 @@ def _git_head() -> str:
 _CLEAN_FLOOR32 = float(os.environ.get("SPARK_GRAFT_CLEAN_FLOOR", "0.17"))
 _CLEAN_DUCK = float(os.environ.get("SPARK_GRAFT_CLEAN_DUCK", "0.15"))
 _CLEAN_LOAD1 = float(os.environ.get("SPARK_GRAFT_CLEAN_LOAD1", "2.0"))
+#: Sustained 32-core capacity band (VERDICT r14 #7, calibrated from
+#: the r14+r15 stamp accumulation — see BENCH_SIDECAR.json:
+#: sustained_band): recorded-clean bench days sampled 0.124-0.19 s on
+#: the fixed 400M-row probe, contended-or-slow days 0.21-0.28 s, and
+#: the r14_machine_day_ab replay proved a same-code 1.5x day swing the
+#: floor/duck probes cannot see. A probe above this threshold now
+#: marks the phase dirty (triggering the bounded wait / extra-pass
+#: machinery), so a slow machine day can no longer stamp itself clean.
+_CLEAN_SUSTAINED = float(
+    os.environ.get("SPARK_GRAFT_CLEAN_SUSTAINED", "0.22"))
 #: Max seconds to wait pre-run for ambient contention to pass, and max
 #: extra recorded passes to take when a pass bracket reads dirty.
 _PHASE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_PHASE_WAIT_SEC", "120"))
@@ -96,8 +106,9 @@ def _phase_probe(spark, with_loadavg: bool = True) -> dict:
     # sustained multi-core throughput is 1.5x down (measured via an
     # interleaved same-code A/B vs the r12 recorded day,
     # BENCH_SIDECAR.json:r14_machine_day_ab). A fixed CPU-bound
-    # 32-task job (~1s nominal) sees exactly that axis. Recorded, not
-    # yet gated — the clean band needs cross-day calibration first.
+    # 32-task job (~1s nominal) sees exactly that axis. Gated since
+    # r15 via _CLEAN_SUSTAINED (band calibrated from the r14+r15
+    # stamps, BENCH_SIDECAR.json:sustained_band).
     sustained = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -122,6 +133,8 @@ def _probe_is_clean(p: dict, gate_loadavg: bool = False) -> bool:
     ok = (
         p["spark_floor32_sec"] <= _CLEAN_FLOOR32
         and p["duckdb_10m_agg_sec"] <= _CLEAN_DUCK
+        # r15: the sustained-capacity probe gates too (VERDICT r14 #7)
+        and p.get("spark_sustained32_sec", 0.0) <= _CLEAN_SUSTAINED
     )
     if gate_loadavg and p.get("loadavg_1m") is not None:
         try:
@@ -232,6 +245,8 @@ HEADLINE = [
     "join_inner_fk_bucketed",
     "q21_bucketed",
     "q5_bucketed",
+    # round 15: q9's orderkey-co-bucket twin (VERDICT r14 #1)
+    "q9_bucketed",
 ]
 
 
@@ -517,6 +532,7 @@ def main() -> None:
         "spark_sustained32_sec": max(
             pre["spark_sustained32_sec"], post["spark_sustained32_sec"]
         ),
+        "sustained_gate_sec": _CLEAN_SUSTAINED,
         "loadavg_1m": ambient.get("loadavg_1m"),
         "loadavg_5m": ambient.get("loadavg_5m"),
         "loadavg_is_ambient": True,

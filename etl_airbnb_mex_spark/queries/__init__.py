@@ -85,6 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     #                      parameterized _q9_from_frames builder for
     #                      the layout A/B (plan identical; lockstep on
     #                      code-touch)
+    # -- new entry this round (never driver-checked before):
+    #    q9's orderkey-co-bucket twin, VERDICT r14 #1 --
+    "q9_bucketed",
     # -- the r10-provenance cohort (VERDICT r14 #5): oldest
     #    oracle-bearing entries, none code-touched since r10 --
     "anomaly_zscore",
@@ -129,12 +132,11 @@ _PRIORITY: tuple[str, ...] = (
 )
 # Round-15 window: 4 lockstep slots (the bucketed twins — their
 # shared bucketed_table gained the one-file-per-bucket assertion,
-# VERDICT r14 #2 — plus q9's builder extraction) + the full
-# 39-entry r10 cohort = 43 of 50; 7 spare (reserved for
-# q9_bucketed / any further plan touch this round). After this
-# round the oldest provenance anywhere becomes r11. Every cohort
-# name re-verified by the local oracle replica this session before
-# the window was frozen.
+# VERDICT r14 #2 — plus q9's builder extraction) + the new
+# q9_bucketed twin + the full 39-entry r10 cohort = 44 of 50; 6
+# spare. After this round the oldest provenance anywhere becomes
+# r11. Every cohort name re-verified by the local oracle replica
+# this session before the window was frozen.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

@@ -15,7 +15,12 @@ discipline — nothing else shares the heap), a 32-task scheduler floor
 probe INSIDE the measuring JVM immediately before the run (the phase
 stamp reflects the process that produced the number, ADVICE r12 #2),
 and bench.py's own convergence rule (min of passes until the
-second-best is within 10%). Results merge per-row into
+second-best is within 10%). Since r15 (VERDICT r14 #8) each tier is
+ALSO bracketed by scale_bench's sibling-subprocess phase probe
+(fresh short-lived JVM + DuckDB + ambient loadavg) — the in-JVM
+post-work floor reads its own GC residue after tens of millions of
+rows (the r14 sf24 row stamped 0.619 that way), while a sibling
+process sees the machine, not the JVM. Results merge per-row into
 BENCH_SIDECAR.json under "pipeline_scale".
 
 Usage: python scripts/pipeline_scale.py [tier ...]   # default: 4 8
@@ -29,6 +34,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scale_bench import _phase_probe  # noqa: E402  (sibling-JVM probe)
 
 #: tier -> (n_listings, n_reviews): x40/x80 the sf0.1-equivalent
 #: 100k/200k input, tracking the data generator's linear row scaling
@@ -68,6 +76,11 @@ def main() -> None:
         nl, nr = TIERS[tier]
         print(f"# measuring {tier}: {nl + nr} input rows",
               file=sys.stderr, flush=True)
+        # sibling-subprocess bracket (VERDICT r14 #8): the parent owns
+        # no JVM, so _phase_probe(None) launches a fresh short-lived
+        # JVM that exits before the tier subprocess starts — ambient
+        # machine phase, not our own heap's residue
+        phase_ambient = _phase_probe(None)
         r = subprocess.run(
             [sys.executable, "-c",
              _RUNNER.format(repo=REPO, tier=tier, nl=nl, nr=nr)],
@@ -86,6 +99,11 @@ def main() -> None:
                   f"stderr tail: {r.stderr[-500:]}", file=sys.stderr)
             continue
         row = json.loads(lines[-1][len("PIPELINE_JSON "):])
+        row["phase_ambient"] = phase_ambient
+        # post-tier sibling probe: loadavg here still decays from our
+        # own run (interpret vs the floor), but the floor/duck/sustained
+        # numbers come from a process that never did the tier's work
+        row["phase_post"] = _phase_probe(None)
         out[tier] = row
         print(f"# {tier}: {row}", file=sys.stderr, flush=True)
         # merge immediately (crash-proof, scale_bench convention)
@@ -97,8 +115,10 @@ def main() -> None:
             "scripts/pipeline_scale.py: bench._pipeline_throughput at "
             "x40/x80 the sf0.1 synthetic input, one fresh python+JVM "
             "subprocess per tier, in-JVM 32-task floor probe as the "
-            "phase stamp, bench.py convergence rule (min of passes "
-            "until 2nd-best within 10%)."
+            "in-process stamp PLUS sibling-subprocess phase brackets "
+            "before/after each tier (fresh JVM + DuckDB + ambient "
+            "loadavg — r15, VERDICT r14 #8), bench.py convergence "
+            "rule (min of passes until 2nd-best within 10%)."
         )
         try:
             head = subprocess.run(

@@ -112,6 +112,10 @@ HEAVY = [
     "join_inner_fk_bucketed",
     "q21_bucketed",
     "q5_bucketed",
+    # r15: q9's orderkey-co-bucket twin (VERDICT r14 #1 — the layout
+    # A/B showed the judge's 1.04x r12-era row was stale: 1.74x at
+    # sf24 with the whole 638 MB shuffle gone, sidecar q9_layout_ab)
+    "q9_bucketed",
 ]
 
 
@@ -405,6 +409,44 @@ def run_tier(label: str) -> dict:
     return out
 
 
+#: plain weak-set entry -> its registered bucketed-layout twin
+#: (queries/bucketed.py); the weak recount reads plain-vs-bucketed side
+#: by side per tier (VERDICT r14 #9)
+BUCKETED_TWINS = {
+    "join_inner_fk": "join_inner_fk_bucketed",
+    "q21_waiting_suppliers": "q21_bucketed",
+    "q5_local_supplier_volume": "q5_bucketed",
+    "q9_product_margin": "q9_bucketed",
+}
+
+
+def _link_bucketed(st: dict) -> None:
+    """Annotate each plain weak row with its twin's wall and ratio at
+    the same tier (VERDICT r14 #9): the twins' rows used to live apart
+    from the weak grades they mitigate, so the weak table could not
+    show the deployment answer next to the grade. Recomputed on every
+    merge — rows accrete across runs, so whichever side lands second
+    completes the link."""
+    for label, rows in st.items():
+        if not isinstance(rows, dict):
+            continue
+        for plain, twin in BUCKETED_TWINS.items():
+            prow, trow = rows.get(plain), rows.get(twin)
+            if not (isinstance(prow, dict) and isinstance(trow, dict)):
+                continue
+            if trow.get("spark_sec"):
+                prow["bucketed_spark_sec"] = trow["spark_sec"]
+                prow["bucketed_commit"] = trow.get("commit")
+                # twin wall over the PLAIN row's oracle sample: the
+                # oracle SQL is identical, so this isolates the layout
+                # effect from oracle re-sample noise; the twin's own
+                # ratio (vs its own oracle sample) stays on its row
+                if prow.get("duckdb_sec"):
+                    prow["bucketed_ratio"] = round(
+                        trow["spark_sec"] / prow["duckdb_sec"], 2
+                    )
+
+
 def merge_sidecar(trend: dict) -> None:
     path = os.path.join(REPO, "BENCH_SIDECAR.json")
     try:
@@ -426,6 +468,7 @@ def merge_sidecar(trend: dict) -> None:
         for row in rows.values():
             row["commit"] = head
         st.setdefault(label, {}).update(rows)
+    _link_bucketed(st)
     st["method"] = (
         "scripts/scale_bench.py: per-SF Spark session (local[32], "
         "get_spark parity conf; per-QUERY fresh SUBPROCESS from sf4 up "

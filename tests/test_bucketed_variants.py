@@ -22,6 +22,7 @@ TWINS = [
     ("join_inner_fk", "join_inner_fk_bucketed"),
     ("q21_waiting_suppliers", "q21_bucketed"),
     ("q5_local_supplier_volume", "q5_bucketed"),
+    ("q9_product_margin", "q9_bucketed"),
 ]
 
 
@@ -55,17 +56,18 @@ def _n_hash_exchanges(df) -> int:
 
 @pytest.mark.parametrize(
     "plain,bkt",
-    [t for t in TWINS if t[1] != "q5_bucketed"],
+    [t for t in TWINS if t[1] not in ("q5_bucketed", "q9_bucketed")],
 )
 def test_bucketed_twin_drops_exchanges(spark, sf_dir, plain, bkt):
     """join_inner_fk: the o_custkey partial-agg exchange AND both
     SHUFFLE_HASH join exchanges vanish; q21: the orderkey join runs
     exchange-free on both sides and HashPartitioning(l_orderkey)
     satisfies both downstream aggs. What remains in each is the
-    metadata-scale final-agg pair (5 segments / 25 names). q5 is
-    excluded here: at test SF its joins all broadcast, so plain and
-    bucketed tie (its win is measured at sf4+,
-    BENCH_SIDECAR.json:bucketed_layout)."""
+    metadata-scale final-agg pair (5 segments / 25 names). q5 and q9
+    are excluded here: at test SF their joins all broadcast, so plain
+    and bucketed tie (their wins are measured at sf4+,
+    BENCH_SIDECAR.json:bucketed_layout / q9_layout_ab — q9's orderkey
+    join drops 6->2 exchanges and 638->0.21 MB shuffle at sf24)."""
     ep = _n_hash_exchanges(REGISTRY[plain].spark(spark, sf_dir))
     eb = _n_hash_exchanges(REGISTRY[bkt].spark(spark, sf_dir))
     assert eb < ep, (plain, ep, bkt, eb)
