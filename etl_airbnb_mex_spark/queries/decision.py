@@ -255,6 +255,7 @@ def _q5_from_frames(
     o: DataFrame,
     c: DataFrame,
     s: DataFrame,
+    custkey_first: bool = False,
 ) -> DataFrame:
     """The registered q5 plan, parameterized by its SF-scaled input
     frames so the bucketed-layout twin (queries/bucketed.py,
@@ -262,7 +263,24 @@ def _q5_from_frames(
     different table layout — layout is an optimization, never a
     semantics change. ``sf_dir`` is still needed for the driver-side
     dim resolution (nation/region are spec-bounded catalog constants,
-    never layout candidates)."""
+    never layout candidates).
+
+    ``custkey_first`` (r15, VERDICT r14 #10) flips the join order for
+    the o_ck/c_ck-bucketed layout: orders ⋈ customer on the custkey
+    FIRST (both sides pre-partitioned, exchange-free), then the small
+    orders-cardinality oc stream re-keys to the orderkey to meet the
+    li_ok-bucketed lineitem ⋈ supplier side. Either ordering pays
+    exactly one data-scale exchange — the stream that leaves its key
+    domain — but they differ in WHICH stream: fact-rooted re-keys the
+    joined lineitem stream (~|lineitem| × ASIA × year rows wide of the
+    custkey domain), custkey-first re-keys the filtered oc stream
+    (~|orders| × year × ASIA rows, ≈4x fewer and narrower at any SF).
+    The c_nationkey = s_nationkey locality conjunct moves onto the
+    orderkey join as a residual in this ordering (supplier is not yet
+    joined at the oc stage); the equi-key subset mechanism keeps the
+    bucketed li side exchange-free exactly as it keeps c in the
+    fact-rooted ordering. Result-identical by construction; measured
+    in BENCH_SIDECAR.json:q5_order_ab."""
     # Metadata-scale eager step: nation/region are fixed 25/5-row
     # tables at every SF (TPC-H spec) — resolving the pruned dim
     # driver-side (zero Spark jobs, pyarrow footer read) removes the
@@ -309,14 +327,27 @@ def _q5_from_frames(
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
-    return (
-        li.join(s, F.col("l_suppkey") == s["s_suppkey"])
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            c,
-            (F.col("o_custkey") == c["c_custkey"])
+    if custkey_first:
+        oc = o.join(c, F.col("o_custkey") == c["c_custkey"]).select(
+            "o_orderkey", "c_nationkey"
+        )
+        joined = li.join(s, F.col("l_suppkey") == s["s_suppkey"]).join(
+            oc,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
+    else:
+        joined = (
+            li.join(s, F.col("l_suppkey") == s["s_suppkey"])
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(
+                c,
+                (F.col("o_custkey") == c["c_custkey"])
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+        )
+    return (
+        joined
         .groupBy("s_nationkey")
         .agg(
             (F.sum(rev_e4).cast("double") / F.lit(10000.0)).alias("revenue")
