@@ -129,14 +129,25 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "winsorize_stats",
     "zipf_slope",
+    # -- spare slots filled with the head of the r11 cohort (the
+    #    next-oldest provenance, alphabetical — an early start on the
+    #    r16 rotation queue) --
+    "ab_test_ztest",
+    "agg_incremental_merge",
+    "antijoin_wealthy_inactive",
+    "attribution_last_touch",
+    "boilerplate_ngram_frac",
+    "corpus_divergence",
 )
 # Round-15 window: 4 lockstep slots (the bucketed twins — their
 # shared bucketed_table gained the one-file-per-bucket assertion,
 # VERDICT r14 #2 — plus q9's builder extraction) + the new
-# q9_bucketed twin + the full 39-entry r10 cohort = 44 of 50; 6
-# spare. After this round the oldest provenance anywhere becomes
-# r11. Every cohort name re-verified by the local oracle replica
-# this session before the window was frozen.
+# q9_bucketed twin + the full 39-entry r10 cohort + the 6
+# alphabetically-first r11-cohort entries in the spare slots =
+# 50 of 50. After this round the oldest provenance anywhere becomes
+# r11 (40 entries remain there for the r16 queue). Every cohort
+# name re-verified by the local oracle replica this session before
+# the window was frozen.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The
