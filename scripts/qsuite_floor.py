@@ -65,6 +65,12 @@ QUERIES = [
     # spark wall 14.4 -> 90.9 s on 3x data) — decompose whether the
     # superlinear growth is shuffle/spill or compute
     "copurchase_pairs",
+    # r15: the bucketed twins — their residual walls at sf24+ need the
+    # same job/gap/compute split as the plain entries they mitigate
+    "join_inner_fk_bucketed",
+    "q21_bucketed",
+    "q5_bucketed",
+    "q9_bucketed",
 ]
 
 
