@@ -166,3 +166,23 @@ def test_multifile_bucket_refuses_attach(spark, tmp_path):
     spark.sql(f"DROP TABLE `{tname}`")
     with pytest.raises(ValueError, match="multiple"):
         B.bucketed_table(spark, sf, "o_ck")
+
+
+def test_twin_correct_with_sort_trust_flag_off(spark, sf_dir):
+    """The module docstring claims deployments that must keep
+    spark.sql.legacy.bucketedTableScan.outputOrdering OFF (external
+    multi-file-bucket tables in the session) still get correct twins —
+    the scan just stops claiming per-bucket order and any SMJ re-sorts.
+    Prove it: run a twin with the flag forced off and compare to the
+    plain entry. bucketed_table re-enables the flag on the next attach,
+    so restore-by-rerun is the teardown."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    plain = REGISTRY["q21_waiting_suppliers"].spark(spark, sf_dir).toPandas()
+    # attach first (sets the flag), then force it off for execution
+    df = REGISTRY["q21_bucketed"].spark(spark, sf_dir)
+    spark.conf.set(key, "false")
+    try:
+        got = df.toPandas()
+    finally:
+        spark.conf.set(key, "true")
+    assert got.values.tolist() == plain.values.tolist()
