@@ -107,8 +107,10 @@ HEAVY = [
     # r14: the registered bucketed-layout twins (queries/bucketed.py)
     # — the deployment answer next to the plain entries' weak grades,
     # measured on the TESTED API surface (same oracle SQL; the layout
-    # write is a stamped one-time cache — pre-warm .scaledata/bkt for
-    # the tier before timing, or the warm pass pays the write)
+    # write is a stamped one-time cache — run scripts/prewarm_bkt.py
+    # for the tier BEFORE timing: beyond paying the write in the warm
+    # pass, the sf32 lineitem layout write OOMs the default 8g
+    # measurement JVM — it needs the prewarm script's 24g writer)
     "join_inner_fk_bucketed",
     "q21_bucketed",
     "q5_bucketed",
