@@ -112,36 +112,21 @@ def build_q5(
 def build_q9(
     li: DataFrame, o: DataFrame, s: DataFrame, n: DataFrame, p: DataFrame,
 ) -> DataFrame:
-    """The registered q9 plan (queries/decision.py:851): lineitem ⋈
-    part (broadcast) ⋈ orders on orderkey ⋈ supplier ⋈ nation. With
-    li_bkt + o_bkt the orderkey join is exchange-free on both sides."""
-    margin_e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-        - F.round(F.col("l_quantity")).cast("long")
-        * F.round(F.col("p_retailprice") * 100).cast("long")
-        * F.lit(100)
-    )
-    pb = F.broadcast(
-        p.filter(F.col("p_type") == "ECONOMY")
-        .select("p_partkey", "p_retailprice")
-    )
-    nb = F.broadcast(n.select("n_nationkey", "n_name"))
-    return (
-        li.join(pb, F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(nb, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            "n_name",
-            F.date_format("o_orderdate", "yyyy").alias("order_year"),
-        )
-        .agg(
-            (F.sum(margin_e4).cast("double") / F.lit(10000.0)).alias(
-                "margin"
-            )
-        )
-        .orderBy("n_name", "order_year")
+    """The registered q9 plan — since r15 this IS the registered
+    builder (queries/decision.py:_q9_from_frames, extracted for the
+    layout A/B), so the script cannot drift from what the engine
+    ships. With li_bkt + o_bkt the orderkey join is exchange-free on
+    both sides (q9's ONLY data-scale shuffle — see sidecar
+    q9_layout_ab)."""
+    from etl_airbnb_mex_spark.queries.decision import _q9_from_frames
+
+    return _q9_from_frames(
+        li=li, o=o, s=s,
+        n=F.broadcast(n.select("n_nationkey", "n_name")),
+        p=F.broadcast(
+            p.filter(F.col("p_type") == "ECONOMY")
+            .select("p_partkey", "p_retailprice")
+        ),
     )
 
 
