@@ -74,80 +74,84 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: Every name was re-verified by the local oracle replica this
 #: session before the window was frozen.
 _PRIORITY: tuple[str, ...] = (
-    # -- code changed in r15 (lockstep rule) --
-    "join_inner_fk_bucketed",  # r15: bucketed_table now asserts the
-    #                      one-file-per-bucket invariant on every
-    #                      attach path before the sort-trust flag
-    #                      applies (VERDICT r14 #2 / ADVICE r14 #2)
-    "q21_bucketed",       # r15: same bucketed_table change
-    "q5_bucketed",        # r15: same bucketed_table change
-    "q9_product_margin",  # r15: body refactored into the frame-
-    #                      parameterized _q9_from_frames builder for
-    #                      the layout A/B (plan identical; lockstep on
-    #                      code-touch)
+    # -- code changed in r16 (lockstep rule) --
+    "approx_distinct",     # r16: converted to bounded-assertion form
+    #                      with an oracle — (exact, within_10pct) —
+    #                      VERDICT r15 #1; first driver hash ever
+    "percentiles_approx",  # r16: same conversion (exact quartiles +
+    #                      sketch-in-bracket boolean)
+    "hll_distinct_rollup",  # r16: same conversion (per-month exact +
+    #                      within_10pct)
+    "bpe_merges",          # r16: gained the unrolled 10-round DuckDB
+    #                      trainer oracle — the driver now asserts the
+    #                      exact merge sequence
+    "q5_local_supplier_volume",  # VERDICT r15 wrong-#1: its shared
+    #                      _q5_from_frames builder was code-touched in
+    #                      r15 (custkey_first branch) without a fresh
+    #                      driver row — lockstep applied one round late
     # -- new entry this round (never driver-checked before):
-    #    q9's orderkey-co-bucket twin, VERDICT r14 #1 --
-    "q9_bucketed",
-    # -- the r10-provenance cohort (VERDICT r14 #5): oldest
-    #    oracle-bearing entries, none code-touched since r10 --
-    "anomaly_zscore",
-    "centroid_assign",
-    "chi_square_assoc",
-    "cohort_retention",
-    "corr_matrix",
-    "dedup_by_key",
-    "dedup_text_exact",
-    "dup_fullrow_count",
-    "dup_key_count",
-    "dup_ngram_frac",
-    "feature_scale",
-    "ffill_timeseries",
-    "funnel_conversion",
-    "gini_concentration",
-    "gopher_quality_signals",
-    "histogram",
-    "histogram2d",
-    "join_bloom_prefilter",
-    "key_skew_profile",
-    "mode_by_group",
-    "mode_value",
-    "mom_growth",
-    "monthly_active_users",
-    "monthly_cumulative",
-    "monthly_gapfill",
-    "null_profile",
-    "pct_of_total",
-    "pivot_wide",
-    "q1_pricing_summary",
-    "roc_auc_exact",
-    "sample_weighted",
-    "sessionize_ids",
-    "target_encode",
-    "topn_by_count",
-    "twap_by_user",
-    "vocab_prune",
-    "window_lag_delta",
-    "winsorize_stats",
-    "zipf_slope",
-    # -- spare slots filled with the head of the r11 cohort (the
+    #    the IVF build→probe lifecycle, VERDICT r15 #5 --
+    "ivf_build_probe",
+    # -- the r11-provenance cohort (VERDICT r15 #2): oldest
+    #    oracle-bearing entries, none code-touched since r11 --
+    "doc_length_band_filter",
+    "embedding_quantize",
+    "entropy_by_group",
+    "event_transitions",
+    "ewma_smooth",
+    "fuzzy_vocab_pairs",
+    "graph_reachability",
+    "grouped_split",
+    "having_join_bigorders",
+    "interarrival_stats",
+    "intervals_merge",
+    "inverted_index",
+    "join_spatial_grid",
+    "kcore_parts",
+    "knn_cosine",
+    "mixture_resample",
+    "pareto_revenue_share",
+    "pit_lookup",
+    "promo_revenue_share",
+    "quality_gate_by_group",
+    "rare_label_collapse",
+    "repeat_purchase_rate",
+    "rolling_median",
+    "rolling_zscore",
+    "sample_k_per_group",
+    "sample_weighted_topk",
+    "segment_overlap",
+    "session_path_topn",
+    "ship_delay_priority",
+    "skyline_pareto",
+    "sliding_distinct_users",
+    "snapshot_diff",
+    "source_mix_report",
+    "subquery_correlated_qty",
+    "supplier_revenue_concentration",
+    "tfidf_topk",
+    "time_rollup_multigrain",
+    "unicode_normalize",
+    "unigram_logprob",
+    "weighted_median",
+    # -- spare slots filled with the head of the r12 cohort (the
     #    next-oldest provenance, alphabetical — an early start on the
-    #    r16 rotation queue) --
-    "ab_test_ztest",
-    "agg_incremental_merge",
-    "antijoin_wealthy_inactive",
-    "attribution_last_touch",
-    "boilerplate_ngram_frac",
-    "corpus_divergence",
+    #    r17 rotation queue) --
+    "activity_streaks",
+    "basket_lift",
+    "bigram_surprisal",
+    "bigram_topn",
 )
-# Round-15 window: 4 lockstep slots (the bucketed twins — their
-# shared bucketed_table gained the one-file-per-bucket assertion,
-# VERDICT r14 #2 — plus q9's builder extraction) + the new
-# q9_bucketed twin + the full 39-entry r10 cohort + the 6
-# alphabetically-first r11-cohort entries in the spare slots =
-# 50 of 50. After this round the oldest provenance anywhere becomes
-# r11 (40 entries remain there for the r16 queue). Every cohort
-# name re-verified by the local oracle replica this session before
-# the window was frozen.
+# Round-16 window: 5 lockstep slots (the four sketch entries
+# converted to bounded-assertion oracles — their first driver hash
+# ever, VERDICT r15 #1 — plus q5_local_supplier_volume, whose shared
+# builder was touched in r15 without a fresh row, VERDICT r15 #2) +
+# the new ivf_build_probe lifecycle entry (VERDICT r15 #5) + the full
+# 40-entry r11 cohort (bpe_merges was its 41st member and sits in the
+# lockstep slots) + the 4 alphabetically-first r12-cohort entries in
+# the spare slots = 50 of 50. After this round the oldest provenance
+# anywhere becomes r12. Every cohort name re-verified by the local
+# oracle replica this session before the window was frozen.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

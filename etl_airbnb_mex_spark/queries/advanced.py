@@ -353,17 +353,48 @@ def time_rollup_multigrain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_distinct_rollup",
-    None,  # DuckDB's approx_distinct is a different HLL; rows-only.
+    """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_10pct
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
     "Mergeable-sketch distinct rollup: daily HyperLogLog sketches of "
     "user_id unioned into monthly estimates without rescanning the "
     "fact table (operators/timeseries.py:hll_distinct_rollup) — the "
     "DataSketches pattern that makes distinct-count rollups "
-    "incremental at 100 TB. Rows-only by design; the pytest twin "
-    "bounds each month's estimate against the exact distinct count.",
+    "incremental at 100 TB. Bounded-assertion form (VERDICT r15 #1): "
+    "the plan runs the sketch rollup AND the exact monthly distinct, "
+    "emitting (month, exact, |approx−exact| ≤ 10%·exact). HLL union "
+    "is a commutative per-register max, so the estimate — and hence "
+    "the boolean (10% ≈ 6σ at lgK=12) — is deterministic and the "
+    "driver can hash-assert every month. The pytest twin still bounds "
+    "the raw estimates.",
 )
 def hll_distinct_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return hll_distinct_rollup(ev, "ts", "user_id")
+    sketch = hll_distinct_rollup(ev, "ts", "user_id")
+    exact = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd")
+            .alias("month")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    # months are calendar-bounded on both sides → broadcast equi-join
+    return (
+        exact.join(F.broadcast(sketch), "month")
+        .select(
+            "month",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.10 * F.col("exact_distinct")
+            ).alias("within_10pct"),
+        )
+        .orderBy("month")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1365,17 +1396,75 @@ def graph_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(n_merges: int = 10, end_marker: str = "</w>") -> str:
+    """Unrolled BPE trainer as ONE DuckDB query (VERDICT r15 #1) — the
+    oracle twin of operators/corpus.py:bpe_train, built by template so
+    the driver can hash-assert the full merge table. Each round k is
+    three chained CTEs: p{k} adjacent-pair counts over the vocab frame
+    (weighted by word count), t{k} the deterministic top-1 (count desc,
+    then lexicographic — identical tie-break to the engine), v{k+1} the
+    merge applied to every symbol list via list_reduce (pop-and-push:
+    the just-merged tail l||r can never itself equal l, so the reduce
+    is exactly the left-to-right overlap-skipping scan). Early stop
+    (top pair count < 2) mirrors the engine: an empty t{k} empties
+    every later CTE and drops its UNION row."""
+    parts = [f"""
+    WITH words AS (
+      SELECT w, count(*) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v0 AS (
+      SELECT wc,
+             list_append(list_transform(generate_series(1, length(w)),
+                                        i -> w[i]), '{end_marker}') AS syms
+      FROM words
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+      FROM v{k}, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    t{k} AS (
+      SELECT l, r, n FROM p{k} WHERE n >= 2
+      ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    )""")
+        if k < n_merges - 1:
+            parts.append(f""",
+    v{k + 1} AS (
+      SELECT v.wc,
+             list_reduce(
+               list_transform(v.syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = t.l AND x[1] = t.r
+                           THEN acc[1:length(acc) - 1] || [t.l || t.r]
+                           ELSE acc || x END
+             ) AS syms
+      FROM v{k} v CROSS JOIN t{k} t
+    )""")
+    union = "\n    UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", n AS pair_count '
+        f"FROM t{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f"\n    {union}\n    ORDER BY rank")
+    return "".join(parts)
+
+
 @register(
     "bpe_merges",
-    None,  # iterative trainer — no SQL twin (pytest: exact match vs
-    #       the reference single-process BPE, tie-breaking included)
+    _bpe_oracle_sql(),
     "BPE tokenizer training on the documents corpus (operators/"
     "corpus.py:bpe_train): the corpus-sized work is ONE word-frequency "
     "hash agg; each of the 10 merge rounds then runs on the bounded "
     "word-frequency table (adjacent-pair agg -> deterministic top-1 "
     "-> Arrow-batched merge application), exactly how reference BPE "
     "scales. Returns the learned merge table (rank, left, right, "
-    "pair_count).",
+    "pair_count). Oracle since r16 (VERDICT r15 #1): the full trainer "
+    "unrolled as one DuckDB query (_bpe_oracle_sql) — the driver now "
+    "hash-asserts the exact merge sequence, tie-breaks included; the "
+    "pytest vs a single-process Python BPE stays as the third leg.",
 )
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bpe_train

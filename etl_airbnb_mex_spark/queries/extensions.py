@@ -775,35 +775,98 @@ def window_cume_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    None,  # HLL sketch values differ across engines; bounded-error unit test
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS within_10pct
+    FROM orders
+    """,
     "Engine extension (SURVEY.md §2.5 notes): approx_count_distinct — the "
     "documented 100 TB swap for countDistinct (single pass, no distinct "
-    "shuffle). Rows-only here; tests/test_operators.py bounds the error "
-    "vs the exact count.",
+    "shuffle). Bounded-assertion form (VERDICT r15 #1): the plan computes "
+    "BOTH the HLL++ estimate (rsd=0.02) and the exact count and emits "
+    "(exact, |approx−exact| ≤ 10%·exact) — deterministic regardless of "
+    "partial-merge order because HLL register union is commutative and "
+    "10% is 5σ of the configured rsd, so the driver can hash-assert it. "
+    "tests/test_operators.py still bounds the raw estimate.",
 )
 def approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    ).select(
+        "exact_custkeys",
+        (
+            F.abs(F.col("__approx") - F.col("exact_custkeys"))
+            <= 0.10 * F.col("exact_custkeys")
+        ).alias("within_10pct"),
     )
 
 
 @register(
     "percentiles_approx",
-    None,  # sketch values are engine-specific; error bound unit-tested
+    """
+    SELECT count(l_extendedprice) AS cnt,
+           round(avg(l_extendedprice), 6) AS mean,
+           round(stddev_samp(l_extendedprice), 6) AS std,
+           round(min(l_extendedprice), 6) AS min,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(max(l_extendedprice), 6) AS max,
+           TRUE AS approx_in_bracket
+    FROM lineitem
+    """,
     "The documented 100 TB swap for the exact percentile aggregate "
-    "(operators/stats.py: approx=True): approx_percentile's KLL-style "
+    "(operators/stats.py: approx=True): approx_percentile's GK-style "
     "sketch is mergeable with bounded memory per partition — no "
-    "per-partition value map, no single-threaded merge. Rows-only by "
-    "design; tests/test_operators.py bounds the error vs exact. In the "
-    "bench HEADLINE so the swap is performance-proven, not just flagged "
-    "(VERDICT.md r1 #7).",
+    "per-partition value map, no single-threaded merge. Bounded-"
+    "assertion form (VERDICT r15 #1): the plan computes the sketch "
+    "quartiles AND the exact quartiles (bucket-select path, never a "
+    "full-column buffer), emits the EXACT values plus one boolean "
+    "asserting every sketch value lies inside the exact [p−0.01, "
+    "p+0.01] value bracket. The sketch's rank error at the default "
+    "accuracy is n/10000 ≈ 0.01%·n — two orders inside the ±1%-rank "
+    "bracket — so the boolean is TRUE under ANY partial-merge order "
+    "and the driver can hash-assert the whole row. In the bench "
+    "HEADLINE so the swap stays performance-proven (VERDICT.md r1 #7).",
 )
 def percentiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.stats import percentiles
+    from ..operators.stats import _pcts, exact_percentiles_bucket_select
 
     li = load_table(spark, sf_dir, "lineitem")
-    return percentiles(li, "l_extendedprice", approx=True)
+    v = F.col("l_extendedprice").cast("double")
+    li = li.filter(v.isNull() | ~F.isnan(v))
+    wide = li.agg(
+        F.count("l_extendedprice").alias("cnt"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std"),
+        F.round(F.min("l_extendedprice"), 6).alias("min"),
+        _pcts("l_extendedprice", (0.25, 0.50, 0.75), True).alias("__q"),
+        F.round(F.max("l_extendedprice"), 6).alias("max"),
+    )
+    exact = exact_percentiles_bucket_select(
+        li, "l_extendedprice",
+        ps=(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76),
+        dp=None,
+    )
+    in_bracket = (
+        (F.element_at("__q", 1) >= F.col("p24"))
+        & (F.element_at("__q", 1) <= F.col("p26"))
+        & (F.element_at("__q", 2) >= F.col("p49"))
+        & (F.element_at("__q", 2) <= F.col("p51"))
+        & (F.element_at("__q", 3) >= F.col("p74"))
+        & (F.element_at("__q", 3) <= F.col("p76"))
+    )
+    # both sides are 1-row frames: the crossJoin is a scalar broadcast
+    return wide.crossJoin(F.broadcast(exact)).select(
+        "cnt", "mean", "std", "min",
+        F.round(F.col("p25"), 6).alias("p25"),
+        F.round(F.col("p50"), 6).alias("p50"),
+        F.round(F.col("p75"), 6).alias("p75"),
+        "max",
+        in_bracket.alias("approx_in_bracket"),
+    )
 
 
 @register(
@@ -1606,6 +1669,101 @@ def knn_cosine_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_pinned(
         e, IVF_PINNED_CENTROIDS, e.filter(F.col("vec_id") == 0),
         k=10, n_probe=4,
+    )
+
+
+def _ivf_build_probe_sql(
+    n_centroids: int, n_probe: int, k: int, query_id: int
+) -> str:
+    """DuckDB twin of the ivf_build_probe lifecycle: the seed
+    selection uses the engine-portable multiplicative hash (the
+    hash_bucket family, operators/setops.py), so the oracle rebuilds
+    the IDENTICAL quantizer from the data, then replays the same
+    rounded-cosine argmax assignment, probe pick, and in-list top-k as
+    _ivf_pinned_sql — full build→probe parity, not a recall check."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    hh AS (
+      SELECT vec_id, e, vec_id % {n_centroids} AS b,
+             ((kk // 65536 * 2654435761) % 4294967296 * 65536
+              + (kk % 65536) * 2654435761) % 4294967296 % 1000000 AS h
+      FROM (SELECT vec_id, e,
+                   ((vec_id % 4294967296) + 4294967296) % 4294967296 AS kk
+            FROM v)),
+    cents AS (
+      SELECT b AS cid, e AS c FROM (
+        SELECT b, e,
+               row_number() OVER (PARTITION BY b ORDER BY h, vec_id) AS rn
+        FROM hh) WHERE rn = 1),
+    assign AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT v.vec_id, v.e, cents.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.e, cents.c), 6)
+                            DESC,
+                          cents.cid ASC) AS rn
+        FROM v CROSS JOIN cents) WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id = {query_id}),
+    probe AS (
+      SELECT cid
+      FROM cents CROSS JOIN q
+      ORDER BY round(list_cosine_similarity(q.qe, cents.c), 6) DESC,
+               cid ASC
+      LIMIT {n_probe})
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.e, q.qe), 6) AS cosine_sim
+    FROM assign a JOIN probe USING (cid) CROSS JOIN q
+    WHERE a.vec_id <> q.qid
+    ORDER BY cosine_sim DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "ivf_build_probe",
+    _ivf_build_probe_sql(n_centroids=8, n_probe=3, k=10, query_id=1),
+    "§2.11 — IVF build→probe LIFECYCLE as one driver query (VERDICT "
+    "r15 #5): the coarse quantizer is BUILT from the corpus in-query — "
+    "one metadata-scale aggregation picks 8 seed vectors (bucket = "
+    "vec_id mod 8, min engine-portable multiplicative hash per bucket, "
+    "operators/setops.py:hash_bucket) — then the probe runs the exact "
+    "ivf_probe_pinned path against them: in-row rounded-cosine argmax "
+    "assignment, 3 probed lists, exact cosine top-10 inside them. The "
+    "hash-seeded quantizer makes the BUILD engine-portable, so the "
+    "oracle replays the entire lifecycle bit-exactly — unlike the "
+    "KMeans build (operators/similarity.py:ivf_build), which stays the "
+    "recall/quality path, pytest-tested, with its trained centroids "
+    "shipped as literals (knn_cosine_ivf). At 100 TB the build side is "
+    "one map-side-combinable min_by agg to k·dim floats of metadata; "
+    "the assignments are written partitioned by list id "
+    "(test_ivf_lifecycle_partitioned_write) so each probe scans "
+    "n_probe/n_centroids of the corpus via partition pruning.",
+)
+def ivf_build_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import hash_bucket
+    from ..operators.similarity import ivf_probe_pinned
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("__vec"),
+            F.pmod(F.col("vec_id"), F.lit(8)).alias("__b"),
+            hash_bucket("vec_id", 1_000_000).alias("__h"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.min_by(
+                F.col("__vec"), F.struct(F.col("__h"), F.col("vec_id"))
+            ).alias("__c")
+        )
+        .orderBy("__b")
+        .collect()  # metadata-scale: 8 seed vectors (k·dim floats)
+    )
+    centroids = [list(r["__c"]) for r in seeds]
+    return ivf_probe_pinned(
+        e, centroids, e.filter(F.col("vec_id") == 1), k=10, n_probe=3,
     )
 
 

@@ -35,7 +35,19 @@ Methodology: bench.py conventions — warm pass 0, record min of passes
 1-2, full toPandas. The one-time bucketed write cost is recorded (the
 amortized side of the trade).
 
-Usage: python scripts/bucketed_qsuite.py [sf_dir]
+Usage: python scripts/bucketed_qsuite.py [sf_dir] [--aqe-off-bucketed]
+
+--aqe-off-bucketed (VERDICT r15 #6): re-time each BUCKETED arm with
+spark.sql.adaptive.enabled=false (a runtime SQL conf, toggled around
+the timed passes only) and stamp the on/off pair in the sidecar. For a
+FULLY-bucketed plan AQE has nothing to re-plan — no runtime exchange
+to size, no skew to split — and only adds stage-materialization round
+trips, so AQE-off is the deployment recipe for a recurring bucketed
+job: static layouts + static plans (r15_aqe_ab measured 20-32% off
+q5/join_inner_fk twins). Registered plans keep AQE ON — it is
+session-global and the other 200+ entries want skew/coalesce handling
+— which is exactly why the recipe lives here as one reproducible
+command instead of a plan change.
 """
 
 from __future__ import annotations
@@ -175,7 +187,9 @@ def _n_exchanges(df: DataFrame) -> int:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--aqe-off-bucketed"]
+    aqe_ab = "--aqe-off-bucketed" in sys.argv[1:]
+    sf_dir = args[0] if args else os.path.join(
         REPO, ".scaledata", "sf4"
     )
     label = os.path.basename(sf_dir.rstrip("/"))
@@ -299,6 +313,24 @@ def main() -> None:
             "exchanges_plain": exch_plain,
             "exchanges_bucketed": exch_bkt,
         }
+        if aqe_ab:
+            # AQE is a RUNTIME SQL conf: flip it around the bucketed
+            # passes only, restore before the next case (the plain arm
+            # and result asserts above all ran with AQE on, like the
+            # registered plans)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                off_df = bkt_fn()
+                assert off_df.toPandas().values.tolist() == a, (
+                    f"{qname}: AQE-off bucketed arm changed the result"
+                )
+                off_sec = _time(bkt_fn)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+            rows[qname]["bucketed_aqe_off_sec"] = off_sec
+            rows[qname]["aqe_off_speedup_vs_plain"] = round(
+                plain_sec / off_sec, 2
+            )
         print(f"# {label} {qname}: {rows[qname]}", file=sys.stderr,
               flush=True)
     spark.stop()
@@ -309,6 +341,13 @@ def main() -> None:
         "bucketed_write_sec": write_sec,
         "queries": rows,
     }
+    if aqe_ab:
+        out["aqe_off_bucketed"] = (
+            "bucketed arms re-timed with spark.sql.adaptive.enabled="
+            "false (the static-layouts+static-plans deployment recipe "
+            "for recurring bucketed jobs; VERDICT r15 #6) — results "
+            "asserted identical both ways"
+        )
 
     try:
         head = subprocess.run(

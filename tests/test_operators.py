@@ -579,6 +579,34 @@ def test_ivf_probe_pinned_rejects_multirow_query(spark, sf_dir):
     ]
 
 
+def test_ivf_lifecycle_partitioned_write(spark, sf_dir, tmp_path):
+    """The 100 TB deployment shape behind the ivf_build_probe entry
+    (VERDICT r15 #5): assignments are WRITTEN partitioned by list id,
+    so a probe reads only the probed lists — the list filter must reach
+    the scan as a PartitionFilter (pruning), and the probe over the
+    written table must reproduce the in-memory probe's rows exactly."""
+    from etl_airbnb_mex_spark.operators.similarity import (
+        ivf_build,
+        ivf_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = ivf_build(e, n_centroids=8)
+    out = str(tmp_path / "ivf_lists")
+    assigned.write.partitionBy("__centroid").parquet(out)
+    back = spark.read.parquet(out)
+    q = e.filter(F.col("vec_id") == 0)
+    direct = ivf_probe(assigned, centers, q, k=10, n_probe=3).collect()
+    probed = ivf_probe(back, centers, q, k=10, n_probe=3)
+    assert probed.collect() == direct
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [__centroid" in plan, plan
+
+
 def test_pagerank_round_ranks_stability(spark):
     """round_ranks (the oracle-determinism knob) must not change WHAT
     pagerank computes: 12-dp per-round rounding perturbs final ranks by

@@ -180,6 +180,11 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r13: scalar_stats' median moved onto the same bucket-select
     # path — same 1-row broadcast pattern (mad_robust already listed)
     "scalar_stats",
+    # r16 (VERDICT r15 #1): percentiles_approx's bounded-assertion form
+    # crossJoins the 1-row sketch/moments agg with the 1-row
+    # bucket-select exact-bracket frame — the same audited 1-row ×
+    # 1-row scalar broadcast as describe_stats
+    "percentiles_approx",
 }
 
 
@@ -242,6 +247,9 @@ _GLOBAL_WINDOW_OK: set[str] = {
     # the ≤4096-row bucket-total frame (per-window check below)
     "filter_quantile",
     "percentiles",  # r10 prefix path: bucket-total window (≤4096 rows)
+    # r16 (VERDICT r15 #1): percentiles_approx's exact bracket runs on
+    # the same bucket-select path — same ≤4096-row offsets window
+    "percentiles_approx",
     # r13 (VERDICT r12 #10): describe_stats / outliers_iqr moved their
     # exact quantiles off the percentile() aggregate onto the same
     # bucket-select path — same ≤4096-row offsets window

@@ -1,11 +1,13 @@
-"""sf1 error-bound checks for the rows-only sketch entries
-(VERDICT r10 #8): the driver's hash-oracle cannot check
-approx_distinct / percentiles_approx / hll_distinct_rollup (no exact
-SQL twin exists for a sketch by construction), so pytest bounds them —
-previously at sf0.001 only, where a sketch can look fine by accident.
-These tests assert each estimate lands within the sketch's PUBLISHED
-error of the exact answer the engine itself computes, at sf1
-(~6M lineitem rows, built by scripts/make_scaledata.py 1.0).
+"""sf1 error-bound checks for the sketch operators (VERDICT r10 #8).
+
+Since r16 the registered approx_distinct / percentiles_approx /
+hll_distinct_rollup entries are bounded-assertion forms the driver
+hash-asserts at sf0.01 (VERDICT r15 #1: exact values + an
+estimate-within-published-error boolean). These tests stay as the
+LARGE-scale leg: they bound the RAW estimates at sf1 (~6M lineitem
+rows, built by scripts/make_scaledata.py 1.0), where a sketch cannot
+look fine by accident — the same invariant the registered booleans
+assert, two orders of magnitude up.
 
 Skips cleanly when the sf1 tier is not built — the tier is derived
 data (gitignored), not a repo artifact.
