@@ -92,6 +92,13 @@ _PRIORITY: tuple[str, ...] = (
     # -- new entry this round (never driver-checked before):
     #    the IVF build→probe lifecycle, VERDICT r15 #5 --
     "ivf_build_probe",
+    # -- r16 lockstep, second batch (VERDICT r15 #3): the shared
+    #    _q9_from_frames builder gained the cents_encoded path and the
+    #    twin moved onto the cents-encoded li_ok_q9c layout (ratio
+    #    2.08→1.58 at sf24, sidecar q9_twin_ab) — both call sites get
+    #    fresh driver rows the same round --
+    "q9_product_margin",
+    "q9_bucketed",
     # -- the r11-provenance cohort (VERDICT r15 #2): oldest
     #    oracle-bearing entries, none code-touched since r11 --
     "doc_length_band_filter",
@@ -139,19 +146,19 @@ _PRIORITY: tuple[str, ...] = (
     #    r17 rotation queue) --
     "activity_streaks",
     "basket_lift",
-    "bigram_surprisal",
-    "bigram_topn",
 )
-# Round-16 window: 5 lockstep slots (the four sketch entries
+# Round-16 window: 7 lockstep slots (the four sketch entries
 # converted to bounded-assertion oracles — their first driver hash
-# ever, VERDICT r15 #1 — plus q5_local_supplier_volume, whose shared
-# builder was touched in r15 without a fresh row, VERDICT r15 #2) +
-# the new ivf_build_probe lifecycle entry (VERDICT r15 #5) + the full
-# 40-entry r11 cohort (bpe_merges was its 41st member and sits in the
-# lockstep slots) + the 4 alphabetically-first r12-cohort entries in
-# the spare slots = 50 of 50. After this round the oldest provenance
-# anywhere becomes r12. Every cohort name re-verified by the local
-# oracle replica this session before the window was frozen.
+# ever, VERDICT r15 #1; q5_local_supplier_volume, whose shared
+# builder was touched in r15 without a fresh row, VERDICT r15 #2; and
+# the q9 pair, whose shared builder gained the cents_encoded path
+# this round, VERDICT r15 #3) + the new ivf_build_probe lifecycle
+# entry (VERDICT r15 #5) + the full 40-entry r11 cohort (bpe_merges
+# was its 41st member and sits in the lockstep slots) + the 2
+# alphabetically-first r12-cohort entries in the spare slots = 50 of
+# 50. After this round the oldest provenance anywhere becomes r12.
+# Every cohort name re-verified by the local oracle replica this
+# session before the window was frozen.
 
 #: Emptied in round 7: dedup_simhash / ngram_jaccard graduated into the
 #: window (they were the last entries with no driver row ever). The

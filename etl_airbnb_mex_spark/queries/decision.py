@@ -960,28 +960,54 @@ def q9_product_margin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q9_from_frames(
-    li: DataFrame, o: DataFrame, s: DataFrame, n: DataFrame, p: DataFrame
+    li: DataFrame, o: DataFrame, s: DataFrame, n: DataFrame, p: DataFrame,
+    cents_encoded: bool = False,
 ) -> DataFrame:
     """The registered q9 plan, parameterized by its input frames so the
-    layout A/B (scripts/q9_layout_ab.py, VERDICT r14 #1) and any future
+    layout A/B (scripts/q9_layout_ab.py, VERDICT r14 #1) and the
     bucketed twin execute the IDENTICAL logical plan over a different
     table layout. ``n`` and ``p`` arrive pre-filtered/projected and
     pre-hinted — the registered caller broadcasts both (nation is
     spec-bounded; ECONOMY part is ~1/6 of an SF-scaled dim), while the
-    layout A/B may pass a bucketed part with a merge hint instead."""
-    li = li.select(
-        "l_orderkey", "l_suppkey", "l_partkey",
-        "l_quantity", "l_extendedprice", "l_discount",
-    )
+    layout A/B may pass a bucketed part with a merge hint instead.
+
+    ``cents_encoded=True`` (r16, VERDICT r15 #3): ``li`` carries the
+    margin inputs PRE-ENCODED as integer cents (``l_eprice_e2`` /
+    ``l_disc_e2`` / ``l_qty`` longs, written by the ``li_ok_q9c``
+    layout with the IDENTICAL round()+cast chain this builder applies
+    per scan when False) — the per-row expression drops three
+    round()+cast chains and the scan decodes delta-packed longs
+    instead of doubles. Bit-identical results by construction (same
+    integer arithmetic, moved from read time to write time); the join
+    / agg tail below is shared verbatim so the two paths cannot
+    drift. Measured sf24/sf32: −24 % executor CPU vs the full-width
+    twin (sidecar q9_twin_ab)."""
+    if cents_encoded:
+        li = li.select(
+            "l_orderkey", "l_suppkey", "l_partkey",
+            "l_eprice_e2", "l_disc_e2", "l_qty",
+        )
+        margin_e4 = (
+            F.col("l_eprice_e2")
+            * (F.lit(100) - F.col("l_disc_e2"))
+            - F.col("l_qty")
+            * F.round(F.col("p_retailprice") * 100).cast("long")
+            * F.lit(100)
+        )
+    else:
+        li = li.select(
+            "l_orderkey", "l_suppkey", "l_partkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        margin_e4 = (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            - F.round(F.col("l_quantity")).cast("long")
+            * F.round(F.col("p_retailprice") * 100).cast("long")
+            * F.lit(100)
+        )
     o = o.select("o_orderkey", "o_orderdate")
     s = s.select("s_suppkey", "s_nationkey")
-    margin_e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-        - F.round(F.col("l_quantity")).cast("long")
-        * F.round(F.col("p_retailprice") * 100).cast("long")
-        * F.lit(100)
-    )
     # r13: the margin expression is computed IMMEDIATELY after the
     # (broadcast) part join, so the big orderkey exchange carries one
     # long instead of the four numeric inputs (24 B vs 48 B rows,

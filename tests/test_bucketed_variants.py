@@ -186,3 +186,53 @@ def test_twin_correct_with_sort_trust_flag_off(spark, sf_dir):
     finally:
         spark.conf.set(key, "true")
     assert got.values.tolist() == plain.values.tolist()
+
+
+def test_projected_layout_roundtrip_and_reattach(spark, tmp_path):
+    """li_ok_q9c (r16, VERDICT r15 #3): a layout with a write-time
+    projection must (a) store the cents-encoded schema, (b) encode
+    with the IDENTICAL round()+cast chain the plain builder applies
+    at read time (bit-identical margin arithmetic is the twin's
+    correctness claim), and (c) survive the cross-session DDL
+    re-attach, whose column list now derives from the projection
+    rather than the source table."""
+    from pyspark.sql import functions as F
+
+    import etl_airbnb_mex_spark.queries.bucketed as B
+
+    sf = str(tmp_path)
+    spark.range(300).selectExpr(
+        "id AS l_orderkey", "id % 9 AS l_suppkey",
+        "id % 17 AS l_partkey",
+        "CAST(id % 50 AS DOUBLE) + 0.4 AS l_quantity",
+        "CAST(id AS DOUBLE) * 1.005 AS l_extendedprice",
+        "CAST(id % 10 AS DOUBLE) / 100 AS l_discount",
+    ).toPandas().to_parquet(os.path.join(sf, "lineitem.parquet"))
+    t = B.bucketed_table(spark, sf, "li_ok_q9c")
+    assert set(t.columns) == {
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_eprice_e2", "l_disc_e2", "l_qty",
+    }
+    assert dict(t.dtypes)["l_eprice_e2"] == "bigint"
+    src = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    expect = {
+        r["l_orderkey"]: (r["e"], r["d"], r["q"])
+        for r in src.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("e"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+            F.round(F.col("l_quantity")).cast("long").alias("q"),
+        ).collect()
+    }
+    def _snap(df):
+        return {
+            r["l_orderkey"]: (r["l_eprice_e2"], r["l_disc_e2"], r["l_qty"])
+            for r in df.collect()
+        }
+    assert _snap(t) == expect
+    tname = f"bkt_{B._label(sf)}_li_ok_q9c"
+    spark.sql(f"DROP TABLE `{tname}`")
+    again = B.bucketed_table(spark, sf, "li_ok_q9c")
+    assert set(again.columns) == set(t.columns)
+    assert _snap(again) == expect
