@@ -129,7 +129,11 @@ def build_q9(
     layout A/B), so the script cannot drift from what the engine
     ships. With li_bkt + o_bkt the orderkey join is exchange-free on
     both sides (q9's ONLY data-scale shuffle — see sidecar
-    q9_layout_ab)."""
+    q9_layout_ab). NOTE (r16): this script's bucketed arm measures the
+    full-width co-bucket in isolation; the REGISTERED q9_bucketed twin
+    additionally stores the margin inputs cents-encoded (li_ok_q9c,
+    cents_encoded=True — another −24/−32 % executor CPU at sf24/sf32,
+    sidecar q9_twin_ab), so its wall is below this arm's."""
     from etl_airbnb_mex_spark.queries.decision import _q9_from_frames
 
     return _q9_from_frames(
