@@ -561,6 +561,7 @@ def exact_percentiles_bucket_select(
     dp: int | None = ROUND_DP,
     n_buckets: int = 4096,
     keep_n: bool = False,
+    extra_scalar_aggs: dict | None = None,
 ) -> DataFrame:
     """Exact linear-interpolated percentiles as ONE lazy plan that
     never ranks the full column — the r12 registered form, superseding
@@ -601,14 +602,36 @@ def exact_percentiles_bucket_select(
     Returns the 1-row wide frame (p25 … p99, ``dp``-rounded);
     empty/all-null input yields one all-null row (the agg-method
     contract).
+
+    ``extra_scalar_aggs`` (r16): scalar aggregate Columns over the
+    internal value column ``v`` (the ``col`` cast to double, NULL/NaN
+    filtered), e.g. ``{"mean": F.round(F.avg("v"), 6)}``. They are
+    computed INSIDE the pass-1 limits aggregate — zero additional
+    column scans — ride the existing 1-row broadcast through the
+    candidate path (column pruning keeps them out of the histogram
+    branch), and come back as columns of the output row. This is how
+    percentiles_approx fuses its moments + sketch pass with the exact
+    bracket: one fewer full-column aggregate pass and no scalar
+    crossJoin (the local wall is job-chain-floor-dominated and
+    measures flat; the pass elimination is the at-scale win — a
+    column scan saved is a column scan saved at 100 TB). On EMPTY
+    input these columns are NULL
+    (there are no candidate rows to carry the broadcast), so a
+    count-like extra reads NULL, not 0 — callers needing oracle
+    count() parity wrap with coalesce.
     """
+    extra_scalar_aggs = extra_scalar_aggs or {}
     vals = (
         df.select(F.col(col).cast("double").alias("v"))
         .filter(F.col("v").isNotNull() & ~F.isnan("v"))
     )
     inf = float("inf")
     vn = F.when((F.col("v") > -inf) & (F.col("v") < inf), F.col("v"))
-    lim = vals.agg(F.min(vn).alias("__lo"), F.max(vn).alias("__hi"))
+    lim = vals.agg(
+        F.min(vn).alias("__lo"),
+        F.max(vn).alias("__hi"),
+        *[c.alias(f"__x_{k}") for k, c in extra_scalar_aggs.items()],
+    )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
     bkt = (
         F.when(F.col("v") == inf, F.lit(n_buckets - 1).cast("long"))
@@ -668,6 +691,10 @@ def exact_percentiles_bucket_select(
             .alias(f"__hi_{i}")
         )
     aggs.append(F.max("__n").alias("__n"))
+    for xk in extra_scalar_aggs:
+        # every candidate row carries the broadcast scalar; max of a
+        # constant is the constant (deterministic, unlike first)
+        aggs.append(F.max(F.col(f"__x_{xk}")).alias(f"__xx_{xk}"))
     out_cols = []
     for i, p in enumerate(ps):
         frac = k(p) - F.floor(k(p))
@@ -688,6 +715,8 @@ def exact_percentiles_bucket_select(
         # counts non-null, non-NaN values (the quantile population),
         # not bare count(col).
         out_cols.append(F.col("__n").alias("n"))
+    for xk in extra_scalar_aggs:
+        out_cols.append(F.col(f"__xx_{xk}").alias(xk))
     return hits.groupBy().agg(*aggs).select(*out_cols)
 
 

@@ -835,20 +835,22 @@ def percentiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stats import _pcts, exact_percentiles_bucket_select
 
     li = load_table(spark, sf_dir, "lineitem")
-    v = F.col("l_extendedprice").cast("double")
-    li = li.filter(v.isNull() | ~F.isnan(v))
-    wide = li.agg(
-        F.count("l_extendedprice").alias("cnt"),
-        F.round(F.avg("l_extendedprice"), 6).alias("mean"),
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("std"),
-        F.round(F.min("l_extendedprice"), 6).alias("min"),
-        _pcts("l_extendedprice", (0.25, 0.50, 0.75), True).alias("__q"),
-        F.round(F.max("l_extendedprice"), 6).alias("max"),
-    )
-    exact = exact_percentiles_bucket_select(
+    # moments + GK sketch fused into bucket-select's pass-1 limits
+    # aggregate (extra_scalar_aggs, r16): one fewer full-column pass,
+    # no scalar crossJoin; local wall is floor-dominated (flat), the
+    # pass cut is the at-scale win
+    fused = exact_percentiles_bucket_select(
         li, "l_extendedprice",
         ps=(0.24, 0.25, 0.26, 0.49, 0.50, 0.51, 0.74, 0.75, 0.76),
         dp=None,
+        extra_scalar_aggs={
+            "cnt": F.count("v"),
+            "mean": F.round(F.avg("v"), 6),
+            "std": F.round(F.stddev_samp("v"), 6),
+            "min": F.round(F.min("v"), 6),
+            "__q": _pcts("v", (0.25, 0.50, 0.75), True),
+            "max": F.round(F.max("v"), 6),
+        },
     )
     in_bracket = (
         (F.element_at("__q", 1) >= F.col("p24"))
@@ -858,9 +860,9 @@ def percentiles_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.element_at("__q", 3) >= F.col("p74"))
         & (F.element_at("__q", 3) <= F.col("p76"))
     )
-    # both sides are 1-row frames: the crossJoin is a scalar broadcast
-    return wide.crossJoin(F.broadcast(exact)).select(
-        "cnt", "mean", "std", "min",
+    return fused.select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        "mean", "std", "min",
         F.round(F.col("p25"), 6).alias("p25"),
         F.round(F.col("p50"), 6).alias("p50"),
         F.round(F.col("p75"), 6).alias("p75"),

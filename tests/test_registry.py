@@ -180,11 +180,6 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r13: scalar_stats' median moved onto the same bucket-select
     # path — same 1-row broadcast pattern (mad_robust already listed)
     "scalar_stats",
-    # r16 (VERDICT r15 #1): percentiles_approx's bounded-assertion form
-    # crossJoins the 1-row sketch/moments agg with the 1-row
-    # bucket-select exact-bracket frame — the same audited 1-row ×
-    # 1-row scalar broadcast as describe_stats
-    "percentiles_approx",
 }
 
 
