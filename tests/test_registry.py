@@ -180,6 +180,12 @@ _SCALAR_BNLJ_OK: set[str] = {
     # r13: scalar_stats' median moved onto the same bucket-select
     # path — same 1-row broadcast pattern (mad_robust already listed)
     "scalar_stats",
+    # r16: percentiles_approx on the bucket-select path — the
+    # operator's own audited 1-row limits broadcast (min/max + the
+    # fused extra_scalar_aggs), the same crossJoin every bucket-select
+    # consumer above carries; the entry's former OUTER 1-row×1-row
+    # crossJoin was removed by the fuse
+    "percentiles_approx",
 }
 
 
