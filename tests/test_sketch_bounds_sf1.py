@@ -90,3 +90,24 @@ def test_hll_rollup_bound_sf1(spark):
     assert set(est) == set(exact)
     for m in exact:
         assert abs(est[m] - exact[m]) <= 0.10 * exact[m]
+
+
+def test_bounded_assertion_entries_hold_sf1(spark):
+    """The r16 registered bounded-assertion forms (VERDICT r15 #1)
+    assert their booleans at the driver's sf0.01; this is the sf1
+    scale leg — the SAME registered plans, 100× the data, every
+    estimate-within-published-error boolean still TRUE. A mis-set
+    tolerance that squeaks by at sf0.01 fails here."""
+    from etl_airbnb_mex_spark.queries import REGISTRY, _load
+
+    _load()
+    row = REGISTRY["approx_distinct"].spark(spark, SF1_DIR).collect()[0]
+    assert row["within_10pct"] is True
+    assert row["exact_custkeys"] > 0
+    row = REGISTRY["percentiles_approx"].spark(spark, SF1_DIR).collect()[0]
+    assert row["approx_in_bracket"] is True
+    assert row["cnt"] > 0
+    months = REGISTRY["hll_distinct_rollup"].spark(spark, SF1_DIR).collect()
+    assert months
+    for r in months:
+        assert r["within_10pct"] is True, r
