@@ -649,16 +649,24 @@ def exact_percentiles_bucket_select(
         F.count(F.lit(1)).cast("long").alias("__bn")
     )
     wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    total = bt.agg(F.sum("__bn").cast("long").alias("__n"))
-    off = (
-        bt.select(
-            "__bkt",
-            F.coalesce(F.sum("__bn").over(wb), F.lit(0))
-            .cast("long")
-            .alias("__boff"),
-            "__bn",
-        )
-        .crossJoin(F.broadcast(total))
+    # r16 (optimization round, guide §2.4): total n comes from the SAME
+    # ≤4096-row single-partition window frame as the exclusive offsets
+    # (unbounded-following frame, identical partition/order spec → ONE
+    # WindowExec), replacing the r12 form's separate sum-aggregate +
+    # broadcast crossJoin — that branch re-read bt's exchange, ran a
+    # two-stage aggregate and a BroadcastExchange + BNLJ of its own:
+    # two extra sequential AQE stages per percentile call, pure
+    # job-chain floor at every scale.
+    wn = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off = bt.select(
+        "__bkt",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+        .cast("long")
+        .alias("__boff"),
+        "__bn",
+        F.sum("__bn").over(wn).cast("long").alias("__n"),
     )
     k = lambda p: (F.col("__n") - 1) * F.lit(p)  # noqa: E731
     in_bucket = F.lit(False)
@@ -728,6 +736,7 @@ def global_order_prefix(
     n_buckets: int = 4096,
     rank: bool = False,
     materialize: bool = True,
+    keep_total: bool = False,
 ) -> DataFrame:
     """Exact EXCLUSIVE prefix sum (and optional 1-based global rank)
     over the global ``order_col`` order — LAZY, one Spark action, no
@@ -824,15 +833,28 @@ def global_order_prefix(
         Window.orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # keep_total (r16, guide §2.4): expose the total weight as __gtot,
+    # summed over the SAME ≤n_buckets-row single-partition window frame
+    # as the offsets (one WindowExec) — consumers that also need n
+    # (equidepth's bin arithmetic) save a second full pass over the
+    # input plus a broadcast crossJoin.
+    bt_cols = [
+        F.col("__bkt"),
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+        .cast("long")
+        .alias("__boff"),
+    ]
+    if keep_total:
+        wn = Window.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        bt_cols.append(
+            F.sum("__bn").over(wn).cast("long").alias("__gtot")
+        )
     bt = (
         binned.groupBy("__bkt")
         .agg(F.sum(w_expr).cast("long").alias("__bn"))
-        .select(
-            "__bkt",
-            F.coalesce(F.sum("__bn").over(wb), F.lit(0))
-            .cast("long")
-            .alias("__boff"),
-        )
+        .select(*bt_cols)
     )
     if rank and weight_col is not None:
         raise ValueError("rank=True requires unit weights (weight_col=None)")
@@ -887,13 +909,19 @@ def equidepth_histogram_prefix(
     global sort.
     """
     d = df.select(F.col(col).alias("__v"), F.col(tiebreak).alias("__t"))
-    ranked = global_order_prefix(d, "__v", tie_cols=("__t",), rank=True)
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    # keep_total rides the total row count (= sum of the bucket counts,
+    # null bucket included) out of the prefix machinery's own
+    # bucket-total window — the r11 form's separate d.agg(count) was a
+    # SECOND full pass over the input (it aggregated the raw frame, not
+    # the localCheckpoint) plus a broadcast crossJoin: one full scan +
+    # two AQE stages removed (r16, guide §2.3/§2.4).
+    ranked = global_order_prefix(
+        d, "__v", tie_cols=("__t",), rank=True, keep_total=True
+    )
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
+        ranked.withColumn(
             "bin",
-            (F.expr(f"(rk - 1) * {int(k)} div __n") + 1).cast("long"),
+            (F.expr(f"(rk - 1) * {int(k)} div __gtot") + 1).cast("long"),
         )
         .groupBy("bin")
         .agg(
