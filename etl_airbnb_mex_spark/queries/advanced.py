@@ -2374,19 +2374,25 @@ def pareto_revenue_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prefix = Window.orderBy(F.desc("__b")).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # r16 (optimization round, guide §2.4): grand totals ride the SAME
+    # single-partition window frame as the exclusive bucket prefix
+    # (unbounded-following frame, identical order spec → one
+    # WindowExec over the tiny bucket-totals frame), replacing a
+    # separate aggregate branch + scalar broadcast crossJoin — two
+    # fewer sequential stages (9 → 7 jobs at sf0.1).
+    w_all = Window.orderBy(F.desc("__b")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     prefix = totals.select(
         "__b",
         F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias(
             "__pre"
         ),
-    )
-    tot = totals.agg(
-        F.sum("__tot").alias("__total_rev"),
-        F.sum("__n").cast("long").alias("__n_total"),
+        F.sum("__tot").over(w_all).alias("__total_rev"),
+        F.sum("__n").over(w_all).cast("long").alias("__n_total"),
     )
     t = (
         local.join(F.broadcast(prefix), "__b")
-        .crossJoin(F.broadcast(tot))
         .withColumn("cum_rev", F.col("__pre") + F.col("__cum_local"))
     )
     top = t.filter(

@@ -1952,12 +1952,18 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§2.11 — top-3 TF-IDF terms per document (operators/corpus.py): "
     "(doc,token) hash agg → token-keyed df join → broadcast 1-row corpus "
     "count → one window on doc_id. Shuffles carry ids+tokens only; no "
-    "driver collect. Ties broken by token asc for determinism.",
+    "driver collect. Ties broken by token asc for determinism. r16 "
+    "(optimization round, guide §2.5 input skew): parallelize_scan — the "
+    "compressed documents file scans as ONE split, serializing the "
+    "tokenize+explode+agg on a single core (measured 2.4 s of "
+    "executor_run on 1 task at sf0.1); the widening repartition is also "
+    "shared by the tf and n_docs branches via ReuseExchange, so the "
+    "text column is scanned once instead of twice.",
 )
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import tfidf_topk
 
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rn")
 
 

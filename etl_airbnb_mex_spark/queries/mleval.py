@@ -346,14 +346,19 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the credit-scoring-style supervised encoder next to "
     "target_encode's mean encoder. One (category)-keyed hash agg "
     "(map-side combine collapses each task to the category "
-    "cardinality), totals re-aggregated from the k-row joint frame and "
-    "broadcast back as a 1-row scalar; WOE and the summed IV are "
+    "cardinality); WOE and the summed IV are "
     "Laplace-smoothed (+0.5) so empty cells stay finite on both "
-    "engines. The oracle's OVER () runs on the k-row category axis — "
-    "the engine computes IV as a second scalar broadcast instead of "
-    "any window.",
+    "engines. r16 (optimization round, guide §2.4): totals and the "
+    "summed IV come from unpartitioned windows OVER the k-row "
+    "category frame — exactly the oracle's OVER () shape — instead of "
+    "two scalar aggregate+broadcast branches; the category axis is "
+    "bounded (|priorities| = 5) so the single-partition window is the "
+    "same metadata-scale argument as the 4096-row bucket windows. "
+    "8 → 4 jobs; the checkpoint is gone too (one consumer now).",
 )
 def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     g = (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -365,32 +370,31 @@ def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("np"),
             (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("nn"),
         )
-        .localCheckpoint(eager=False)
     )
-    tot = g.agg(
-        F.sum("np").alias("tp"),
-        F.sum("nn").alias("tn"),
-        F.count(F.lit(1)).alias("k"),
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     pd_ = (F.col("np") + 0.5) / (F.col("tp") + 0.5 * F.col("k"))
     qd = (F.col("nn") + 0.5) / (F.col("tn") + 0.5 * F.col("k"))
-    w = g.crossJoin(F.broadcast(tot)).select(
+    w = g.select(
+        "category", "np", "nn",
+        F.sum("np").over(wall).alias("tp"),
+        F.sum("nn").over(wall).alias("tn"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    ).select(
         "category", "np", "nn",
         pd_.alias("pd"), qd.alias("qd"),
     )
-    iv = w.agg(
-        F.sum(
-            (F.col("pd") - F.col("qd")) * F.log(F.col("pd") / F.col("qd"))
-        ).alias("iv_raw")
-    )
+    iv_raw = F.sum(
+        (F.col("pd") - F.col("qd")) * F.log(F.col("pd") / F.col("qd"))
+    ).over(wall)
     return (
-        w.crossJoin(F.broadcast(iv))
-        .select(
+        w.select(
             "category",
             F.col("np").cast("bigint").alias("n_pos"),
             F.col("nn").cast("bigint").alias("n_neg"),
             F.round(F.log(F.col("pd") / F.col("qd")), 6).alias("woe"),
-            F.round(F.col("iv_raw"), 6).alias("iv"),
+            F.round(iv_raw, 6).alias("iv"),
         )
         .orderBy("category")
     )
@@ -526,13 +530,20 @@ def feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chi_square_assoc (χ² tests significance, MI measures shared "
     "information; both read off the same contingency table). ONE "
     "(x, y)-keyed hash agg builds the joint table (map-side combine "
-    "collapses each task to the cell cardinality); margins re-"
-    "aggregate FROM the joint frame (never re-scan the fact table) "
-    "and broadcast-join back onto it with a 1-row total. The log "
-    "argument is composed identically on both engines "
-    "((nxy·n)/(nx·ny) in double) so the rounded sums agree bitwise.",
+    "collapses each task to the cell cardinality); margins and the "
+    "total come from windows OVER the joint frame (never re-scan the "
+    "fact table). r16 (optimization round, guide §2.4): the margins "
+    "were three separate aggregate branches broadcast-joined back "
+    "(which also forced a localCheckpoint to stop the fork from "
+    "re-aggregating) — as windows on the ≤|segments|·|nations|-row "
+    "cell axis they are three narrow metadata-scale exchanges in one "
+    "linear chain: 9 → 5 jobs, checkpoint gone. The log argument is "
+    "composed identically on both engines ((nxy·n)/(nx·ny) in double) "
+    "so the rounded sums agree bitwise.",
 )
 def mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     j = (
         load_table(spark, sf_dir, "customer")
         .groupBy(
@@ -540,22 +551,26 @@ def mutual_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("yk"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
-        .localCheckpoint(eager=False)
     )
-    mx = j.groupBy("x").agg(F.sum("nxy").alias("nx"))
-    my = j.groupBy("yk").agg(F.sum("nxy").alias("ny"))
-    tot = j.agg(F.sum("nxy").alias("n"))
+    whole = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = j.select(
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("yk").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("ny"),
+        F.sum("nxy").over(whole).alias("n"),
+    )
     mi_term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
         (F.col("nxy").cast("double") * F.col("n"))
         / (F.col("nx").cast("double") * F.col("ny"))
     )
-    return (
-        j.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "yk")
-        .crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("n").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-            F.round(F.sum(mi_term), 6).alias("mi_nats"),
-        )
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(mi_term), 6).alias("mi_nats"),
     )
