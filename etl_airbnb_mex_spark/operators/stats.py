@@ -1171,13 +1171,25 @@ def target_encode(
     equi-join downstream. Exact sums via DECIMAL would be overkill
     here: 6-dp rounding on the final ratio absorbs double summation
     order (SURVEY.md §7.4.12 applies to raw sums, not shrunk means).
+
+    r16 (optimization round, guide §2.3): the global mean derives FROM
+    the per-category frame (Σ__s / Σn ≡ avg(target): every row lands
+    in exactly one category group, nulls included) instead of a second
+    full scan of the input — one whole input pass removed at any
+    scale; the category frame is lazily checkpointed so its two
+    consumers don't re-run the big aggregation. Deliberately an
+    aggregate + broadcast, NOT a window: the encoder serves
+    high-cardinality categoricals, so a single-partition window over
+    the category axis would be the documented scale hazard.
     """
     t = F.col(target_col)
     per_cat = df.groupBy(cat_col).agg(
         F.count(t).alias("n"),
         F.sum(t).alias("__s"),
+    ).localCheckpoint(eager=False)
+    g = per_cat.agg(
+        (F.sum("__s") / F.sum("n")).alias("__g")
     )
-    g = df.agg(F.avg(t).alias("__g"))
     return (
         per_cat.crossJoin(F.broadcast(g))
         .select(

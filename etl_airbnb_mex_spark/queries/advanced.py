@@ -2106,11 +2106,20 @@ def source_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.trim("text"), r"\s+"))
         ).cast("bigint").alias("n_tokens"),
     )
-    total = t.agg(
-        F.sum("n_tokens").cast("double").alias("__total")
+    # r16 (optimization round, guide §2.4): the grand total as an
+    # unpartitioned window over the (source, lang) cell frame —
+    # bounded by |sources|·|langs| at any input scale — instead of a
+    # separate aggregate + scalar broadcast crossJoin (two fewer
+    # sequential stages).
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        t.crossJoin(F.broadcast(total))
+        t.withColumn(
+            "__total", F.sum("n_tokens").over(wall).cast("double")
+        )
         .select(
             "source",
             "lang",

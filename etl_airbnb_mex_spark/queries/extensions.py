@@ -3523,33 +3523,36 @@ def mom_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Chi-square association between two categoricals (lang x source) — "
     "the categorical complement of corr_matrix. All math runs on the "
     "AGGREGATED contingency axis: one (lang,source) hash agg over the "
-    "data, then margins/expected/statistic over that tiny frame "
-    "(broadcast joins); observed-only cells (TPC-H-style dense "
-    "contingency) keep both engines' sums aligned.",
+    "data, then margins/expected/statistic over that tiny frame. r16 "
+    "(optimization round, guide §2.4): margins and the total are "
+    "windows OVER the cell frame and the dof factors are "
+    "countDistinct in the final aggregate — the previous five side "
+    "branches (row margin, column margin, total, two dof counts) each "
+    "cost an aggregate job plus a broadcast build on a frame bounded "
+    "by |langs|·|sources| at any scale (10 → 4 jobs measured).",
 )
 def chi_square_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
-    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
-    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
-    t = o.agg(F.sum("obs").alias("n"))
-    joined = (
-        o.join(F.broadcast(r), "lang")
-        .join(F.broadcast(c), "source")
-        .crossJoin(F.broadcast(t))
+    ub = (Window.unboundedPreceding, Window.unboundedFollowing)
+    cells = o.select(
+        "lang", "source", "obs",
+        F.sum("obs").over(
+            Window.partitionBy("lang").rowsBetween(*ub)
+        ).alias("rt"),
+        F.sum("obs").over(
+            Window.partitionBy("source").rowsBetween(*ub)
+        ).alias("ct"),
+        F.sum("obs").over(Window.rowsBetween(*ub)).alias("n"),
     )
     exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
-    dof_r = r.agg((F.count(F.lit(1)) - 1).alias("dr"))
-    dof_c = c.agg((F.count(F.lit(1)) - 1).alias("dc"))
-    return (
-        joined.agg(
-            F.round(
-                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
-            ).alias("chi2")
-        )
-        .crossJoin(F.broadcast(dof_r))
-        .crossJoin(F.broadcast(dof_c))
-        .select("chi2", (F.col("dr") * F.col("dc")).cast("long").alias("dof"))
+    return cells.agg(
+        F.round(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+        ).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
     )
 
 

@@ -564,15 +564,22 @@ def ks_drift_binned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # r16 (optimization round, guide §2.4): totals ride the SAME
+    # single-partition window over the fixed _KS_BINS-row frame as the
+    # cumulative sums (unbounded-following frame, identical order spec
+    # → one WindowExec), replacing a separate aggregate + scalar
+    # broadcast crossJoin — two fewer sequential stages.
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = agg.select(
         F.sum("n1").over(w_cum).alias("cum1"),
         F.sum("n2").over(w_cum).alias("cum2"),
-    )
-    tot = agg.agg(
-        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+        F.sum("n1").over(w_all).alias("t1"),
+        F.sum("n2").over(w_all).alias("t2"),
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .agg(
             F.max("t1").cast("bigint").alias("n_click"),
             F.max("t2").cast("bigint").alias("n_error"),

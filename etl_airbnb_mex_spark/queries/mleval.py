@@ -294,11 +294,23 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n2", F.lit(0)).alias("n2"),
         )
     )
-    tot = full_g.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    # r16 (optimization round, guide §2.4): totals as an unpartitioned
+    # window over the fixed _PSI_BINS-row frame instead of a separate
+    # aggregate + scalar broadcast crossJoin — two fewer stages; the
+    # frame is grid-bounded at any input scale.
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     p = (F.col("n1") + 0.5) / (F.col("t1") + 0.5 * _PSI_BINS)
     q = (F.col("n2") + 0.5) / (F.col("t2") + 0.5 * _PSI_BINS)
     return (
-        full_g.crossJoin(F.broadcast(tot))
+        full_g.select(
+            "n1", "n2",
+            F.sum("n1").over(wall).alias("t1"),
+            F.sum("n2").over(wall).alias("t2"),
+        )
         .select(p.alias("p"), q.alias("q"), "t1", "t2")
         .agg(
             F.max("t1").cast("bigint").alias("n_ref"),
