@@ -78,6 +78,23 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # r16 (optimization round): changelog checkpointing — commits
+        # upload a per-batch changelog instead of re-snapshotting the
+        # full RocksDB instance (snapshots still happen, but async and
+        # infrequent). With it OFF the r15-era row's last-batch metrics
+        # showed commitFlushLatency 7.2 s dominating the drain; the r16
+        # interleaved A/B (BENCH_SIDECAR.json:
+        # streaming_bench.changelog_ab) measured the worst batch
+        # 7.9 s → 2.5 s and total wall down ~10-20% at this toy state
+        # size (1.5k state rows), identical session output. At
+        # production state sizes this is the difference between commit
+        # latency scaling with state size vs with per-batch delta —
+        # the standard posture for stateful RocksDB streams.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         sdf = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
