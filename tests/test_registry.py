@@ -271,6 +271,27 @@ _GLOBAL_WINDOW_OK: set[str] = {
     "mom_growth",
     "zipf_slope",
     "pareto_revenue_share",
+    # r16 (optimization round): scalar-total aggregate branches folded
+    # into unpartitioned windows OVER already-aggregated metadata-scale
+    # frames (each fold removed ~2 sequential AQE stage jobs and its
+    # broadcast crossJoin; all oracle-verified at sf0.001/0.01/0.1/1):
+    #   woe_iv — totals/IV over the category frame (|o_orderpriority|
+    #     = 5 rows; compiles to two chained unpartitioned Windows, so
+    #     the bounded-axis form below cannot express it).
+    #   mutual_info / chi_square_assoc — margins + total over the
+    #     contingency-cell frame (≤ |segments|·|nations| resp.
+    #     |langs|·|sources| rows; the unpartitioned window's child is
+    #     the preceding partitioned-margin Window over the same cell
+    #     frame, so the bounded-axis form below can't express it).
+    #   psi_drift — totals over the fixed _PSI_BINS-row grid (the
+    #     window sits on the grid⋈agg join, both sides bin-bounded).
+    #   source_mix_report — grand token total over the (source, lang)
+    #     cell frame (stronger per-window check below).
+    "woe_iv",
+    "mutual_info",
+    "chi_square_assoc",
+    "psi_drift",
+    "source_mix_report",
     # r8: global_order_prefix's bucket-offset window runs over the
     # ≤4096-row BUCKET-TOTAL frame (operators/stats.py), never the
     # order axis. These entries get a STRONGER per-window check below
@@ -316,6 +337,11 @@ _BOUNDED_AXIS_WINDOW_OK: dict[str, str] = {
     "outliers_iqr": "__bkt",
     "scalar_stats": "__bkt",
     "mad_robust": "__bkt",
+    # r16: total-fold window that sits DIRECTLY on its bounded grouped
+    # aggregate ((source, lang) cell axis). woe_iv's fold compiles to
+    # two CHAINED unpartitioned Windows (the IV sum reads the totals
+    # window's output), so only the per-query allowlist can express it.
+    "source_mix_report": "source",
 }
 
 
@@ -399,8 +425,9 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
 #:     residual/pair stages compute as one dgemm per bucket/cluster —
 #:     16.1s→0.7s at sf1 for the leakage audit).
 #:     semantic_dedup_clusters uses the SAME grouped operator but its
-#:     pair frame is localCheckpoint'd, which truncates the visible
-#:     plan — the node can't be asserted there.
+#:     pair frame was localCheckpoint'd through r15 (plan truncated,
+#:     node invisible); the r16 count/countDistinct fold removed the
+#:     checkpoint, so the node is visible and audited here too.
 #:   unicode_normalize — NFC needs unicodedata (no builtin equivalent).
 #:   heavy_hitters_sketch — per-partition Misra-Gries summaries
 #:     (vectorized mapInPandas; operators/corpus.py).
@@ -410,6 +437,7 @@ _PYTHON_EVAL_OK: dict[str, set[str]] = {
     "cosine_near_dup": {"FlatMapGroupsInPandas"},
     "knn_cosine_lsh": {"ArrowEvalPython"},
     "split_leakage_audit": {"FlatMapGroupsInPandas"},
+    "semantic_dedup_clusters": {"FlatMapGroupsInPandas"},
     "unicode_normalize": {"ArrowEvalPython"},
     "heavy_hitters_sketch": {"MapInPandas"},
     "image_near_dup": {"MapInPandas"},
