@@ -1146,7 +1146,14 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed from the quality_score features).",
 )
 def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): width-capped scan widening — the 1-split text
+    # scan serialized the in-row scoring on one core; interleaved A/B
+    # med 0.85 s direct → 0.74 s at width 8 (full width loses to the
+    # round-robin agg-map duplication, parallelize_scan docstring).
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=8,
+    )
     cols = quality_score_cols("text")
     return (
         d.select("doc_id", *(cols[c].alias(c) for c in
@@ -1958,12 +1965,18 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokenize+explode+agg on a single core (measured 2.4 s of "
     "executor_run on 1 task at sf0.1); the widening repartition is also "
     "shared by the tf and n_docs branches via ReuseExchange, so the "
-    "text column is scanned once instead of twice.",
+    "text column is scanned once instead of twice. Width CAPPED at 8: "
+    "this pass is agg-dominated, and at full 32-way width the "
+    "round-robin exchange makes every task build a near-full-vocabulary "
+    "agg map (interleaved A/B: med 2.19 s direct / 1.74 s w8 / 3.21 s "
+    "w32 — see parallelize_scan's cap docstring).",
 )
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import tfidf_topk
 
-    d = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents"), spark, cap=8
+    )
     return tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rn")
 
 
@@ -1989,7 +2002,12 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bigram_topn
 
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): width-capped widening of the 1-split text scan
+    # (interleaved A/B med 0.85 → 0.61 s at width 8)
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("text"),
+        spark, cap=8,
+    )
     return bigram_topn(d, "text", n=20)
 
 
@@ -3943,7 +3961,13 @@ _TOKS4 = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '
 def gopher_quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import quality_signals
 
-    df = quality_signals(load_table(spark, sf_dir, "documents"))
+    # r16 (guide §2.5): width-capped widening of the 1-split text scan
+    # (interleaved A/B med 1.05 → 0.72 s at width 8; see
+    # parallelize_scan's cap docstring for why not full width)
+    df = quality_signals(parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=8,
+    ))
     return df.withColumn("n_words", F.col("n_words").cast("int"))
 
 
@@ -3973,7 +3997,12 @@ def gopher_quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import zipf_slope
 
-    return zipf_slope(load_table(spark, sf_dir, "documents"), top_k=500)
+    # r16 (guide §2.5): width-capped widening of the 1-split text scan
+    # (interleaved A/B min 0.58 → 0.44 s at width 8)
+    return zipf_slope(parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("text"),
+        spark, cap=8,
+    ), top_k=500)
 
 
 @register(

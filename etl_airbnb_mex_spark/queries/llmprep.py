@@ -71,7 +71,15 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
     "label. One hash agg over ≤ |langs|·5 keys.",
 )
 def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): width-capped scan widening — the 1-split text
+    # scan serialized the in-row stopword scoring on one core;
+    # interleaved A/B med 1.27 s direct → 0.56 s at width 8 (the
+    # biggest winner of the batch; full 32-way width loses to the
+    # round-robin agg-map duplication, parallelize_scan docstring).
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("lang", "text"),
+        spark, cap=8,
+    )
     scores = {
         lang: F.expr(
             "size(filter(split(lower(text), '\\\\s+'), "
@@ -718,7 +726,21 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import tokenize
 
-    d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5 + §2.3): width-capped widening of the 1-split
+    # text scan, (doc_id, text) projected before the exchange; the
+    # shared round-robin exchange also lets the three consumers (tf2 /
+    # f2 / vocab) read ONE materialized scan via ReuseExchange.
+    # Interleaved A/B: min 1.79 → 1.53 s at width 8; full 32-way width
+    # REGRESSED (1.73 → 3.0+ s — every task builds a near-full-
+    # vocabulary agg map, parallelize_scan docstring), as did a
+    # single-scan restructure deriving f2 from tf2 and the vocabulary
+    # from bigram types (1.78 → 2.46 s, shuffle 4.6 → 8.6 MB: it
+    # traded cheap map-side-combined branch shuffles for a second
+    # full pass of the raw token stream through an exchange).
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=8,
+    )
     toks = tokenize(F.col("text"))
     n = F.size(toks)
     bgs = F.zip_with(

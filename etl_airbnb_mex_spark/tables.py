@@ -133,7 +133,9 @@ def read_dim_driver_side(
         ]
 
 
-def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+def parallelize_scan(
+    df: DataFrame, spark: SparkSession, cap: int | None = None
+) -> DataFrame:
     """Widen an under-split scan before CPU-heavy in-row fan-out.
 
     Spark sizes scan partitions by BYTES (``maxPartitionBytes``), which
@@ -146,8 +148,22 @@ def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     the len×fan-out multiple. At real multi-TB scale the input arrives
     as thousands of splits and this is a no-op — the guard exists for
     the small-file/compressed-text regime, the same reason production
-    pipelines repartition after reading gzip shards."""
+    pipelines repartition after reading gzip shards.
+
+    ``cap`` (r16, optimization round): bound the widening below the
+    full shuffle width. Round-robin repartition destroys key locality
+    for any downstream partial aggregation — EVERY task then builds a
+    hash map over (nearly) the full key space, so at full width the
+    executor CPU of an agg-dominated pass inflates with the task count
+    (minimal repro at sf0.1: the bigram explode+agg costs 0.67 s CPU
+    direct, 0.87 s at width 8, 6.5 s at width 32). Passes whose
+    per-row compute dominates (minhash signatures, LSH banding, regex
+    scrubbing) want the full width; agg-dominated token-stat passes
+    want a small multiple of the split count — measured best at 8 for
+    tfidf_topk (interleaved A/B, OPTIMIZATION_r16.md)."""
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if cap is not None:
+        target = min(target, cap)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
