@@ -774,6 +774,7 @@ def cluster_pair_cosines(
     vec_col: str = "v",
     threshold: float = 0.4,
     carry_cols: tuple[str, ...] = (),
+    emit_group_size: bool = False,
 ) -> DataFrame:
     """All-pairs cosine WITHIN each cluster as one BLAS gram matrix per
     cluster (``applyInPandas`` keyed by ``label_col``), replacing the
@@ -800,6 +801,18 @@ def cluster_pair_cosines(
 
     Defensive: rows whose vector is NULL or off-dimension are dropped
     inside the task (same NaN-rejection the pair-dot form had).
+
+    ``emit_group_size=True`` (r17, VERDICT r16 #2): the output gains an
+    ``n_members long`` column and every cluster additionally emits ONE
+    sentinel row (``ka``/``kb``/``cos_raw`` NULL, ``n_members`` = the
+    cluster's FULL row count, dropped rows included) — pair rows carry
+    ``n_members`` NULL. A consumer that needs per-cluster member counts
+    (semantic_dedup_clusters) then derives them from this single
+    grouped pass instead of aggregating the embeddings frame a second
+    time: one FlatMapGroupsInPandas, one scan, and the
+    count-join/broadcast branch disappears. Clusters with < 2 usable
+    vectors, which emit nothing in the base form, still emit their
+    sentinel — every label stays represented.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -819,6 +832,8 @@ def cluster_pair_cosines(
     for c in carry_cols:
         fields.append(T.StructField(f"{c}_a", in_schema[c].dataType))
         fields.append(T.StructField(f"{c}_b", in_schema[c].dataType))
+    if emit_group_size:
+        fields.append(T.StructField("n_members", T.LongType()))
     out_schema = T.StructType(fields)
     out_cols = [f.name for f in fields]
     pre_cut = threshold - 1e-6
@@ -827,12 +842,30 @@ def cluster_pair_cosines(
         import numpy as np
         import pandas as pd
 
+        def finish(out: dict, n_pairs: int, labels) -> "pd.DataFrame":
+            if not emit_group_size:
+                return pd.DataFrame(out, columns=out_cols)
+            # sentinel row first: full group size BEFORE the keep
+            # filter (n_members must count NULL/off-dim rows too)
+            for c in label_cols:
+                out[c] = [labels[c]] + list(out.get(c, []))
+            out["ka"] = [None] + list(out.get("ka", []))
+            out["kb"] = [None] + list(out.get("kb", []))
+            out["cos_raw"] = [None] + list(out.get("cos_raw", []))
+            for c in carry_cols:
+                out[f"{c}_a"] = [None] + list(out.get(f"{c}_a", []))
+                out[f"{c}_b"] = [None] + list(out.get(f"{c}_b", []))
+            out["n_members"] = [n_rows] + [None] * n_pairs
+            return pd.DataFrame(out, columns=out_cols)
+
+        n_rows = len(pdf)
+        labels = {c: pdf[c].iloc[0] for c in label_cols}
         vecs = pdf[vec_col].tolist()
         dims = [len(v) if v is not None else -1 for v in vecs]
         dim = max(dims) if dims else 0
         keep = [i for i, d in enumerate(dims) if d == dim]
         if len(keep) < 2:
-            return pd.DataFrame(columns=out_cols)
+            return finish({}, 0, labels)
         pdf = pdf.iloc[keep]
         # id-sort so (i < j) positions == (ka < kb) ids
         pdf = pdf.sort_values(id_col, kind="mergesort")
@@ -853,6 +886,6 @@ def cluster_pair_cosines(
             vals = pdf[c].to_numpy()
             out[f"{c}_a"] = vals[ii]
             out[f"{c}_b"] = vals[jj]
-        return pd.DataFrame(out, columns=out_cols)
+        return finish(out, len(ii), labels)
 
     return df.groupBy(*label_cols).applyInPandas(per_cluster, out_schema)

@@ -212,33 +212,29 @@ def semantic_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.round(..., 6) >= 0.4 cut keeps Spark's HALF_UP rounding, so
     # oracle parity with list_cosine_similarity is unchanged
     # (operators/similarity.py:cluster_pair_cosines).
-    pairs = cluster_pair_cosines(e, threshold=0.4).filter(
-        F.round(F.col("cos_raw"), 6) >= 0.4
-    ).select("label", "kb")
-    # r16 (optimization round, guide §2.4): pair count and removed
-    # count fold into ONE aggregate — count(*) + count(DISTINCT kb)
-    # per label is exactly the old two-branch result (the removed set
-    # was distinct (label, kb)), so the pair stage has a single
-    # consumer again: no lineage-truncating checkpoint, one aggregate
-    # job and one broadcast build instead of two of each (10 → 7
-    # jobs measured at sf0.1).
-    pair_counts = pairs.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("kb").alias("n_removed"),
-    )
+    #
+    # r17 (VERDICT r16 #2, guide §4 + §2.3): ONE grouped Arrow pass.
+    # emit_group_size adds a per-cluster sentinel row carrying
+    # n_members (full cluster row count — so labels with zero pairs
+    # stay represented), and the final frame is a single narrow agg
+    # over the UDF output: count(ka) counts pair rows only (NULL on
+    # the sentinel), countDistinct(kb) is the removed set (the old
+    # distinct-(label,kb) branch), max(n_members) reads the sentinel.
+    # This replaces the r16 shape's SECOND embeddings aggregate + its
+    # broadcast join: the embeddings table is scanned and shuffled
+    # once, and the 10→7-job r16 chain drops to 4 (one
+    # FlatMapGroupsInPandas in the plan — pinned by
+    # tests/test_registry.py's single-Arrow-pass check).
+    out = cluster_pair_cosines(e, threshold=0.4, emit_group_size=True)
     return (
-        e.groupBy("label")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .join(F.broadcast(pair_counts), "label", "left")
-        .select(
-            "label",
-            "n_members",
-            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias(
-                "n_dup_pairs"
-            ),
-            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
-                "n_removed"
-            ),
+        out.filter(
+            F.col("ka").isNull() | (F.round(F.col("cos_raw"), 6) >= 0.4)
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_members").cast("bigint").alias("n_members"),
+            F.count("ka").cast("bigint").alias("n_dup_pairs"),
+            F.countDistinct("kb").cast("bigint").alias("n_removed"),
         )
         .orderBy("label")
     )

@@ -2417,6 +2417,91 @@ def test_cluster_pair_cosines_matches_bruteforce(spark):
         assert sb == ("train" if kb % 2 == 0 else "test")
 
 
+def test_cluster_pair_cosines_emit_group_size(spark):
+    """r17 single-Arrow-pass contract (VERDICT r16 #2): with
+    emit_group_size=True every cluster emits exactly one sentinel row
+    (ka/kb/cos_raw NULL) whose n_members is the FULL cluster row count
+    — NULL and off-dimension vectors included, and clusters too ragged
+    to pair still represented — while the pair rows are byte-identical
+    to the base form with n_members NULL. The derived per-label agg
+    must equal the r16 two-branch reference."""
+    from pyspark.sql import functions as F
+
+    from etl_airbnb_mex_spark.operators.similarity import (
+        cluster_pair_cosines,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]), (2, 0, [0.9, 0.1, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]), (4, 0, [-1.0, 0.0, 0.0]),
+        (10, 1, [1.0, 1.0, 0.0]), (11, 1, [1.0, 1.0, 0.1]),
+        (12, 1, None),                      # NULL counts in n_members
+        (20, 2, [1.0, 0.0]), (21, 2, [0.5, 0.5, 0.5]),  # ragged: no
+        # pairs possible, sentinel still emitted
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+    out = cluster_pair_cosines(df, threshold=0.4, emit_group_size=True)
+    sentinels = {
+        r.label: r.n_members
+        for r in out.filter(F.col("ka").isNull()).collect()
+    }
+    assert sentinels == {0: 4, 1: 3, 2: 2}
+    # sentinel rows carry no cosine; pair rows carry no n_members
+    assert out.filter(
+        F.col("ka").isNull() & F.col("cos_raw").isNotNull()
+    ).count() == 0
+    assert out.filter(
+        F.col("ka").isNotNull() & F.col("n_members").isNotNull()
+    ).count() == 0
+    base_pairs = {
+        (r.label, r.ka, r.kb, round(r.cos_raw, 9))
+        for r in cluster_pair_cosines(df, threshold=0.4).collect()
+    }
+    got_pairs = {
+        (r.label, r.ka, r.kb, round(r.cos_raw, 9))
+        for r in out.filter(F.col("ka").isNotNull()).collect()
+    }
+    assert got_pairs == base_pairs
+
+    # the registered query's derived agg == the r16 two-branch form
+    derived = {
+        tuple(r)
+        for r in out.filter(
+            F.col("ka").isNull() | (F.round(F.col("cos_raw"), 6) >= 0.4)
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_members").cast("bigint").alias("n_members"),
+            F.count("ka").cast("bigint").alias("n_dup_pairs"),
+            F.countDistinct("kb").cast("bigint").alias("n_removed"),
+        )
+        .collect()
+    }
+    pairs = cluster_pair_cosines(df, threshold=0.4).filter(
+        F.round(F.col("cos_raw"), 6) >= 0.4
+    )
+    pc = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("kb").alias("n_removed"),
+    )
+    ref = {
+        tuple(r)
+        for r in df.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .join(F.broadcast(pc), "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint"),
+        )
+        .collect()
+    }
+    assert derived == ref
+
+
 # ---------------------------------------------------------------------------
 # global_order_prefix — the bucketed two-level prefix sum behind
 # roc_auc / gini_concentration (r8 rewrite of the sort-rank pattern).

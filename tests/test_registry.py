@@ -505,6 +505,33 @@ def test_no_row_at_a_time_python_in_any_plan(spark, sf_dir):
     )
 
 
+def test_semantic_dedup_single_arrow_pass(spark, sf_dir):
+    """r17 (VERDICT r16 #2): semantic_dedup_clusters derives member
+    counts from the SAME grouped Arrow pass that computes the pair
+    cosines (emit_group_size sentinel rows) — the plan must hold
+    exactly ONE FlatMapGroupsInPandas and NO join (the r16 shape
+    aggregated the embeddings a second time and broadcast-joined the
+    counts back, shuffling/scanning the embeddings payload twice)."""
+    import re
+
+    df = all_queries()["semantic_dedup_clusters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\bFlatMapGroupsInPandas", physical)) == 1, (
+        "semantic_dedup_clusters must shuffle the embeddings payload "
+        "exactly once (one grouped Arrow pass)"
+    )
+    assert not re.search(r"\bJoin\b|\bBroadcastHashJoin|\bSortMergeJoin",
+                         physical), (
+        "semantic_dedup_clusters must not join member counts back — "
+        "they ride the pair stage's sentinel rows"
+    )
+
+
 def test_no_container_columns_in_oracle_surface():
     """The driver's pandas canonicalizer cannot hash list/dict cells
     (round-1 parse_array err). Static check: no registered oracle SQL
