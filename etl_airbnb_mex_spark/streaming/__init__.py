@@ -7,6 +7,8 @@ are oracle-checked; the streaming variants here add watermarks and state.
 """
 
 from .ops import (
+    STATEFUL_STATE_STORE_CONF,
+    configure_state_store,
     stream_dedup_within_watermark,
     stream_drift_monitor,
     stream_heavy_hitters,
@@ -20,6 +22,8 @@ from .ops import (
 )
 
 __all__ = [
+    "STATEFUL_STATE_STORE_CONF",
+    "configure_state_store",
     "stream_dedup_within_watermark",
     "stream_drift_monitor",
     "stream_heavy_hitters",

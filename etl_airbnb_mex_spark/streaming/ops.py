@@ -20,8 +20,50 @@ import math
 from collections.abc import Iterator
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: State-store posture for STATEFUL streams at scale (r17, VERDICT r16
+#: #6 — previously set only inside scripts/streaming_bench.py; an
+#: engine optimization must ship with the engine, the bench merely
+#: inherits it):
+#:
+#: * RocksDB provider — state spills to local disk instead of executor
+#:   heap; the 100 TB posture for stateful streaming (the HDFS-backed
+#:   default holds every version of every key in executor memory).
+#: * Changelog checkpointing — each micro-batch commit uploads only the
+#:   batch's CHANGELOG; full RocksDB snapshots happen async and
+#:   infrequently. Without it, commit latency scales with TOTAL state
+#:   size (the r15-era drain measured commitFlushLatency 7.2 s on a
+#:   toy 1.5k-row state); with it, with the per-batch delta. r16
+#:   interleaved off/on A/B, identical session output
+#:   (BENCH_SIDECAR.json:streaming_bench.changelog_ab): worst batch
+#:   7.9 s → 2.5 s.
+#:
+#: Session-level (Spark reads them at query start), so they apply per
+#: SparkSession, not per stream: call :func:`configure_state_store`
+#: once on the session that will run stateful streams. Kept out of
+#: ``session.get_spark`` deliberately — batch queries never touch a
+#: state store, and tests that A/B providers need the default intact.
+STATEFUL_STATE_STORE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
+
+
+def configure_state_store(spark: SparkSession) -> SparkSession:
+    """Apply the engine's stateful-stream state-store posture
+    (:data:`STATEFUL_STATE_STORE_CONF`) to a session. Idempotent;
+    returns the session. Call before starting stateful streams
+    (sessionizer / counter / heavy-hitters); restarting an EXISTING
+    checkpoint written under a different provider is rejected by Spark
+    — switch providers only with a fresh checkpoint location."""
+    for key, value in STATEFUL_STATE_STORE_CONF.items():
+        spark.conf.set(key, value)
+    return spark
 
 
 def _event_time(sdf: DataFrame, ts_col: str) -> DataFrame:

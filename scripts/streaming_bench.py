@@ -42,7 +42,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from etl_airbnb_mex_spark.session import get_spark
-    from etl_airbnb_mex_spark.streaming.ops import stream_session_state
+    from etl_airbnb_mex_spark.streaming.ops import (
+        configure_state_store,
+        stream_session_state,
+    )
 
     spark = get_spark(app_name="streaming-bench")
     work = tempfile.mkdtemp(prefix="stream_bench_", dir=REPO)
@@ -73,28 +76,12 @@ def main() -> None:
                 os.path.join(feed_dir, p), (base_t + i * 2, base_t + i * 2)
             )
 
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # r16 (optimization round): changelog checkpointing — commits
-        # upload a per-batch changelog instead of re-snapshotting the
-        # full RocksDB instance (snapshots still happen, but async and
-        # infrequent). With it OFF the r15-era row's last-batch metrics
-        # showed commitFlushLatency 7.2 s dominating the drain; the r16
-        # interleaved A/B (BENCH_SIDECAR.json:
-        # streaming_bench.changelog_ab) measured the worst batch
-        # 7.9 s → 2.5 s and total wall down ~10-20% at this toy state
-        # size (1.5k state rows), identical session output. At
-        # production state sizes this is the difference between commit
-        # latency scaling with state size vs with per-batch delta —
-        # the standard posture for stateful RocksDB streams.
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
-        )
+        # r17 (VERDICT r16 #6): the RocksDB provider + changelog-
+        # checkpointing posture now ships IN THE ENGINE
+        # (streaming.ops.STATEFUL_STATE_STORE_CONF, rationale + the r16
+        # off/on A/B evidence on its docstring) — this bench merely
+        # inherits it, like any other caller of the stateful operators.
+        configure_state_store(spark)
         sdf = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
