@@ -58,6 +58,19 @@ def key_skew_profile(df: DataFrame, key: str, k: int = 10) -> DataFrame:
     global sort), the total as a broadcast 1-row scalar (NOT a window
     over the counts axis — distinct keys can be billions at 100 TB),
     and the cumulative window runs over the k surviving rows only.
+
+    DECIDED (r16/r17 optimization rounds, do not re-examine): the
+    total-count aggregate + broadcast crossJoin stays. Folding the
+    total into an unpartitioned window over the counts frame — the
+    r16 fold that removed ~2 AQE stage jobs from the percentile/WoE
+    family — is legal only where the windowed frame is BOUNDED BY
+    CONSTRUCTION; here the frame is one row per distinct key, which is
+    input-shaped. A keyed-total variant (caller supplies a
+    bounded-cardinality contract for ``key``) would admit the fold,
+    but no registered consumer can promise it, and an operator knob
+    that is safe only under an unverifiable promise is a scale hazard,
+    not an optimization. Same verdict applies to
+    :func:`topn_by_count`/:func:`mode` if a total is ever added there.
     """
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
     total = df.agg(F.count(F.lit(1)).alias("__total"))

@@ -1974,8 +1974,14 @@ def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import tfidf_topk
 
+    # r17 (ADVICE r16 #2): project to the two consumed columns BEFORE
+    # the widening exchange, matching the other cap=8 call sites —
+    # the full documents table (lang/source/etc.) was riding the
+    # round-robin repartition for nothing. n_docs = count(*) is
+    # row-preserving under the projection.
     d = parallelize_scan(
-        load_table(spark, sf_dir, "documents"), spark, cap=8
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=8,
     )
     return tfidf_topk(d, "doc_id", "text", k=3).orderBy("doc_id", "rn")
 
@@ -3564,12 +3570,22 @@ def chi_square_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(Window.rowsBetween(*ub)).alias("n"),
     )
     exp = F.col("rt") * F.col("ct") * 1.0 / F.col("n")
+    # dof counts CATEGORIES, and a NULL category is a category: the
+    # oracle's count(*) over the GROUP BY margin frames counts a NULL
+    # lang/source group, while a bare countDistinct(col) would skip it
+    # (ADVICE r16 #1 — latent dof drift if either categorical is ever
+    # null; current data has none). Counting distinct over the
+    # (isnull, value) STRUCT keeps NULL as one distinct group with no
+    # sentinel-collision risk, on the same ≤|langs|·|sources| frame.
+    n_cats = lambda c: F.countDistinct(  # noqa: E731
+        F.struct(F.col(c).isNull(), F.col(c))
+    )
     return cells.agg(
         F.round(
             F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
         ).alias("chi2"),
         (
-            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+            (n_cats("lang") - 1) * (n_cats("source") - 1)
         ).cast("long").alias("dof"),
     )
 
