@@ -62,14 +62,23 @@ def dedup_text_exact(
     """§2.11 — exact near-dup removal: md5 of normalized text, keep the
     lowest id per hash. One shuffle on the 32-byte hash (never on the
     document text itself — at 100 TB the shuffle payload must be the
-    fingerprint, not the payload column)."""
+    fingerprint, not the payload column).
+
+    r17 (optimization round, guide §2.3/§2.4): keep-lowest-id is
+    ``min(id) GROUP BY hash`` — only (id, hash) survive, so the
+    row_number window this ran through r16 was a strictly worse plan
+    for the same rows: the window SORTS every partition and ships every
+    (id, hash) row through the exchange, while the hash aggregate's
+    map-side partial min collapses same-task duplicates before the
+    shuffle and never sorts. (``dedup_keep_first`` still needs its
+    window — it keeps whole rows, where min() per column would mix
+    rows.)"""
     h = F.md5(normalize_text(text_col)).alias("text_hash")
-    w = Window.partitionBy("text_hash").orderBy(F.asc(id_col))
     return (
         df.select(id_col, h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
     )
 
 
@@ -247,6 +256,19 @@ def minhash_near_dup_pairs(
             .drop("__bc")
         )
 
+    # r17 (optimization round, guide §2.4/§3.1): force the band self-
+    # join to SORT-MERGE. Both sides are the same frame, already hash-
+    # partitioned AND sorted by (band_id, band_hash) — the hot-bucket
+    # window's required distribution — so SMJ adds no exchange and no
+    # sort, while the planner's default broadcast built the ENTIRE
+    # banded frame (O(n·bands) rows — input-sized, 17 MiB at sf0.1,
+    # unboundedly larger at scale) into a driver-collected broadcast:
+    # a scale hazard AND an extra AQE broadcast-build job per consumer
+    # (jobs 8→7 on dedup_minhash, 16→15 on corpus_pipeline; A/B walls
+    # flat-to-better same-phase, r17 notes). A localCheckpoint of the
+    # banded frame was also tried: it removed the duplicate window but
+    # ADDED materialization jobs (16→18) — rejected.
+    banded = banded.hint("merge")
     a = banded.alias("a")
     b = banded.alias("b")
     agree = F.size(
