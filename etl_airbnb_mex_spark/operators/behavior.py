@@ -44,8 +44,19 @@ def funnel_conversion(
     aggregate per stage and combined them through |stages|−1
     BroadcastNestedLoopJoins, paying ~2 extra AQE stage jobs per
     funnel stage (measured 12 → 7 jobs on the 3-stage registered
-    query). The union's branches still share the frontier exchanges
-    via ReuseExchange, so no work is recomputed.
+    query).
+
+    r17 runtime-plan audit (VERDICT r16 #8, AQE-final dump committed
+    at plans/r17/funnel_conversion_r16shape_executed.txt): exchange
+    reuse between a union branch and the next stage's join input is
+    PARTIAL — the analyzer re-aliases one consumer of each frontier
+    (self-join expr-id dedup), so its canonical form stops matching
+    and the final plan recomputes the intermediate frontier stages
+    (one ReusedExchange, 5 shuffle stages for 3 funnel stages). Still
+    a measured win over the BNLJ chain (7 vs 12 jobs); the recomputed
+    frontiers are small filtered aggregates, and pinning them with
+    localCheckpoint would add materialization jobs (the r17 banded-
+    frame A/B measured that class of fix as a regression).
     """
     frontier = None
     tagged = None

@@ -723,9 +723,7 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import tokenize
 
     # r16 (guide §2.5 + §2.3): width-capped widening of the 1-split
-    # text scan, (doc_id, text) projected before the exchange; the
-    # shared round-robin exchange also lets the three consumers (tf2 /
-    # f2 / vocab) read ONE materialized scan via ReuseExchange.
+    # text scan, (doc_id, text) projected before the exchange.
     # Interleaved A/B: min 1.79 → 1.53 s at width 8; full 32-way width
     # REGRESSED (1.73 → 3.0+ s — every task builds a near-full-
     # vocabulary agg map, parallelize_scan docstring), as did a
@@ -733,6 +731,16 @@ def bigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from bigram types (1.78 → 2.46 s, shuffle 4.6 → 8.6 MB: it
     # traded cheap map-side-combined branch shuffles for a second
     # full pass of the raw token stream through an exchange).
+    # r17 runtime-plan audit (VERDICT r16 #8, dump committed at
+    # plans/r17/bigram_surprisal_r16shape_executed.txt): exchange
+    # reuse across the widened branches is PARTIAL at runtime — the
+    # doc-keyed branch pushes a different projection below its
+    # exchange, so the AQE final plan holds 3 text scans + 3 widening
+    # exchanges with 1 ReusedExchange, not the single materialized
+    # scan the r16 prose assumed. Acceptable by measurement: the scan
+    # is O(compressed bytes), trivial next to the explode+agg work in
+    # each branch, and the restructure that would force one scan is
+    # exactly the rejected A/B above.
     d = parallelize_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark, cap=8,
