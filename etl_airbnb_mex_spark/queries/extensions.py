@@ -1920,7 +1920,13 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokenize, word_repetition_ratio
 
-    d = load_table(spark, sf_dir, "documents")
+    # r17 cap sweep (VERDICT r16 #3, guide §2.6): the 1-split text scan
+    # serialized the in-row tokenize on one core; width 8 measured
+    # min 0.44→0.27 s / median 0.55→0.31 s (interleaved, 5 passes).
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=8,
+    )
     # size(NULL) is -1 under the legacy (ANSI-off) conf while the
     # oracle's len(NULL list) is NULL — guard so both sides emit NULL
     # for NULL text.
@@ -3138,7 +3144,17 @@ def anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_ngram_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import dup_ngram_fraction
 
-    d = load_table(spark, sf_dir, "documents")
+    # r17 cap sweep (VERDICT r16 #3): the heaviest single-task tail
+    # entry — the in-row bigram build + array_distinct serialized on
+    # one core. Width 16 measured min 5.24→0.84 s / median
+    # 6.62→1.49 s (interleaved, 5 passes); per-row compute dominates
+    # here (no downstream agg map to duplicate), so it takes more
+    # width than the agg-dominated family (w32 measured slightly
+    # worse: med 1.16 — the fan-out is only 5k rows).
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, cap=16,
+    )
     return dup_ngram_fraction(d, "doc_id", "text", n=2).orderBy("doc_id")
 
 
