@@ -1084,8 +1084,13 @@ def lang_id_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize_scan: a compressed single-file documents table scans
     # as 1-2 splits — the trigram explode would serialize on one core
     # (tables.py:parallelize_scan).
+    # r17 (VERDICT r16 #7, guide §2.3): doc_id pruned from the widened
+    # checkpointed frame — neither pass uses it (the learn pass keys on
+    # (lang, tri); the scoring pass groups straight to the
+    # (lang, predicted) matrix), so it was dead weight in the exchange
+    # and the checkpoint.
     low = parallelize_scan(
-        d.select("doc_id", "lang", F.lower(F.col("text")).alias("lt")),
+        d.select("lang", F.lower(F.col("text")).alias("lt")),
         spark,
     ).localCheckpoint(eager=False)
     tris = F.expr(
