@@ -336,10 +336,18 @@ def near_dedup_corpus(
         df, text_col, id_col, num_hashes, bands, shingle_n,
         portable=portable,
     )
+    # r17 (optimization round, guide §2.4): no .distinct() on the
+    # victim ids — LEFT ANTI ignores duplicate build-side keys, so the
+    # dedup aggregate bought nothing semantically and cost an exchange
+    # + two agg stages at every scale (jobs 11→10 here, 14→13 on
+    # corpus_pipeline). The duplicate factor the anti join now ships is
+    # bounded by construction (a doc pairs within its ≤ max_bucket
+    # band buckets, and the pair frame was already dropDuplicates'd on
+    # (id_a, id_b)), and the rows are bare 8-byte ids — cheaper to
+    # ship than to aggregate first.
     victims = (
         pairs.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
     return df.join(victims, on=id_col, how="left_anti")
 
